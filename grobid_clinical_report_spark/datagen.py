@@ -1,0 +1,390 @@
+"""Deterministic synthetic corpus + fixtures (FIXTURES.md; seed=42).
+
+Builds the interleaved-span `documents` table (doc_id, spans) and the
+`expected_spans` fixture table. Fixture documents mirror the *structure* of the
+reference's golden service fixtures (/root/reference/resources/test/
+processFullMedicalText.xml, processHeaderFromPDF.xml, MedicalTextExample.txt,
+doc/API_service.md cURL examples) without copying them; filler documents give
+scale tiers a log-normal span-count distribution with ~7% media spans
+(FIXTURES.md §4).
+
+Everything is derived from the seed — no external data, reproducible across
+runs (the resume test depends on byte-identical regeneration).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+SEED = 42
+
+# ---------------------------------------------------------------------------
+# fixture documents: (kind, text, media_ref) per line; offset assigned after
+# ---------------------------------------------------------------------------
+
+_FOOTER = "Compte rendu validé électroniquement - Hôpital de Créteil"
+
+FX_FULL_LINES = [
+    # header zone (page 1 top)
+    ("text", "N° 2000-123456", None),
+    ("text", "COMPTE RENDU OPÉRATOIRE", None),
+    ("text", "Le 29.04.2000", None),
+    ("text", "", None),
+    ("text", "Pôle Femmes-Adolescents-Mères-Enfants SERVICE DE GYNECOLOGIE OBSTETRIQUE", None),
+    ("text", "51, Avenue du Mal de Lattre de Tassigny 94010 CRETEIL Cedex", None),
+    ("text", "", None),
+    ("text", "Opérateur : Dr Mathieu MERLIN ; Assistant : Dr Leroy BLANC ; Anesthésiste : Dr Jolie MASSON", None),
+    ("text", "IPP 800099001", None),
+    ("text", "Madame Abba Voletta DUPONT, née le 01/01/1990, 27 ans", None),
+    ("text", "666, Avenue de la République LE KREMLIN BICETRE", None),
+    ("text", "", None),
+    # left-note zone (org contact block: phone/fax pull the block left)
+    ("text", "Chef de Service : Pr. A. Gautier", None),
+    ("text", "Secrétariat : 01 41 12 34 56", None),
+    ("text", "Fax : 01 41 12 34 58", None),
+    ("text", "", None),
+    # body zone
+    ("text", "HYSTÉRECTOMIE PAR COELIOSCOPIE", None),
+    ("text", "", None),
+    ("text", "DIAGNOSTIC :", None),
+    ("text", "Fibrome utérin symptomatique.", None),
+    ("text", "", None),
+    ("text", "RAPPEL CLINIQUE :", None),
+    ("text", "Antécédents :", None),
+    ("text", "Patiente de 27 ans, sans antécédent notable.", None),
+    ("text", "Suivie pour fibrome utérin depuis 1998.", None),
+    ("text", "", None),
+    ("text", "Histoire de la maladie :", None),
+    ("text", "La patiente présente des douleurs pelviennes.", None),
+    ("text", "", None),
+    ("text", "INTERVENTION :", None),
+    ("text", "Incision et exérèse réalisées sans complication.", None),
+    ("text", "Avis pris auprès du Dr Martinez.", None),
+    ("text", "Les suites opératoires sont simples.", None),
+    ("media", "", "img/fx-full-0001/0.png"),
+    ("text", "Figure 1 : vue opératoire.", None),
+    ("text", _FOOTER, None),
+    ("text", "1", None),
+    ("text", "\f", None),
+    # page 2
+    ("text", "CONCLUSION :", None),
+    ("text", "Hystérectomie totale sans complication.", None),
+    ("text", _FOOTER, None),
+    ("text", "2", None),
+]
+
+FX_FULL_EXPECTED = [
+    ("title", "HYSTÉRECTOMIE PAR COELIOSCOPIE", None),
+    ("section", "DIAGNOSTIC :", None),
+    ("paragraph", "Fibrome utérin symptomatique.", None),
+    ("section", "RAPPEL CLINIQUE :", None),
+    ("subsection", "Antécédents :", None),
+    ("paragraph", "Patiente de 27 ans, sans antécédent notable. Suivie pour fibrome utérin depuis 1998.", None),
+    ("subsection", "Histoire de la maladie :", None),
+    ("paragraph", "La patiente présente des douleurs pelviennes.", None),
+    ("section", "INTERVENTION :", None),
+    ("paragraph", "Incision et exérèse réalisées sans complication.", None),
+    ("medic", "Avis pris auprès du Dr Martinez.", None),
+    ("paragraph", "Les suites opératoires sont simples.", None),
+    ("figure", "Figure 1 : vue opératoire.", "img/fx-full-0001/0.png"),
+    ("footnote", _FOOTER, None),
+    ("section", "CONCLUSION :", None),
+    ("paragraph", "Hystérectomie totale sans complication.", None),
+]
+
+FX_HDR_LINES = [
+    ("text", "COMPTE RENDU OPÉRATOIRE", None),
+    ("text", "Hystérectomie totale par coelioscopie", None),
+    ("text", "Le 29.04.2000", None),
+    ("text", "Le 29.04.2000 à 10h30", None),  # keep-longest-date merge target
+    ("text", "", None),
+    ("text", "Opérateur : Dr Mathieu MERLIN ; Assistant : Dr Leroy BLANC", None),
+    ("text", "Madame Abba Voletta DUPONT, née le 01/01/1990, 27 ans", None),
+    ("text", "Madame Abba Voletta DUPONT, née le 01/01/1990, 27 ans", None),  # dup → dropped
+    ("text", "", None),
+    ("text", "Pôle Femmes-Adolescents-Mères-Enfants SERVICE DE GYNECOLOGIE OBSTETRIQUE", None),
+    ("text", "51, Avenue du Mal de Lattre de Tassigny 94010 CRETEIL Cedex", None),
+]
+
+FX_HDR_EXPECTED = [
+    ("doctype", "COMPTE RENDU OPÉRATOIRE", None),
+    ("title", "Hystérectomie totale par coelioscopie", None),
+    # longest raw date wins (HeaderMedicalParser.java:1261-1266), normalized
+    # to ISO (ibid. :174-181, 394-409)
+    ("date", "2000-04-29", None),
+    ("medic", "Opérateur : Dr Mathieu MERLIN ; Assistant : Dr Leroy BLANC", None),
+    ("patient", "Madame Abba Voletta DUPONT, née le 01/01/1990, 27 ans", None),
+    ("affiliation", "Pôle Femmes-Adolescents-Mères-Enfants SERVICE DE GYNECOLOGIE OBSTETRIQUE", None),
+    ("address", "51, Avenue du Mal de Lattre de Tassigny 94010 CRETEIL Cedex", None),
+]
+
+FX_NOTE_LINES = [
+    ("text", "SERVICE DE GYNECOLOGIE OBSTETRIQUE", None),
+    ("text", "Chef de Service : Pr. A. Gautier", None),
+    ("text", "Secrétariat : 01 41 12 34 56", None),
+    ("text", "Fax : 01 41 12 34 58", None),
+    ("text", "contact@hopital-creteil.fr", None),
+]
+
+FX_NOTE_EXPECTED = [
+    ("organization", "SERVICE DE GYNECOLOGIE OBSTETRIQUE", None),
+    ("medic", "Chef de Service : Pr. A. Gautier", None),
+    ("phone", "Secrétariat : 01 41 12 34 56", None),
+    ("fax", "Fax : 01 41 12 34 58", None),
+    ("email", "contact@hopital-creteil.fr", None),
+]
+
+FX_NER_LINES = [
+    ("text", "Madame Belle Joseline DUPONT, âgée de 50 ans, née le 07/08/1970.", None),
+    ("text", "Arthrite septique du genou droit à Corynebacterium traitée par Daptomycine 1500 mg puis Linézolide 600 mg.", None),
+    ("text", "Lavage articulaire et synovectomie le 14/08/2000, poursuite de Daptomycine jusqu'au 9/09/2000.", None),
+    ("text", "Ordonnance validée par Docteur Hakuna Matata ROUX.", None),
+]
+
+FX_NER_EXPECTED = [
+    ("persname", "Madame Belle Joseline DUPONT", None),
+    ("age", "50 ans", None),
+    ("date", "07/08/1970", None),
+    ("pathology", "Arthrite septique", None),
+    ("anatomy", "genou droit", None),
+    ("substance", "Corynebacterium", None),
+    ("medicament", "Daptomycine 1500 mg", None),
+    ("medicament", "Linézolide 600 mg", None),
+    ("procedure", "Lavage articulaire", None),
+    ("procedure", "synovectomie", None),
+    ("date", "14/08/2000", None),
+    ("medicament", "Daptomycine", None),
+    ("date", "9/09/2000", None),
+    ("persname", "Docteur Hakuna Matata ROUX", None),
+]
+
+# string sub-parser fixtures (doc/API_service.md cURL examples)
+FX_DATELINE_TEXT = "Intervention du 14/03/2017. Paris, le 20.9.2018"
+FX_DATELINE_EXPECTED = [
+    ("note", "Intervention", None),
+    ("date", "14/03/2017", None),
+    ("place", "Paris", None),
+    ("date", "20.9.2018", None),
+]
+FX_MEDIC_TEXT = "Chef de Service Pr. Abagael ZOSIMA. Assistant Dr Woody WOOD."
+FX_MEDIC_EXPECTED = [
+    ("rolename", "Chef de Service", None),
+    ("persname", "Pr. Abagael ZOSIMA", None),
+    ("rolename", "Assistant", None),
+    ("persname", "Dr Woody WOOD", None),
+]
+FX_PATIENT_TEXT = "Madame Eva GOODRICH 666, RUE DU MARRANT 92290 CHATENAY MALABRY"
+FX_PATIENT_EXPECTED = [
+    ("persname", "Madame Eva GOODRICH", None),
+    ("address", "666, RUE DU MARRANT 92290 CHATENAY MALABRY", None),
+]
+
+FIXTURE_DOCS = {
+    "fx-full-0001": FX_FULL_LINES,
+    "fx-hdr-0002": FX_HDR_LINES,
+    "fx-note-0003": FX_NOTE_LINES,
+    "fx-ner-0004": FX_NER_LINES,
+    "fx-dateline-0005": [("text", FX_DATELINE_TEXT, None)],
+    "fx-medic-0005": [("text", FX_MEDIC_TEXT, None)],
+    "fx-patient-0005": [("text", FX_PATIENT_TEXT, None)],
+}
+
+# pipeline mode → (fixture doc_id, expected span list)
+FIXTURE_EXPECTED = {
+    "extract_full": {"fx-full-0001": FX_FULL_EXPECTED},
+    "extract_header": {"fx-hdr-0002": FX_HDR_EXPECTED},
+    "extract_leftnote": {"fx-note-0003": FX_NOTE_EXPECTED},
+    "ner": {"fx-ner-0004": FX_NER_EXPECTED},
+    "parse_dateline": {"fx-dateline-0005": FX_DATELINE_EXPECTED},
+    "parse_medic": {"fx-medic-0005": FX_MEDIC_EXPECTED},
+    "parse_patient": {"fx-patient-0005": FX_PATIENT_EXPECTED},
+}
+
+
+def _with_offsets(lines: list[tuple]) -> list[dict]:
+    """Assign strictly-increasing char offsets (flattened-document positions)."""
+    spans, off = [], 0
+    for kind, text, ref in lines:
+        spans.append(
+            {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+        )
+        off += max(len(text), 1) + 1
+    return spans
+
+
+def fixture_documents_pdf() -> pd.DataFrame:
+    """Fixture docs as a pandas DataFrame matching DOCUMENTS_SCHEMA."""
+    rows = [
+        {"doc_id": doc_id, "spans": _with_offsets(lines)}
+        for doc_id, lines in sorted(FIXTURE_DOCS.items())
+    ]
+    return pd.DataFrame(rows)
+
+
+def expected_spans_pdf(mode: str) -> pd.DataFrame:
+    rows = []
+    for doc_id, exp in sorted(FIXTURE_EXPECTED[mode].items()):
+        spans = [
+            {"kind": k, "text": t, "media_ref": r, "offset": i}
+            for i, (k, t, r) in enumerate(exp)
+        ]
+        rows.append({"doc_id": doc_id, "spans": spans})
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# filler corpus (scale tiers) — seeded, vectorized generation
+# ---------------------------------------------------------------------------
+
+_SECTIONS = np.array(
+    ["DIAGNOSTIC :", "INTERVENTION :", "CONCLUSION :", "RAPPEL CLINIQUE :",
+     "TRAITEMENT :", "EXAMEN CLINIQUE :", "RESULTATS :"]
+)
+_SUBSECTIONS = np.array(
+    ["Antécédents :", "Histoire de la maladie :", "Examens complémentaires :",
+     "Suites opératoires :"]
+)
+_WORDS = np.array(
+    ("la patiente présente une douleur du genou droit avec fièvre et "
+     "œdème le traitement par daptomycine est poursuivi sans complication "
+     "une incision est réalisée puis un drainage la fonction articulaire "
+     "reste limitée après ponction et biopsie du fémur les suites sont "
+     "simples pour cette patiente de service").split()
+)
+_MEDICS = np.array(["Dr Martin BERNARD", "Dr Sophie LAURENT", "Pr Anne PETIT",
+                    "Dr Luc MOREAU"])
+_FOOTERS = np.array(
+    ["Compte rendu validé électroniquement - Hôpital %d",
+     "Document confidentiel - Service %d"]
+)
+
+
+def synthetic_documents_pdf(
+    n_docs: int,
+    seed: int = SEED,
+    median_spans: int = 120,
+    max_spans: int = 50_000,
+    heavy_docs: int = 0,
+    heavy_spans: int = 20_000,
+) -> pd.DataFrame:
+    """Seeded filler corpus: log-normal span counts (median ≈ ``median_spans``,
+    heavy tail capped at ``max_spans``), ~7% media spans, structure drawn from
+    the same template family as the fixtures so every feature fires.
+
+    ``heavy_docs`` appends documents of exactly ``heavy_spans`` spans — the
+    skew/guardrail exercisers (FIXTURES.md fx-skew-0006 family).
+    """
+    rng = np.random.default_rng(seed)
+    counts = np.minimum(
+        np.maximum((rng.lognormal(np.log(median_spans), 0.6, n_docs)).astype(int), 12),
+        max_spans,
+    )
+    if heavy_docs:
+        counts = np.concatenate([counts, np.full(heavy_docs, heavy_spans)])
+
+    rows = []
+    for d, n in enumerate(counts):
+        rows.append(
+            {"doc_id": f"syn-{seed}-{d:07d}", "spans": _gen_doc(rng, int(n), d)}
+        )
+    return pd.DataFrame(rows)
+
+
+def _gen_doc(rng: np.random.Generator, n: int, d: int) -> list[dict]:
+    """One synthetic document with header / leftnote / body / footer / pages.
+
+    Vectorized inner generation: all body line texts are sampled in one shot.
+    """
+    footer = str(_FOOTERS[d % len(_FOOTERS)]) % (d % 97)
+    head = [
+        ("text", f"N° {2000 + d % 20}-{100000 + d}", None),
+        ("text", "COMPTE RENDU OPÉRATOIRE", None),
+        ("text", f"Le {1 + d % 28:02d}.{1 + d % 12:02d}.{1990 + d % 30}", None),
+        ("text", "", None),
+        ("text", str(_MEDICS[d % len(_MEDICS)]), None),
+        ("text", f"IPP 8000{d % 100000:05d}", None),
+        ("text", "", None),
+    ]
+    if d % 3 == 0:
+        head += [
+            ("text", "Chef de Service : Pr. A. Gautier", None),
+            ("text", f"Secrétariat : 01 41 {d % 90 + 10:02d} 34 56", None),
+            ("text", "", None),
+        ]
+
+    n_body = max(n - len(head) - 4, 4)
+    # sample all body lines at once
+    kinds = rng.choice(
+        np.array(["para", "section", "subsection", "item", "media", "blank"]),
+        size=n_body,
+        p=[0.55, 0.08, 0.05, 0.08, 0.07, 0.17],
+    )
+    word_idx = rng.integers(0, len(_WORDS), size=(n_body, 9))
+    word_mat = _WORDS[word_idx]
+    sec_pick = rng.integers(0, len(_SECTIONS), size=n_body)
+    sub_pick = rng.integers(0, len(_SUBSECTIONS), size=n_body)
+
+    body = []
+    media_i = 0
+    page_len = 40
+    for i in range(n_body):
+        k = kinds[i]
+        if k == "blank":
+            body.append(("text", "", None))
+        elif k == "media":
+            body.append(("media", "", f"img/syn-{d:07d}/{media_i}.png"))
+            media_i += 1
+        elif k == "section":
+            body.append(("text", str(_SECTIONS[sec_pick[i]]), None))
+        elif k == "subsection":
+            body.append(("text", str(_SUBSECTIONS[sub_pick[i]]), None))
+        elif k == "item":
+            body.append(("text", "- " + " ".join(word_mat[i][:5]), None))
+        else:
+            sent = " ".join(word_mat[i])
+            body.append(("text", sent[0].upper() + sent[1:] + ".", None))
+        if (len(head) + len(body)) % page_len == 0:
+            body.append(("text", footer, None))
+            body.append(("text", "\f", None))
+
+    lines = head + [("text", "RAPPORT OPÉRATOIRE", None), ("text", "", None)] + body
+    lines.append(("text", footer, None))
+    return _with_offsets(lines)
+
+
+def write_documents_parquet(
+    path: str, n_docs: int, seed: int = SEED, include_fixtures: bool = True,
+    **kw,
+) -> None:
+    """Materialize the corpus (fixtures embedded at known doc_ids, FIXTURES.md
+    §4) as a parquet file with the exact input schema. Uses pyarrow directly so
+    no SparkSession is needed at generation time."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    parts = []
+    if include_fixtures:
+        parts.append(fixture_documents_pdf())
+    parts.append(synthetic_documents_pdf(n_docs, seed=seed, **kw))
+    pdf = pd.concat(parts, ignore_index=True)
+    schema = pa.schema(
+        [
+            pa.field("doc_id", pa.string(), nullable=False),
+            pa.field(
+                "spans",
+                pa.list_(
+                    pa.struct(
+                        [
+                            pa.field("kind", pa.string(), nullable=False),
+                            pa.field("text", pa.string()),
+                            pa.field("media_ref", pa.string()),
+                            pa.field("offset", pa.int32(), nullable=False),
+                        ]
+                    )
+                ),
+                nullable=False,
+            ),
+        ]
+    )
+    pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), path)

@@ -1,0 +1,137 @@
+"""Label clustering / zone assembly / dedup kernels (SURVEY.md §2.4 L2-L3,
+§2.5 C6, §2.3 F1).
+
+Reference parity:
+- L2 `TaggingTokenClusteror` — maximal runs of consecutive same-label tokens
+  become one cluster/span (used HeaderMedicalParser.java:1230-1242,
+  TEIFormatter.java:784-800) → vectorized run-length encoding,
+- L3 `BasicStructureBuilder.generalResultSegmentation` — line labels mapped
+  back onto member tokens (MedicalReportSegmenterParser.java:146),
+- C6 headnote/footnote dedup across pages (TEIFormatter.java:637-716),
+- F1 repetitive-pattern mining: first line of first-2/last-2 blocks per page,
+  doc-wide repeat counting (MedicalReportSegmenterParser.java:258-288,402-414).
+
+All kernels operate on the flat lines DataFrame; grouping is pandas
+groupby/transform — cross-page but within-document, so at the Spark layer this
+never shuffles (the whole document sits in one Arrow batch row).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def rle_cluster_ids(doc_ids: pd.Series, labels: pd.Series) -> np.ndarray:
+    """L2: cluster id per row — increments when doc or label changes.
+
+    Equivalent to TaggingTokenClusteror's consecutive-same-label grouping
+    (an explicit `I-` prefix in a label value also opens a new cluster, as in
+    GROBID's IOB scheme)."""
+    lab = labels.astype(str).to_numpy()
+    doc = doc_ids.astype(str).to_numpy()
+    opens = np.char.startswith(lab.astype(str), "I-")
+    prev_lab = np.roll(lab, 1)
+    prev_doc = np.roll(doc, 1)
+    change = (lab != prev_lab) | (doc != prev_doc) | opens
+    if len(change):
+        change[0] = True
+    return np.cumsum(change) - 1
+
+
+def clusters_to_spans(
+    lines: pd.DataFrame,
+    label_col: str = "label",
+    joiner: str = " ",
+) -> pd.DataFrame:
+    """L2 continued: aggregate each cluster into one output span.
+
+    Input: flat lines with [doc_id, seq, text, media_ref, offset, label_col].
+    Output: one row per cluster: doc_id, kind (label without I- prefix),
+    text (joined member text), media_ref (first non-null), offset (first).
+    Pure groupby-agg; cluster order preserved via first offset.
+    """
+    df = lines.copy()
+    df["_cl"] = rle_cluster_ids(df["doc_id"], df[label_col])
+    kinds = df[label_col].astype(str).str.removeprefix("I-")
+    df["_kind"] = kinds
+    agg = (
+        df.groupby("_cl", sort=True)
+        .agg(
+            doc_id=("doc_id", "first"),
+            kind=("_kind", "first"),
+            text=("text", lambda s: joiner.join(x for x in s if x)),
+            media_ref=("media_ref", "first"),
+            offset=("offset", "first"),
+        )
+        .reset_index(drop=True)
+    )
+    return agg
+
+
+def broadcast_line_labels_to_tokens(
+    tokens: pd.DataFrame, line_labels: pd.DataFrame
+) -> pd.DataFrame:
+    """L3: map per-line labels onto member tokens (merge on doc_id+seq)."""
+    return tokens.merge(
+        line_labels[["doc_id", "seq", "label"]], on=["doc_id", "seq"], how="left"
+    )
+
+
+def repeated_pattern_flags(lines: pd.DataFrame) -> pd.Series:
+    """F1: boilerplate detector. A line's normalized pattern that occurs on
+    ≥2 distinct pages of the same document, positioned in the first-2 or
+    last-2 content lines of its page, is flagged as repetitive (running
+    head/footer). Returns a boolean Series aligned to ``lines``.
+
+    Vectorized: normalize → groupby(doc, pattern).nunique(page) → flag.
+    (Reference hashes the pattern via FeatureFactory.getPattern and counts
+    doc-wide repeats; same semantics.)
+    """
+    norm = (
+        lines["text"]
+        .fillna("")
+        .str.lower()
+        .str.replace(r"\d+", "#", regex=True)
+        .str.replace(r"\s+", " ", regex=True)
+        .str.strip()
+    )
+    content = ~(lines["is_blank"] | lines["is_page_break"])
+    pos_in_page = (
+        content.astype(np.int64)
+        .groupby([lines["doc_id"], lines["page_id"]], sort=False)
+        .cumsum()
+    )
+    page_len = (
+        content.astype(np.int64)
+        .groupby([lines["doc_id"], lines["page_id"]], sort=False)
+        .transform("sum")
+    )
+    edge = (pos_in_page <= 2) | (pos_in_page >= page_len - 1)
+    key = pd.DataFrame(
+        {"doc_id": lines["doc_id"], "pat": norm, "page": lines["page_id"]}
+    )
+    pages_seen = key.groupby(["doc_id", "pat"], sort=False)["page"].transform(
+        "nunique"
+    )
+    return (pages_seen >= 2) & edge & content & norm.ne("")
+
+
+def dedup_notes(spans: pd.DataFrame) -> pd.DataFrame:
+    """C6: within each document, drop repeated headnote/footnote spans
+    (normalized-text exact repeats across pages keep only the first; spans
+    shorter than 6 chars dropped), other kinds untouched.
+    """
+    is_note = spans["kind"].isin(["headnote", "footnote"])
+    norm = (
+        spans["text"].fillna("").str.lower().str.replace(r"\s+", " ", regex=True)
+    )
+    too_short = is_note & (norm.str.len() < 6)
+    dup = (
+        pd.DataFrame(
+            {"d": spans["doc_id"], "k": spans["kind"], "n": norm}
+        ).duplicated()
+        & is_note
+    )
+    keep = ~(too_short | dup)
+    return spans[keep].reset_index(drop=True)

@@ -1,0 +1,109 @@
+"""Tokenization / line handling kernels (SURVEY.md §2.2 T1-T3, T5).
+
+Reference parity:
+- T1 `GrobidAnalyzer.tokenizeWithLayoutToken` (used e.g. MedicParser.java:63,
+  FrenchMedicalNERParser.java:186) → vectorized regex tokenizer,
+- T2 line splitting on [\\n\\r] (MedicalReportSegmenterParser.java:377-388),
+- T3 sanitization: drop empties / junk sentinels
+  (MedicalReportSegmenterParser.java:430-437, FullMedicalTextParser.java:445-473),
+- T5 contiguous piece building by offset continuity
+  (FullMedicalTextParser.java:212-317 processShortNew/processShort) →
+  run-length segmentation on offset deltas.
+
+Everything operates on whole pandas columns (str.findall / explode), not rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+# GROBID's analyzer splits on whitespace and keeps punctuation as separate
+# tokens; this regex reproduces that token shape for French clinical text.
+TOKEN_RE = r"[A-Za-zÀ-ÖØ-öø-ÿ]+(?:['’][A-Za-zÀ-ÖØ-öø-ÿ]+)?|\d+(?:[.,]\d+)?|[^\sA-Za-zÀ-ÖØ-öø-ÿ\d]"
+
+# junk sentinels the reference filters via TextUtilities.filterLine
+JUNK_TOKENS = {"@PAGE", "@IMAGE", "\x00", "�"}
+
+
+def tokenize_column(text: pd.Series) -> pd.Series:
+    """Each element → list[str] of tokens (vectorized str.findall)."""
+    return text.fillna("").str.findall(TOKEN_RE)
+
+
+def explode_tokens(lines: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Flat lines DataFrame → flat tokens DataFrame.
+
+    Input columns: at least [doc_id, seq, text]; output adds tok (string) and
+    tok_idx (position within the line). One pandas explode — no Python loops.
+    """
+    toks = tokenize_column(lines[text_col])
+    out = lines.assign(tok=toks).explode("tok", ignore_index=True)
+    out = out[out["tok"].notna() & ~out["tok"].isin(JUNK_TOKENS)]
+    out = out.reset_index(drop=True)
+    out["tok_idx"] = out.groupby(["doc_id", "seq"], sort=False).cumcount()
+    return out
+
+
+def sanitize_lines(lines: pd.DataFrame) -> pd.DataFrame:
+    """T3: strip junk sentinels from line text; keep blank lines (they are
+    block separators, consumed by block/page segmentation)."""
+    txt = lines["text"].fillna("")
+    for junk in JUNK_TOKENS:
+        txt = txt.str.replace(junk, "", regex=False)
+    return lines.assign(text=txt)
+
+
+def contiguous_pieces(offsets: np.ndarray, max_gap: int) -> np.ndarray:
+    """T5: group sorted offsets into contiguous pieces; returns piece ids.
+
+    A new piece opens when the offset delta exceeds ``max_gap`` — the numpy
+    equivalent of DocumentPiece construction over token-pointer continuity
+    (FullMedicalTextParser.java:216-251).
+    """
+    if len(offsets) == 0:
+        return np.zeros(0, dtype=np.int64)
+    gaps = np.diff(offsets, prepend=offsets[0]) > max_gap
+    return np.cumsum(gaps)
+
+
+def assign_blocks_pages(lines: pd.DataFrame) -> pd.DataFrame:
+    """Derive block_id / page_id / line-in-block structure from the span
+    stream: blank text spans ('') delimit blocks, form-feed spans ('\\f')
+    delimit pages (FIXTURES.md §1). Vectorized via groupby-cumsum.
+
+    Adds: is_blank, is_page_break, is_media, block_id, page_id, line_in_block,
+    block_len (lines per block) — the structural surrogates for the
+    reference's Block/Page geometry (SURVEY.md §7.3 layout-feature surrogates).
+    """
+    df = lines.copy()
+    txt = df["text"].fillna("")
+    df["is_media"] = df["kind"].eq("media")
+    df["is_page_break"] = txt.eq("\f")
+    df["is_blank"] = txt.str.strip().eq("") & ~df["is_media"] & ~df["is_page_break"]
+
+    grp = df.groupby("doc_id", sort=False)
+    # a block starts after a blank or page-break line
+    starts_block = (df["is_blank"] | df["is_page_break"]).astype(np.int64)
+    df["block_id"] = grp[[]].cumcount() * 0  # placeholder, filled below
+    df["block_id"] = (
+        starts_block.groupby(df["doc_id"], sort=False).cumsum()
+        - starts_block  # current separator belongs to previous block
+    )
+    df["page_id"] = (
+        df["is_page_break"].astype(np.int64).groupby(df["doc_id"], sort=False).cumsum()
+        - df["is_page_break"].astype(np.int64)
+    )
+    content = ~(df["is_blank"] | df["is_page_break"])
+    df["line_in_block"] = (
+        content.astype(np.int64)
+        .groupby([df["doc_id"], df["block_id"]], sort=False)
+        .cumsum()
+        - content.astype(np.int64)
+    )
+    df["block_len"] = (
+        content.astype(np.int64)
+        .groupby([df["doc_id"], df["block_id"]], sort=False)
+        .transform("sum")
+    )
+    return df
