@@ -1,0 +1,129 @@
+"""Full-medical-text body model: body-zone lines → structure labels →
+ordered spans (SURVEY.md §2.3 F4, §2.4 L2, §2.5 C3/C4/C5).
+
+Reference: `FullMedicalTextParser.getBodyTextFeatured` + CRF
+(FullMedicalTextParser.java:319-723, label call :139), clusters mapped to TEI
+elements by `TEIFormatter.toTEITextPiece` (TEIFormatter.java:766-973) with the
+transition rules this module reproduces:
+  - list `<item>` opens on label transition (:876-883),
+  - paragraph continuation lines merge into the open `<p>` (:884-900),
+  - FIGURE/TABLE clusters keep their graphics (here: `media_ref` from the
+    adjacent `media` input span — C3, FullMedicalTextParser.java:5429-5647),
+  - empty divs dropped (:968-973).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .cluster import rle_cluster_ids
+from .labels import BODY_LABELS, label_index, sticky_transitions
+from .normalize import normalize_text
+from .segmenter import _doc_slices
+from .viterbi import viterbi_batch
+
+_IX = label_index(BODY_LABELS)
+
+
+def body_emissions(df: pd.DataFrame) -> np.ndarray:
+    n = len(df)
+    em = np.zeros((n, len(BODY_LABELS)), dtype=np.float64)
+    all_caps = df["all_caps"].to_numpy()
+    ends_colon = df["ends_colon"].to_numpy()
+    media = df["is_media"].to_numpy()
+    lower = df["text"].fillna("").str.lower()
+
+    caption = lower.str.match(r"^(?:figure|fig\.)\s*\d*").to_numpy()
+    table_line = lower.str.match(r"^(?:tableau|table)\b").to_numpy()
+    fig_marker = lower.str.contains(
+        r"\((?:cf\.?|voir)\s+figure", regex=True, na=False
+    ).to_numpy()
+    tab_marker = lower.str.contains(
+        r"\((?:cf\.?|voir)\s+tableau", regex=True, na=False
+    ).to_numpy()
+
+    em[:, _IX["title"]] += 4.0 * (
+        all_caps & ~ends_colon & (df["rel_pos"] < 0.6).to_numpy() & ~table_line
+        & ~caption
+    )
+    em[:, _IX["section"]] += 5.0 * (all_caps & ends_colon)
+    em[:, _IX["subsection"]] += 4.0 * (~all_caps & ends_colon)
+    em[:, _IX["item"]] += 5.0 * df["is_bullet"].to_numpy()
+    em[:, _IX["figure"]] += 6.0 * media
+    em[:, _IX["figure"]] += 5.0 * caption
+    em[:, _IX["table"]] += 5.0 * table_line
+    em[:, _IX["figure_marker"]] += 6.0 * fig_marker
+    em[:, _IX["table_marker"]] += 6.0 * tab_marker
+    em[:, _IX["medic"]] += 5.0 * df["has_medic_title"].to_numpy()
+    em[:, _IX["patient"]] += 3.0 * (
+        df["has_patient_title"] & df["has_birth"]
+    ).to_numpy()
+    em[:, _IX["paragraph"]] += 1.0  # default prose
+    # long sentence lines are strong paragraph evidence — unless they carry a
+    # medic mention (inline <medic> elements, TEIFormatter.java:766-973)
+    prose = (
+        (df["line_len"] > 25).to_numpy()
+        & df["ends_period"].to_numpy()
+        & ~df["has_medic_title"].to_numpy()
+    )
+    em[:, _IX["paragraph"]] += 2.0 * prose
+    em[(df["is_blank"] | df["is_page_break"]).to_numpy(), :] = 0.0
+    return em
+
+
+def body_transitions() -> np.ndarray:
+    # headings are single-line: discourage self-transitions for section/
+    # subsection/title so consecutive headings stay separate clusters
+    t = sticky_transitions(BODY_LABELS, stay=1.5)
+    for single in ("section", "subsection", "title"):
+        t[_IX[single], _IX[single]] = 0.0
+    return t
+
+
+def label_body_lines(df: pd.DataFrame) -> pd.Series:
+    em = body_emissions(df)
+    _, starts = _doc_slices(df["doc_id"].to_numpy())
+    seqs = [em[s:e] for s, e in zip(starts[:-1], starts[1:])]
+    flat = (
+        np.concatenate(viterbi_batch(seqs, body_transitions()))
+        if seqs
+        else np.zeros(0, int)
+    )
+    return pd.Series(
+        np.array(BODY_LABELS, dtype=object)[flat], index=df.index, name="label"
+    )
+
+
+def body_spans(df: pd.DataFrame) -> pd.DataFrame:
+    """Cluster labeled body lines into ordered output spans (C5).
+
+    Clusters break on label change, document change, or block change —
+    the block break is the reference's "new paragraph opens on a new block"
+    rule (TEIFormatter.java:884-900: continuation merges only inside the
+    flow).  Media lines contribute their `media_ref`; caption lines
+    contribute text; both fuse into one `figure` span when adjacent (C3).
+    """
+    d = df[~(df["is_blank"] | df["is_page_break"])].copy()
+    if d.empty:
+        return pd.DataFrame(
+            columns=["doc_id", "kind", "text", "media_ref", "offset"]
+        )
+    d["text_n"] = normalize_text(d["text"])
+    # block-change break via composite key (label stays the output kind)
+    key = d["label"].astype(str) + "\x00" + d["block_id"].astype(str)
+    d["_cl"] = rle_cluster_ids(d["doc_id"], key)
+    agg = (
+        d.groupby("_cl", sort=True)
+        .agg(
+            doc_id=("doc_id", "first"),
+            kind=("label", "first"),
+            text=("text_n", lambda s: " ".join(x for x in s if x)),
+            media_ref=("media_ref", "first"),
+            offset=("offset", "first"),
+        )
+        .reset_index(drop=True)
+    )
+    # drop empty clusters (TEIFormatter.java:968-973) unless they carry media
+    agg = agg[(agg["text"].str.len() > 0) | agg["media_ref"].notna()]
+    return agg.reset_index(drop=True)

@@ -94,11 +94,18 @@ def featurize_lines(lines: pd.DataFrame) -> pd.DataFrame:
     df["has_ipp"] = txt.str.contains(lx.RE_IPP, na=False)
     df["has_dose"] = txt.str.contains(lx.RE_DOSE, na=False)
     df["has_month_word"] = _contains_any(lower, set(lx.MONTHS_FR))
-    df["has_person_title"] = lower.str.contains(
-        r"\b(?:dr|pr|docteur|professeur|madame|monsieur|mme|mlle)\b\.?",
+    df["has_medic_title"] = lower.str.contains(
+        r"\b(?:dr|pr|docteur|professeur)\b\.?", regex=True, na=False
+    )
+    df["has_patient_title"] = lower.str.contains(
+        r"\b(?:madame|monsieur|mme|mlle|mademoiselle|patiente?)\b",
         regex=True,
         na=False,
     )
+    df["has_person_title"] = df["has_medic_title"] | df["has_patient_title"]
+    df["has_fax_word"] = lower.str.contains(r"\bfax\b", regex=True, na=False)
+    df["has_docnum"] = txt.str.match(r"^\s*N°\s*[\d-]+\s*$")
+    df["has_birth"] = lower.str.contains(r"\bnée?\s+le\b", regex=True, na=False)
     df["has_role_word"] = _contains_any(lower, lx.ROLE_WORDS)
     df["has_org_word"] = _contains_any(lower, lx.ORG_WORDS)
     df["has_doctype_word"] = _contains_any(lower, lx.DOCTYPE_WORDS)

@@ -93,10 +93,10 @@ NAME_LABELS = ["title", "forename", "middlename", "surname", "suffix", "other"]
 
 # --- French medical NER (MedicalLabels.java:80-93, 269-296) ------------------
 NER_LABELS = [
-    "anatomy", "date", "device", "dose", "email", "idno", "idtype", "living",
-    "measure", "medicament", "object", "orgname", "pathology", "persname",
-    "phone", "physiology", "procedure", "rolename", "substance", "symptom",
-    "time", "treatment", "unit", "value", "web", "other",
+    "age", "anatomy", "date", "device", "dose", "email", "idno", "idtype",
+    "living", "measure", "medicament", "object", "orgname", "pathology",
+    "persname", "phone", "physiology", "procedure", "rolename", "substance",
+    "symptom", "time", "treatment", "unit", "value", "web", "other",
 ]
 
 ALL_MODEL_LABELS = {
@@ -117,12 +117,21 @@ def label_index(labels: list[str]) -> dict[str, int]:
 
 
 def sticky_transitions(labels: list[str], stay: float = 2.0,
-                       move: float = 0.0) -> np.ndarray:
+                       move: float = 0.0,
+                       neutral: str | None = "other") -> np.ndarray:
     """Default linear-chain transition prior: staying in the same label is
     favored (cluster contiguity — the reference gets this from CRF transition
     weights; TaggingTokenClusteror then groups consecutive same-label tokens,
-    HeaderMedicalParser.java:1230-1242)."""
+    HeaderMedicalParser.java:1230-1242).
+
+    The ``neutral`` label (background/'other') gets NO self-stickiness:
+    otherwise long background runs accumulate transition mass and singleton
+    entities (one date token between stopwords) can never pay the entry+exit
+    cost. Entity labels keep their contiguity prior; background is free.
+    """
     n = len(labels)
     t = np.full((n, n), move, dtype=np.float64)
     np.fill_diagonal(t, stay)
+    if neutral is not None and neutral in labels:
+        t[labels.index(neutral), labels.index(neutral)] = move
     return t

@@ -67,9 +67,13 @@ DOCTYPE_WORDS = {
 ANATOMY = {
     "genou", "épaule", "epaule", "hanche", "coude", "cheville", "poignet",
     "abdomen", "thorax", "crâne", "crane", "fémur", "femur", "tibia",
-    "articulaire", "articulation", "utérus", "uterus", "ovaire", "rein",
+    "articulation", "utérus", "uterus", "ovaire", "rein",
     "foie", "poumon", "coeur", "cœur", "rachis", "bras", "jambe",
 }
+# adjectives that extend the preceding entity span rather than open one
+# ('genou droit', 'lavage articulaire')
+SIDE_WORDS = {"droit", "droite", "gauche", "articulaire", "totale", "total",
+              "partielle", "partiel"}
 PATHOLOGY = {
     "arthrite", "septique", "infection", "fracture", "tumeur", "kyste",
     "hernie", "appendicite", "péritonite", "peritonite", "abcès", "abces",
@@ -119,7 +123,7 @@ RE_DATE = re.compile(
     r"\b\d{1,2}[./-]\d{1,2}[./-]\d{2,4}\b|\b\d{4}-\d{2}-\d{2}\b"
 )
 RE_TIME = re.compile(r"\b\d{1,2}[:hH]\d{2}\b")
-RE_PHONE = re.compile(r"\b0\d([ .-]?\d{2}){4}\b")
+RE_PHONE = re.compile(r"\b0\d(?:[ .-]?\d{2}){4}\b")
 RE_EMAIL = re.compile(r"\b[\w.+-]+@[\w-]+\.[\w.]+\b")
 RE_WEB = re.compile(r"\b(?:https?://|www\.)\S+\b")
 RE_POSTCODE = re.compile(r"\b\d{5}\b")

@@ -1,0 +1,99 @@
+"""French medical NER (SURVEY.md §2.3 F7/F8, §2.5 C8).
+
+Reference: `FrenchMedicalNERParser` — tokenize (:186), medical-lexicon offsets
+(MedicalNERLexicon.java:26-104, MedicalNERLexiconPositionsIndexes), features
+(:276-558), CRF label (:214), entity assembly with offsets (:560-797).
+
+Rebuild: token features + the module's UMLS-style gazetteer sets
+(kernels/lexicon.MEDICAL_SETS) drive linear emissions; Viterbi + RLE give
+entity spans. Continuation heuristics replace trained-CRF transition mass:
+side-adjectives extend the open entity ('genou droit'), dose numbers/units
+within 2 tokens of a drug extend the medicament ('Daptomycine 1500 mg') —
+mirroring the reference's entity examples in doc/API_service.md.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .labels import NER_LABELS, label_index, sticky_transitions
+from .segmenter import _doc_slices
+from .subparsers import tokens_to_spans
+from .viterbi import viterbi_batch
+
+_IX = label_index(NER_LABELS)
+
+_LEX_TO_LABEL = {
+    "anatomy": "anatomy",
+    "pathology": "pathology",
+    "medicament": "medicament",
+    "substance": "substance",
+    "procedure": "procedure",
+    "symptom": "symptom",
+    "device": "device",
+    "living": "living",
+    "physiology": "physiology",
+}
+
+
+def ner_emissions(t: pd.DataFrame) -> np.ndarray:
+    em = np.zeros((len(t), len(NER_LABELS)))
+    for lex, lab in _LEX_TO_LABEL.items():
+        em[:, _IX[lab]] += 4.0 * t[f"lex_{lex}"].to_numpy()
+
+    em[:, _IX["date"]] += 6.0 * t["is_date"].to_numpy()
+    em[:, _IX["time"]] += 6.0 * t["is_time"].to_numpy()
+    em[:, _IX["persname"]] += 5.0 * (
+        t["is_medic_title"] | t["is_patient_title"]
+    ).to_numpy()
+    em[:, _IX["persname"]] += 2.0 * (t["is_cap"] | t["is_allcaps"]).to_numpy()
+    em[:, _IX["persname"]] += 4.0 * (t["is_period"] & t["prev_abbrev"]).to_numpy()
+    em[:, _IX["rolename"]] += 3.0 * t["is_role"].to_numpy()
+
+    # age: '50 ans'
+    same_line = t["doc_id"].eq(t["doc_id"].shift(-1)) & t["seq"].eq(
+        t["seq"].shift(-1)
+    )
+    age_num = t["is_num"] & t["low"].shift(-1).eq("ans") & same_line
+    em[:, _IX["age"]] += 6.0 * (t["low"].eq("ans") | age_num).to_numpy()
+
+    # dose attachment: numbers/units right after a drug extend the medicament
+    dose_tok = (t["is_num"] | t["is_unit"]).to_numpy()
+    em[:, _IX["medicament"]] += 3.0 * (dose_tok & t["near_medicament"].to_numpy())
+    em[:, _IX["dose"]] += 2.0 * (dose_tok & ~t["near_medicament"].to_numpy()
+                                 & t["is_unit"].to_numpy())
+
+    # side adjectives continue the open entity: neutral emission (sticky
+    # transition wins) — explicitly zero other-score for them
+    side = t["is_side"].to_numpy()
+    not_abbrev_period = ~(t["is_period"] & t["prev_abbrev"]).to_numpy()
+    # stopwords break entity runs hard (4.5 > 2× entity stickiness): 'et'
+    # between two procedures must not fuse them
+    em[:, _IX["other"]] += 4.5 * (t["is_stop"].to_numpy() & ~side)
+    em[:, _IX["other"]] += 3.0 * (
+        t["is_punct"].to_numpy() & ~side & not_abbrev_period
+    )
+    em[:, _IX["other"]] += 6.0 * t["is_sent_period"].to_numpy()
+    # plain words default to other (beats bare stickiness, loses to any
+    # lexicon/pattern evidence)
+    em[:, _IX["other"]] += 2.5 * ~(side | dose_tok)
+    return em
+
+
+def label_ner_tokens(t: pd.DataFrame) -> pd.Series:
+    em = ner_emissions(t)
+    trans = sticky_transitions(NER_LABELS, stay=2.0)
+    _, starts = _doc_slices(
+        (t["doc_id"].astype(str) + "\x00" + t["seq"].astype(str)).to_numpy()
+    )
+    seqs = [em[s:e] for s, e in zip(starts[:-1], starts[1:])]
+    flat = np.concatenate(viterbi_batch(seqs, trans)) if seqs else np.zeros(0, int)
+    return pd.Series(np.array(NER_LABELS, dtype=object)[flat], index=t.index)
+
+
+def ner_spans(t: pd.DataFrame) -> pd.DataFrame:
+    """Entities as flat spans [doc_id, kind, text, media_ref, offset]."""
+    t = t.copy()
+    t["label"] = label_ner_tokens(t)
+    return tokens_to_spans(t, drop=("other",))

@@ -1,0 +1,145 @@
+"""Medical-report segmenter: line → zone labeling (SURVEY.md §2.3 F2, §2.4 L1/L3).
+
+Reference: `MedicalReportSegmenterParser` labels *lines* (not tokens — a
+deliberate perf choice, MedicalReportSegmenterParser.java:233-242) with the
+zone vocabulary of MedicalLabels.java:16-26 via a Wapiti CRF over the
+FeaturesVectorMedical feature set (line strings, position bins, dictionary
+flags, repetitive patterns, bitmap adjacency).
+
+Rebuild: the same feature inventory (kernels/features.py) drives a linear
+emission model; a linear-chain Viterbi (kernels/viterbi.py) with a monotone
+zone-order transition prior replaces the CRF decode. Zone order is the
+clinical-report invariant the reference's trained CRF learns implicitly:
+header → leftnote → body → annex → acknowledgement, with page/headnote/footnote
+interrupting at page edges. Weights are fit offline against the fixture corpus
+(SURVEY.md §7.0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .labels import SEG_LABELS, label_index, sticky_transitions
+from .viterbi import viterbi_batch
+
+_IX = label_index(SEG_LABELS)
+
+
+def segment_emissions(df: pd.DataFrame) -> np.ndarray:
+    """Feature-linear emission scores, (n_lines, n_zones).
+
+    Columns consumed are produced by features.featurize_lines. All terms are
+    whole-column numpy expressions (the weight matrix is written as explicit
+    terms for auditability; it is still a linear model over F2's features).
+    """
+    n = len(df)
+    em = np.zeros((n, len(SEG_LABELS)), dtype=np.float64)
+
+    fp = df["first_page"].to_numpy()
+    blank = (df["is_blank"] | df["is_page_break"]).to_numpy()
+    repeated = df["repeated_pattern"].to_numpy()
+    near_top = (df["rel_pos_page"] < 0.15).to_numpy()
+    near_bot = (df["rel_pos_page"] > 0.7).to_numpy()
+    all_caps = df["all_caps"].to_numpy()
+    ends_colon = df["ends_colon"].to_numpy()
+    ends_period = df["ends_period"].to_numpy()
+    long_line = (df["line_len"] > 25).to_numpy()
+
+    # block-level contact signal: phone/fax lines pull their whole block into
+    # the left margin (surrogate for the reference's x-coordinate evidence)
+    contact = (df["has_phone"] | df["has_fax_word"]).to_numpy()
+    block_contact = (
+        pd.Series(contact)
+        .groupby([df["doc_id"].to_numpy(), df["block_id"].to_numpy()], sort=False)
+        .transform("any")
+        .to_numpy()
+    )
+
+    lower = df["text"].fillna("").str.lower()
+    annex_start = lower.str.match(r"^annexe").to_numpy()
+    ack_start = lower.str.match(r"^remerciements").to_numpy()
+
+    # header: flat prior on the first page + header-content cues
+    em[:, _IX["header"]] += 1.5 * fp
+    em[:, _IX["header"]] += 1.5 * (
+        df["has_docnum"]
+        | df["has_ipp"]
+        | (df["has_date"] & ~long_line)
+        | (df["all_caps"] & df["has_doctype_word"])
+        | df["has_person_title"]
+        | df["has_birth"]
+    ).to_numpy() * fp
+    em[:, _IX["header"]] += 1.0 * (
+        df["has_org_word"] | df["has_street_word"] | df["has_postcode"]
+    ).to_numpy() * fp
+
+    # leftnote: contact block (phone/fax + role/org words)
+    em[:, _IX["leftnote"]] += 4.0 * (block_contact & fp)
+
+    # body: strong structural cues open the body zone
+    body_title = (all_caps & ~ends_colon
+                  & ~df["has_doctype_word"].to_numpy()
+                  & ~df["has_org_word"].to_numpy())
+    em[:, _IX["body"]] += 4.0 * (all_caps & ends_colon)      # section heads
+    em[:, _IX["body"]] += 4.0 * body_title                    # document title
+    em[:, _IX["body"]] += 2.0 * (~all_caps & ends_colon)      # subsections
+    em[:, _IX["body"]] += 2.0 * df["is_bullet"].to_numpy()    # list items
+    em[:, _IX["body"]] += 2.0 * (long_line & ends_period)     # prose
+    em[:, _IX["body"]] -= 2.0 * repeated                      # boilerplate
+
+    # page numbers / boilerplate notes
+    em[:, _IX["page"]] += 5.0 * df["is_page_number"].to_numpy()
+    em[:, _IX["footnote"]] += 6.0 * (repeated & near_bot)
+    em[:, _IX["headnote"]] += 6.0 * (repeated & near_top & ~fp)
+
+    # trailing zones
+    em[:, _IX["annex"]] += 5.0 * annex_start
+    em[:, _IX["acknowledgement"]] += 5.0 * ack_start
+
+    # blanks and page breaks are neutral separators: zero all their scores so
+    # the transition prior carries the zone across them
+    em[blank, :] = 0.0
+    return em
+
+
+def segment_transitions() -> np.ndarray:
+    """Monotone zone order + stickiness. body→header is forbidden-ish: the
+    reference never re-opens the header after body (cascade order,
+    FullMedicalTextParser.java:106-206)."""
+    t = sticky_transitions(SEG_LABELS, stay=2.5, move=0.0)
+    ix = _IX
+    t[ix["body"], ix["header"]] = -8.0
+    t[ix["body"], ix["leftnote"]] = -6.0
+    t[ix["leftnote"], ix["header"]] = -4.0
+    t[ix["annex"], ix["body"]] = -6.0
+    t[ix["acknowledgement"], ix["body"]] = -6.0
+    for z in ("annex", "acknowledgement"):
+        t[ix[z], ix["header"]] = -8.0
+        t[ix[z], ix["leftnote"]] = -8.0
+    return t
+
+
+def segment_lines(df: pd.DataFrame) -> pd.Series:
+    """Assign a zone label to every line. df must be featurized; rows must be
+    ordered by (doc_id, seq). Returns a string Series aligned with df."""
+    em = segment_emissions(df)
+    trans = segment_transitions()
+    # split the emission tensor per document (numpy slices, no copies of df)
+    doc_codes, doc_starts = _doc_slices(df["doc_id"].to_numpy())
+    seqs = [em[s:e] for s, e in zip(doc_starts[:-1], doc_starts[1:])]
+    decoded = viterbi_batch(seqs, trans)
+    flat = np.concatenate(decoded) if decoded else np.zeros(0, dtype=np.int64)
+    lab = np.array(SEG_LABELS, dtype=object)[flat]
+    return pd.Series(lab, index=df.index, name="zone")
+
+
+def _doc_slices(doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Boundaries of consecutive doc_id runs → (codes, start offsets incl. end)."""
+    n = len(doc_ids)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(1, dtype=np.int64)
+    change = np.ones(n, dtype=bool)
+    change[1:] = doc_ids[1:] != doc_ids[:-1]
+    starts = np.flatnonzero(change)
+    return doc_ids[starts], np.append(starts, n)

@@ -1,0 +1,206 @@
+"""Token-level string sub-parsers: dateline / medic / patient
+(SURVEY.md §2.3 F6, §2.4 L6, §2.6 string endpoints).
+
+Reference: `DatelineParser`, `MedicParser`, `PatientParser` — tokenize
+(MedicParser.java:63), lexicon offsets (:84-88), per-token features
+(FeaturesVectorMedic.java:196-330 etc.), CRF label (:96), cluster (:99-102),
+POJO fill (:103-228). The REST contract is doc/API_service.md
+(/api/processDateline, /api/processMedic, /api/processPatient).
+
+Rebuild: shared token featurization → per-model linear emissions → Viterbi →
+RLE clusters → exact source-substring reconstruction from (gap, tok) columns
+(kernels/tokenize.explode_tokens), so 'Pr. Abagael ZOSIMA' comes back with its
+original punctuation/spacing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from . import lexicon as lx
+from .cluster import rle_cluster_ids
+from .labels import (
+    DATELINE_LABELS,
+    MEDIC_LABELS,
+    PATIENT_LABELS,
+    label_index,
+    sticky_transitions,
+)
+from .segmenter import _doc_slices
+from .viterbi import viterbi_batch
+
+_MEDIC_TITLES = {"dr", "pr", "docteur", "professeur", "dr.", "pr."}
+_PATIENT_TITLES = {"madame", "monsieur", "mme", "mlle", "mademoiselle", "m"}
+_ABBREVS = {"dr", "pr", "m", "mme", "mlle"}
+
+
+def token_features(toks: pd.DataFrame) -> pd.DataFrame:
+    """Shared token-level features. Input from tokenize.explode_tokens
+    (columns doc_id, seq, tok, gap, tok_idx). All column-wise."""
+    t = toks.copy()
+    tok = t["tok"].astype(str)
+    low = tok.str.lower()
+    t["low"] = low
+    t["is_date"] = tok.str.match(r"^\d{1,2}[./-]\d{1,2}[./-]\d{2,4}$")
+    t["is_time"] = tok.str.match(r"^\d{1,2}[hH:]\d{2}$")
+    t["is_num"] = tok.str.match(r"^\d+(?:[.,]\d+)?$")
+    t["is_punct"] = tok.str.match(r"^[^\wÀ-ÖØ-öø-ÿ]$")
+    t["is_period"] = tok.eq(".")
+    t["is_cap"] = tok.str.match(r"^[A-ZÀ-ÖØ][a-zà-öø-ÿ]")
+    t["is_allcaps"] = tok.str.match(r"^[A-ZÀ-ÖØ]{2,}$")
+    t["is_stop"] = low.isin(lx.STOPWORDS_FR)
+    t["is_medic_title"] = low.isin(_MEDIC_TITLES)
+    t["is_patient_title"] = low.isin(_PATIENT_TITLES)
+    t["is_role"] = low.isin(lx.ROLE_WORDS)
+    t["is_city"] = low.isin(lx.CITIES_FR)
+    t["is_street"] = low.isin(lx.STREET_WORDS)
+    t["is_postcode"] = tok.str.match(r"^\d{5}$")
+    t["is_unit"] = low.isin(lx.DOSE_UNITS)
+    t["is_side"] = low.isin(lx.SIDE_WORDS)
+    t["is_month"] = low.isin(lx.MONTHS_FR)
+    # previous-token context (within the same line), vectorized via shift
+    same_line = t["doc_id"].eq(t["doc_id"].shift()) & t["seq"].eq(t["seq"].shift())
+    t["prev_abbrev"] = (low.shift().isin(_ABBREVS) & same_line).fillna(False)
+    t["prev_is_num"] = (t["is_num"].shift() & same_line).fillna(False)
+    # sentence-final period: a hard cluster boundary (vs. 'Pr.' abbreviation
+    # periods which continue the name)
+    t["is_sent_period"] = t["is_period"] & ~t["prev_abbrev"]
+    for lex_name, lex_set in lx.MEDICAL_SETS.items():
+        t[f"lex_{lex_name}"] = low.isin(lex_set)
+    # lexicon hit within the previous 2 tokens (dose attachment window)
+    med = t["lex_medicament"]
+    t["near_medicament"] = (
+        (med.shift() & same_line)
+        | (med.shift(2) & same_line & same_line.shift().fillna(False))
+    ).fillna(False)
+    return t
+
+
+def _decode(
+    t: pd.DataFrame, em: np.ndarray, labels: list[str], stay: float = 2.5
+) -> pd.Series:
+    trans = sticky_transitions(labels, stay=stay)
+    _, starts = _doc_slices(
+        (t["doc_id"].astype(str) + "\x00" + t["seq"].astype(str)).to_numpy()
+    )
+    seqs = [em[s:e] for s, e in zip(starts[:-1], starts[1:])]
+    flat = np.concatenate(viterbi_batch(seqs, trans)) if seqs else np.zeros(0, int)
+    return pd.Series(np.array(labels, dtype=object)[flat], index=t.index)
+
+
+def tokens_to_spans(t: pd.DataFrame, drop: tuple[str, ...] = ("other",)) -> pd.DataFrame:
+    """RLE-cluster labeled tokens and rebuild each span's exact source text:
+    first token verbatim, subsequent members prefixed by their gap."""
+    d = t.copy()
+    d["_cl"] = rle_cluster_ids(
+        d["doc_id"].astype(str) + "\x00" + d["seq"].astype(str), d["label"]
+    )
+    first_of_cl = ~d.duplicated("_cl")
+    piece = np.where(first_of_cl, d["tok"], d["gap"].fillna("") + d["tok"])
+    d["_piece"] = piece
+    agg = (
+        d.groupby("_cl", sort=True)
+        .agg(
+            doc_id=("doc_id", "first"),
+            kind=("label", "first"),
+            text=("_piece", "".join),
+            offset=("offset", "first"),
+        )
+        .reset_index(drop=True)
+    )
+    agg = agg[~agg["kind"].isin(drop)]
+    agg["media_ref"] = None
+    agg["text"] = agg["text"].str.strip()
+    return agg[["doc_id", "kind", "text", "media_ref", "offset"]].reset_index(
+        drop=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# dateline (DatelineParser.java:124-199)
+# ---------------------------------------------------------------------------
+
+_DL_IX = label_index(DATELINE_LABELS)
+
+
+def parse_dateline_tokens(t: pd.DataFrame) -> pd.Series:
+    em = np.zeros((len(t), len(DATELINE_LABELS)))
+    em[:, _DL_IX["date"]] += 6.0 * t["is_date"].to_numpy()
+    em[:, _DL_IX["time"]] += 6.0 * t["is_time"].to_numpy()
+    em[:, _DL_IX["place"]] += 5.0 * (t["is_city"] & t["is_cap"]).to_numpy()
+    em[:, _DL_IX["doctype"]] += 2.0 * t["low"].isin(lx.DOCTYPE_WORDS).to_numpy()
+    em[:, _DL_IX["note"]] += 2.0 * (
+        t["is_cap"] & ~t["is_city"] & ~t["is_medic_title"]
+    ).to_numpy()
+    em[:, _DL_IX["other"]] += 3.0 * (t["is_stop"] | t["is_punct"]).to_numpy()
+    em[:, _DL_IX["other"]] += 0.5
+    return _decode(t, em, DATELINE_LABELS, stay=1.0)
+
+
+# ---------------------------------------------------------------------------
+# medic (MedicParser.java:78-233)
+# ---------------------------------------------------------------------------
+
+_MD_IX = label_index(MEDIC_LABELS)
+
+
+def parse_medic_tokens(t: pd.DataFrame) -> pd.Series:
+    em = np.zeros((len(t), len(MEDIC_LABELS)))
+    em[:, _MD_IX["rolename"]] += 4.0 * t["is_role"].to_numpy()
+    em[:, _MD_IX["persname"]] += 5.0 * t["is_medic_title"].to_numpy()
+    # capitalization suggests a name — except for role words ('Assistant'),
+    # which would otherwise ride the persname stickiness into the name span
+    em[:, _MD_IX["persname"]] += 2.0 * (
+        (t["is_cap"] | t["is_allcaps"]) & ~t["is_role"]
+    ).to_numpy()
+    em[:, _MD_IX["persname"]] += 4.0 * (t["is_period"] & t["prev_abbrev"]).to_numpy()
+    em[:, _MD_IX["orgname"]] += 3.0 * t["low"].isin(lx.ORG_WORDS).to_numpy()
+    em[:, _MD_IX["email"]] += 6.0 * t["tok"].str.contains("@", na=False).to_numpy()
+    em[:, _MD_IX["address"]] += 3.0 * (
+        t["is_street"] | t["is_postcode"]
+    ).to_numpy()
+    em[:, _MD_IX["settlement"]] += 3.0 * t["is_city"].to_numpy()
+    em[:, _MD_IX["other"]] += 3.0 * (
+        (t["is_stop"] | t["is_punct"]) & ~(t["is_period"] & t["prev_abbrev"])
+    ).to_numpy()
+    em[:, _MD_IX["other"]] += 6.0 * t["is_sent_period"].to_numpy()
+    em[:, _MD_IX["other"]] += 0.5
+    return _decode(t, em, MEDIC_LABELS)
+
+
+# ---------------------------------------------------------------------------
+# patient (PatientParser)
+# ---------------------------------------------------------------------------
+
+_PT_IX = label_index(PATIENT_LABELS)
+
+
+def parse_patient_tokens(t: pd.DataFrame) -> pd.Series:
+    em = np.zeros((len(t), len(PATIENT_LABELS)))
+    em[:, _PT_IX["persname"]] += 5.0 * t["is_patient_title"].to_numpy()
+    em[:, _PT_IX["persname"]] += 2.0 * (t["is_cap"] | t["is_allcaps"]).to_numpy()
+    em[:, _PT_IX["persname"]] += 4.0 * (t["is_period"] & t["prev_abbrev"]).to_numpy()
+    em[:, _PT_IX["birthdate"]] += 4.0 * t["is_date"].to_numpy()
+    em[:, _PT_IX["age"]] += 5.0 * (
+        t["low"].eq("ans") | (t["is_num"] & t["low"].shift(-1).eq("ans"))
+    ).to_numpy()
+    em[:, _PT_IX["address"]] += 4.0 * (
+        t["is_street"] | t["is_postcode"] | t["is_city"]
+    ).to_numpy()
+    em[:, _PT_IX["address"]] += 2.5 * t["is_num"].to_numpy()
+    em[:, _PT_IX["idno"]] += 5.0 * t["low"].isin({"ipp", "nip"}).to_numpy()
+    em[:, _PT_IX["sex"]] += 1.0 * t["low"].isin({"féminin", "masculin"}).to_numpy()
+    em[:, _PT_IX["other"]] += 3.0 * (
+        (t["is_stop"] | t["is_punct"]) & ~(t["is_period"] & t["prev_abbrev"])
+    ).to_numpy()
+    em[:, _PT_IX["other"]] += 6.0 * t["is_sent_period"].to_numpy()
+    em[:, _PT_IX["other"]] += 0.5
+    return _decode(t, em, PATIENT_LABELS)
+
+
+SUBPARSERS = {
+    "parse_dateline": parse_dateline_tokens,
+    "parse_medic": parse_medic_tokens,
+    "parse_patient": parse_patient_tokens,
+}

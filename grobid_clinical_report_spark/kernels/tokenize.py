@@ -20,7 +20,15 @@ import pandas as pd
 
 # GROBID's analyzer splits on whitespace and keeps punctuation as separate
 # tokens; this regex reproduces that token shape for French clinical text.
-TOKEN_RE = r"[A-Za-zÀ-ÖØ-öø-ÿ]+(?:['’][A-Za-zÀ-ÖØ-öø-ÿ]+)?|\d+(?:[.,]\d+)?|[^\sA-Za-zÀ-ÖØ-öø-ÿ\d]"
+# Dates and clock times are kept as single tokens (the reference re-joins them
+# downstream via its date parser; single-token form keeps the kernels flat).
+TOKEN_RE = (
+    r"\d{1,2}[./-]\d{1,2}[./-]\d{2,4}"      # numeric date
+    r"|\d{1,2}[hH:]\d{2}\b"                  # clock time
+    r"|[A-Za-zÀ-ÖØ-öø-ÿ]+(?:['’][A-Za-zÀ-ÖØ-öø-ÿ]+)?"
+    r"|\d+(?:[.,]\d+)?"
+    r"|[^\sA-Za-zÀ-ÖØ-öø-ÿ\d]"
+)
 
 # junk sentinels the reference filters via TextUtilities.filterLine
 JUNK_TOKENS = {"@PAGE", "@IMAGE", "\x00", "�"}
@@ -34,11 +42,23 @@ def tokenize_column(text: pd.Series) -> pd.Series:
 def explode_tokens(lines: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Flat lines DataFrame → flat tokens DataFrame.
 
-    Input columns: at least [doc_id, seq, text]; output adds tok (string) and
-    tok_idx (position within the line). One pandas explode — no Python loops.
+    Input columns: at least [doc_id, seq, text]; output adds:
+      tok      — the token string,
+      gap      — the raw text between the previous token and this one (so any
+                 token-range span can reconstruct its exact source substring:
+                 first tok + Σ(gap_i + tok_i) — no per-row slicing needed),
+      tok_idx  — position within the line.
+
+    One explode over aligned (gap, tok) list columns — no Python loops.
     """
-    toks = tokenize_column(lines[text_col])
-    out = lines.assign(tok=toks).explode("tok", ignore_index=True)
+    txt = lines[text_col].fillna("")
+    toks = txt.str.findall(TOKEN_RE)
+    gaps = txt.str.split(TOKEN_RE, regex=True)
+    # gaps has len(toks)+1 elements; gap i precedes token i
+    gaps = [g[: len(t)] for g, t in zip(gaps, toks)]
+    out = lines.assign(tok=toks, gap=gaps).explode(
+        ["tok", "gap"], ignore_index=True
+    )
     out = out[out["tok"].notna() & ~out["tok"].isin(JUNK_TOKENS)]
     out = out.reset_index(drop=True)
     out["tok_idx"] = out.groupby(["doc_id", "seq"], sort=False).cumcount()
