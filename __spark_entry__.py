@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship: full clinical-extraction cascade over an interleaved
+               span table derived from sf0.001 documents.
+queries()    — one entry per implemented operator family (SURVEY.md §2):
+               extraction cascade modes (rows-only: the CRF-style cascade is
+               not SQL-expressible), plus SQL-expressible textops /
+               similarity / relational / multimodal operators, each with a
+               DuckDB oracle in oracle_sql().
+oracle_sql() — ANSI-SQL equivalents for every SQL-expressible query.
 """
 
 from __future__ import annotations
@@ -13,26 +16,129 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from grobid_clinical_report_spark import (
+    multimodal,
+    relational,
+    similarity,
+    textops,
+)
+from grobid_clinical_report_spark.pipeline import run_mode
+
+# ---------------------------------------------------------------------------
+# interleaved-span table derived deterministically from the flat documents
+# table (kind='text' line spans; FIXTURES.md §1). Pure Spark SQL — the same
+# construction is mirrored in the derive_spans oracle below.
+# ---------------------------------------------------------------------------
+
+# sentence-ish lines: keep the terminal period by splitting on a sentinel
+# injected after '. ' (lookbehind-free so the DuckDB mirror matches), then
+# chunk long sentences every 12 words so multi-line structure exists.
+_SENTS = (
+    "split(replace(regexp_replace(text,"
+    " '((?:\\\\S+ ){12})', '$1\\u0001'), '. ', '.\\u0001'), '\\u0001')"
+)
+_SPANS_EXPR = (
+    f"transform({_SENTS}, (s, i) -> "
+    "struct('text' as kind, s as text, cast(null as string) as media_ref,"
+    " cast(i as int) as offset))"
+)
+
+
+def derive_spans_df(
+    spark: SparkSession, sf_dir: str, trailer: str | None = None
+) -> DataFrame:
+    """Interleaved-span table derived from the flat documents table.
+
+    ``trailer``: optional clinical trailer lines appended to every document —
+    the smoke-harness enrichment that gives the NER/left-note stages
+    something to extract from the synthetic word-soup corpus (the pipeline
+    itself never depends on it)."""
+    expr = _SPANS_EXPR
+    if trailer:
+        extra = ", ".join(
+            "named_struct('kind', 'text', 'text', '%s', 'media_ref',"
+            " cast(null as string), 'offset', %d)" % (t, 100_000 + i)
+            for i, t in enumerate(trailer.split("\n"))
+        )
+        expr = f"concat({_SPANS_EXPR}, array({extra}))"
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "cast(doc_id as string) as doc_id", f"{expr} as spans"
+    )
+
+
+def q_derive_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable flattening of the span derivation (S1/S2 source)."""
+    return derive_spans_df(spark, sf_dir).selectExpr(
+        "doc_id", "inline(spans)"
+    ).selectExpr("doc_id", "kind", "text", "offset")
+
+
+_D_SENTS = (
+    "string_split(replace(regexp_replace(text,"
+    " '((?:\\S+ ){12})', '\\1' || chr(1), 'g'), '. ', '.' || chr(1)), chr(1))"
+)
+
+ORACLE_DERIVE_SPANS = f"""
+WITH s AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_D_SENTS} AS sents
+           FROM documents)
+SELECT doc_id, 'text' AS kind, UNNEST(sents) AS text,
+  CAST(UNNEST(generate_series(0, LENGTH(sents) - 1)) AS INT) AS offset
+FROM s
+"""
+
+_NER_TRAILER = (
+    "Madame Julie MARTIN, âgée de 44 ans, opérée le 12/05/2019.\n"
+    "Arthrite du genou traitée par Amoxicilline 500 mg."
+)
+_LEFTNOTE_TRAILER = (
+    "Chef de Service : Pr. B. Morel\n"
+    "Secrétariat : 01 42 16 10 00\n"
+    "Fax : 01 42 16 10 01"
+)
+
+
+def _extraction_query(mode: str, trailer: str | None = None):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = derive_spans_df(spark, sf_dir, trailer=trailer)
+        out = run_mode(docs, mode)
+        return out.selectExpr("doc_id", "inline(spans)").selectExpr(
+            "doc_id", "kind", "text", "media_ref", "offset"
+        )
+
+    return q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full cascade at sf0.001, one span row per extracted element."""
+    return _extraction_query("extract_full")(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    # extraction cascade (vectorized Arrow UDF stages; rows-only checks
+    # except the span derivation itself)
+    q["derive_spans"] = q_derive_spans
+    q["extract_full"] = _extraction_query("extract_full")
+    q["extract_header"] = _extraction_query("extract_header")
+    q["extract_leftnote"] = _extraction_query(
+        "extract_leftnote", trailer=_LEFTNOTE_TRAILER
+    )
+    q["ner_entities"] = _extraction_query("ner", trailer=_NER_TRAILER)
+    q["parse_dateline"] = _extraction_query("parse_dateline")
+    q["parse_medic"] = _extraction_query("parse_medic")
+    q["parse_patient"] = _extraction_query("parse_patient")
+    # corpus-prep / dedup / similarity / relational / multimodal operators
+    q.update(textops.OPS)
+    q.update(similarity.OPS)
+    q.update(relational.OPS)
+    q.update(multimodal.OPS)
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {"derive_spans": ORACLE_DERIVE_SPANS}
+    o.update(textops.ORACLES)
+    o.update(similarity.ORACLES)
+    o.update(relational.ORACLES)
+    o.update(multimodal.ORACLES)
+    return o

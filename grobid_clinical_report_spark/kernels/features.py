@@ -82,6 +82,8 @@ def featurize_lines(lines: pd.DataFrame) -> pd.DataFrame:
     df["ends_period"] = txt.str.rstrip().str.endswith(".")
     df["is_bullet"] = txt.str.match(_BULLET_RE)
     df["single_token"] = txt.str.strip().str.count(r"\s+").eq(0) & txt.str.strip().ne("")
+    df["n_tokens"] = txt.str.count(r"\S+")
+    df["starts_lower"] = txt.str.match(r"^[a-zà-öø-ÿ]")
 
     # regex/dictionary flags (F8 lexicon; FeatureFactory email/http/month/year)
     df["has_date"] = txt.str.contains(lx.RE_DATE, na=False)

@@ -86,6 +86,11 @@ def segment_emissions(df: pd.DataFrame) -> np.ndarray:
     em[:, _IX["body"]] += 2.0 * (~all_caps & ends_colon)      # subsections
     em[:, _IX["body"]] += 2.0 * df["is_bullet"].to_numpy()    # list items
     em[:, _IX["body"]] += 2.0 * (long_line & ends_period)     # prose
+    # running prose that starts lowercase is body even without terminal
+    # punctuation (headers/leftnotes start with caps/labels)
+    em[:, _IX["body"]] += 2.0 * (
+        (df["n_tokens"] > 8) & df["starts_lower"]
+    ).to_numpy()
     em[:, _IX["body"]] -= 2.0 * repeated                      # boilerplate
 
     # page numbers / boilerplate notes

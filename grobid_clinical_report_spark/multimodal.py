@@ -1,0 +1,151 @@
+"""Multimodal column plumbing (task brief: image/audio/video as opaque binary
+columns + typed metadata; decode / feature-extract as Pandas UDFs over
+mapInPandas).
+
+The container has no image/audio libraries, so the *decode* step is a
+clearly-marked deterministic fake (`_fake_decode`) behind the same interface a
+real decoder would use — the Spark-side plumbing (schema, Arrow batch shape,
+partitioning, UDF signature) is real and tested (tests/test_multimodal.py).
+A real deployment swaps `_fake_decode` for PIL/ffmpeg without touching the
+Spark plan.
+
+The reference's media handling is S3 asset copy/convert
+(MedicalReportSegmenterParser.java:151-231) — media bytes are opaque there
+too; only references flow through the extraction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_DDL = (
+    "doc_id string, media_ref string, payload binary, "
+    "media_type string, width int, height int"
+)
+
+FEATURE_DDL = (
+    "doc_id string, media_ref string, n_bytes long, media_type string, "
+    "thumb_w int, thumb_h int, feature array<float>"
+)
+
+_FEATURE_DIM = 8
+_THUMB = 32
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a deterministic media table from the documents table: payload =
+    utf-8 bytes of the text (an opaque stand-in blob), typed metadata columns.
+    Pure Spark SQL — this is the 'ingest' side a real pipeline would read
+    from object storage."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "cast(doc_id as string) as doc_id",
+        "concat('img/', doc_id, '/0.png') as media_ref",
+        "encode(text, 'utf-8') as payload",
+        "case when doc_id % 3 = 0 then 'image/png' "
+        "when doc_id % 3 = 1 then 'image/jpeg' else 'audio/wav' end as media_type",
+        "cast(64 + doc_id % 512 as int) as width",
+        "cast(64 + (doc_id * 7) % 512 as int) as height",
+    )
+
+
+def _fake_decode(payload: pd.Series) -> np.ndarray:
+    """STUB decode: a real implementation would decode pixels/samples here
+    (PIL.Image.open / soundfile.read). This deterministic fake derives an
+    8-dim feature from byte statistics so downstream plumbing is exercised
+    with stable values. Raises NotImplementedError for non-bytes payloads,
+    like a real decoder would on corrupt data."""
+    if not payload.map(lambda b: isinstance(b, (bytes, bytearray))).all():
+        raise NotImplementedError("real media decode requires image/audio libs")
+    arrs = payload.map(lambda b: np.frombuffer(b, dtype=np.uint8))
+    feats = np.zeros((len(payload), _FEATURE_DIM), dtype=np.float32)
+    for i, a in enumerate(arrs.to_numpy()):  # per-blob, not per-pixel
+        if len(a) == 0:
+            continue
+        chunks = np.array_split(a.astype(np.float32), _FEATURE_DIM)
+        feats[i] = [c.mean() if len(c) else 0.0 for c in chunks]
+    return feats
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction: Arrow-batched binary in, fixed-dim
+    float features + resized-thumbnail metadata out. The batch shape (one
+    pdf per Arrow batch, payload column as bytes objects) is what a real
+    image decoder consumes."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = _fake_decode(pdf["payload"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "media_type": pdf["media_type"],
+                    # resize plan: clamp the longer edge to _THUMB, keep ratio
+                    "thumb_w": np.minimum(pdf["width"], _THUMB).astype("int32"),
+                    "thumb_h": np.minimum(pdf["height"], _THUMB).astype("int32"),
+                    "feature": list(feats),
+                }
+            )
+
+    return media.mapInPandas(op, schema=FEATURE_DDL)
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-expressible metadata slice (oracle-checkable): byte sizes + type
+    distribution of the media table."""
+    return (
+        media_table(spark, sf_dir)
+        .groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            F.max("width").alias("max_w"),
+        )
+        .orderBy("media_type")
+    )
+
+
+ORACLE_MEDIA_METADATA = """
+WITH media AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+    ENCODE(text) AS payload,
+    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+         WHEN doc_id % 3 = 1 THEN 'image/jpeg' ELSE 'audio/wav' END AS media_type,
+    CAST(64 + doc_id % 512 AS INT) AS width
+  FROM documents
+)
+SELECT media_type, COUNT(*) AS n_assets,
+  CAST(SUM(OCTET_LENGTH(payload)) AS BIGINT) AS total_bytes,
+  MAX(width) AS max_w
+FROM media GROUP BY media_type ORDER BY media_type
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full decode path (rows-only check: feature extraction is not
+    SQL-expressible). Returns scalar projections of the feature vector."""
+    feats = extract_media_features(media_table(spark, sf_dir))
+    return feats.selectExpr(
+        "doc_id",
+        "media_ref",
+        "n_bytes",
+        "thumb_w",
+        "thumb_h",
+        "cast(floor(element_at(feature, 1)) as bigint) as f0_floor",
+    )
+
+
+OPS = {
+    "media_metadata": q_media_metadata,
+    "media_decode_features": q_media_features,
+}
+ORACLES = {
+    "media_metadata": ORACLE_MEDIA_METADATA,
+    # media_decode_features: no oracle (mapInPandas decode) → rows-only check
+}

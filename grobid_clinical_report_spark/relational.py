@@ -1,0 +1,174 @@
+"""Relational-operator harness (SURVEY.md §2.8).
+
+The reference is a per-document map pipeline with no joins/windows of its own;
+these queries exercise the engine shell around it — the places where
+relational operators DO arise in this system (guardrail aggregation, manifest
+anti-join resume, top-k ranking) — expressed over the driver's TPC-H-ish
+tables so the DuckDB oracle can verify them.
+
+Plan hygiene (checked in tests/test_plans.py): filters and column pruning
+reach the parquet scan, the small dimension side is broadcast, partial
+aggregation happens map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy agg with pushed-down date filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    # money quantized per-row to integer cents/milli BEFORE summing: integer
+    # addition is associative, so Spark's partial-agg ordering and DuckDB's
+    # sequential sum produce bit-identical results (double sums would not)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.expr("cast(floor(l_quantity) as bigint)")).alias("sum_qty"),
+            F.sum(
+                F.expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")
+            ).alias("sum_base_price_cents"),
+            F.sum(
+                F.expr(
+                    "cast(floor(l_extendedprice * (1 - l_discount) * 1000 + 0.5)"
+                    " as bigint)"
+                )
+            ).alias("sum_disc_price_milli"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS sum_base_price_cents,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000 + 0.5)
+    AS BIGINT)) AS BIGINT) AS sum_disc_price_milli,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per customer — window top-k with a broadcast
+    dimension join (customer is small → broadcast, no shuffle of orders)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("rk").alias("rank"),
+        )
+        .orderBy("o_custkey", "rank")
+    )
+
+
+ORACLE_TOP_ORDERS = """
+WITH ranked AS (
+  SELECT o_custkey, c_name, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT o_custkey, c_name, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3 ORDER BY o_custkey, rank
+"""
+
+
+def q_orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join — the manifest-resume shape (pending = all ∖ done)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_ANTIJOIN = """
+SELECT o_orderstatus, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap>30min cumsum — the standard event-stream
+    pattern (batch equivalent of session_window)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact microsecond gap (boundary-crossing datediff semantics differ
+    # between engines on fractional seconds)
+    us = F.expr("unix_micros(cast(ts as timestamp_ltz))")
+    lag_us = F.lag(us).over(w)
+    gap = F.when(us - lag_us > 1800 * 1_000_000, 1).otherwise(0)
+    sess = ev.withColumn(
+        "new_sess", F.when(lag_us.isNull(), F.lit(1)).otherwise(gap)
+    ).withColumn("session_id", F.sum("new_sess").over(w))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+ORACLE_SESSIONIZATION = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+         WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_id,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+  COUNT(*) AS n_events, MIN(event_id) AS first_event
+FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+OPS = {
+    "rel_pricing_summary": q_pricing_summary,
+    "rel_topk_per_group": q_top_orders_per_cust,
+    "rel_resume_antijoin": q_orders_without_lineitems,
+    "rel_sessionization": q_event_sessionization,
+}
+ORACLES = {
+    "rel_pricing_summary": ORACLE_PRICING,
+    "rel_topk_per_group": ORACLE_TOP_ORDERS,
+    "rel_resume_antijoin": ORACLE_ANTIJOIN,
+    "rel_sessionization": ORACLE_SESSIONIZATION,
+}

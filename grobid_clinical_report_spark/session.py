@@ -1,0 +1,41 @@
+"""SparkSession factory with the engine's scale-oriented defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "grobid-clinical-report-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """local[N] session tuned for the extraction pipeline.
+
+    - Arrow enabled and batch-sized for mapInPandas throughput (each batch is
+      a set of whole documents; 256 docs/batch keeps the Python-side tensors
+      in cache while amortizing the Arrow hop),
+    - AQE on (post-shuffle coalescing + skew-join splitting — the relational
+      harness queries benefit; the extraction pass itself is shuffle-free),
+    - shuffle partitions ≈ cores for local mode (200 would over-parallelize
+      the small local tiers; on a 1000-executor cluster this is raised to
+      2-3× total cores by the submitter).
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle = shuffle_partitions or max(cpus, 8)
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .getOrCreate()
+    )

@@ -1,0 +1,417 @@
+"""Training-data pipeline operators over the flat `documents` table
+(doc_id, text, lang, source, n_chars) — the large-scale corpus-prep layer the
+engine needs beyond the reference's own operators (task brief):
+
+  dedup      — exact (hash groupBy), MinHash signatures (shingle→minhash),
+               SimHash, n-gram Jaccard near-dup pairs (LSH-style band join)
+  langid     — marker-word n-gram heuristic
+  quality    — length / punctuation / stopword-ratio scoring
+  tokens     — whitespace + BPE-ish regex token counting
+  fingerprint— normalized-text hash + min-shingle fingerprint
+
+Every operator is (a) pure Spark SQL expressions — JVM-side, whole-stage
+codegen, no Python in the hot path — and (b) paired with an equivalent
+DuckDB oracle SQL string (ORACLES) for the driver's correctness gate.
+Numeric outputs are integers (milli-scores) so cross-engine value hashes are
+exact, never float-rounding-dependent.
+
+Scale notes: all ops are embarrassingly parallel scans except the dedup
+groupBys (shuffle on a 128-bit hash — uniformly distributed, no skew) and the
+near-dup pair join (explode on band hash → equi-join; bands bound the
+candidate set exactly like a production MinHash-LSH, so the join never goes
+quadratic on non-duplicate data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# shared normalization: lowercase, collapse whitespace, trim
+_NORM = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+_WORDS = f"split({_NORM}, ' ')"
+
+_STOP_EN = "(?:the|and|of|to|a|in|is|it|for|on)"
+_STOP_FR = "(?:le|la|les|de|des|du|et|un|une|est)"
+_STOP_DE = "(?:der|die|das|und|ist|ein|eine|zu|mit)"
+_STOP_ES = "(?:el|la|los|las|de|y|un|una|es|en)"
+
+
+def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# S7-style raw text normalization (generateText,
+# FullMedicalTextParser.java:1181-1223 — newline/tab normalization)
+# ---------------------------------------------------------------------------
+
+def q_rawtext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"{_NORM} as raw_text",
+        f"length({_NORM}) as n_chars_norm",
+    )
+
+
+ORACLE_RAWTEXT = f"""
+SELECT doc_id, {_NORM} AS raw_text, LENGTH({_NORM}) AS n_chars_norm
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# S4 guardrail filter + per-source metrics
+# ---------------------------------------------------------------------------
+
+GUARDRAIL_CHARS = 600
+
+
+def q_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") <= GUARDRAIL_CHARS)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_GUARDRAIL = f"""
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE n_chars <= {GUARDRAIL_CHARS}
+GROUP BY source ORDER BY source
+"""
+
+# ---------------------------------------------------------------------------
+# exact dedup: hash-groupBy on normalized text
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _load(spark, sf_dir, "documents")
+        .selectExpr("doc_id", f"md5({_NORM}) as fp")
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("n_dups") >= 1)
+        .orderBy("fp")
+    )
+
+
+ORACLE_EXACT_DEDUP = f"""
+SELECT md5({_NORM}) AS fp, COUNT(*) AS n_dups, MIN(doc_id) AS keeper
+FROM documents GROUP BY 1 ORDER BY fp
+"""
+
+# ---------------------------------------------------------------------------
+# language ID: marker-word counting (n-gram heuristic)
+# ---------------------------------------------------------------------------
+
+def _lang_scores() -> list[str]:
+    return [
+        f"cast(regexp_count({_NORM}, '\\\\b{p}\\\\b') as bigint) as s_{lang}"
+        for lang, p in [
+            ("en", _STOP_EN), ("fr", _STOP_FR), ("de", _STOP_DE), ("es", _STOP_ES),
+        ]
+    ]
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", *_lang_scores()
+    )
+    pred = (
+        "CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en' "
+        "WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr' "
+        "WHEN s_de >= s_es THEN 'de' ELSE 'es' END"
+    )
+    return scored.selectExpr("doc_id", "s_en", "s_fr", "s_de", "s_es",
+                             f"{pred} as pred_lang")
+
+
+def _oracle_langid() -> str:
+    scores = ", ".join(
+        f"CAST(LENGTH(regexp_extract_all({_NORM}, '\\b{p}\\b')) AS BIGINT) AS s_{lang}"
+        for lang, p in [
+            ("en", _STOP_EN), ("fr", _STOP_FR), ("de", _STOP_DE), ("es", _STOP_ES),
+        ]
+    )
+    return f"""
+WITH scored AS (SELECT doc_id, {scores} FROM documents)
+SELECT doc_id, s_en, s_fr, s_de, s_es,
+  CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+       WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+       WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS pred_lang
+FROM scored
+"""
+
+# ---------------------------------------------------------------------------
+# quality scoring: integer milli-score from length/punct/stopword ratios
+# ---------------------------------------------------------------------------
+
+_N_PUNCT = f"length(regexp_replace({_NORM}, '[^.,;:!?]', ''))"
+_N_STOP = f"regexp_count({_NORM}, '\\\\b{_STOP_EN}\\\\b')"
+_N_TOKS = f"size(split({_NORM}, ' '))"
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"cast({_N_TOKS} as bigint) as n_tokens",
+        f"cast({_N_PUNCT} as bigint) as n_punct",
+        f"cast({_N_STOP} as bigint) as n_stopwords",
+        # milli-score: stopword ratio (fluency) minus punct noise, clamped.
+        # floor() per term keeps Spark and DuckDB integer semantics identical
+        f"cast(greatest(least(floor(1000 * {_N_STOP} / {_N_TOKS})"
+        f" - floor(500 * {_N_PUNCT} / length({_NORM})), 1000), 0) as bigint)"
+        " as quality_milli",
+    )
+
+
+_DN_TOKS = f"LENGTH(string_split({_NORM}, ' '))"
+_DN_PUNCT = f"LENGTH(regexp_replace({_NORM}, '[^.,;:!?]', '', 'g'))"
+_DN_STOP = f"LENGTH(regexp_extract_all({_NORM}, '\\b{_STOP_EN}\\b'))"
+
+ORACLE_QUALITY = f"""
+SELECT doc_id,
+  CAST({_DN_TOKS} AS BIGINT) AS n_tokens,
+  CAST({_DN_PUNCT} AS BIGINT) AS n_punct,
+  CAST({_DN_STOP} AS BIGINT) AS n_stopwords,
+  CAST(GREATEST(LEAST(FLOOR(1000 * {_DN_STOP} / {_DN_TOKS})
+       - FLOOR(500 * {_DN_PUNCT} / LENGTH({_NORM})), 1000), 0) AS BIGINT)
+    AS quality_milli
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# token counting: whitespace + BPE-ish regex pieces
+# ---------------------------------------------------------------------------
+
+_BPE_RE = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"cast({_N_TOKS} as bigint) as ws_tokens",
+        f"cast(regexp_count({_NORM}, '{_BPE_RE}') as bigint) as bpe_tokens",
+    )
+
+
+ORACLE_TOKEN_COUNT = f"""
+SELECT doc_id,
+  CAST({_DN_TOKS} AS BIGINT) AS ws_tokens,
+  CAST(LENGTH(regexp_extract_all({_NORM}, '{_BPE_RE}')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# fingerprinting: md5 of normalized text + min-shingle (rolling window) hash
+# ---------------------------------------------------------------------------
+
+_SHINGLE_W = 5
+# shingles as 5-word windows over the token array
+_SHINGLES = (
+    f"transform(sequence(1, greatest(size({_WORDS}) - {_SHINGLE_W - 1}, 1)),"
+    f" i -> concat_ws(' ', slice({_WORDS}, i, {_SHINGLE_W})))"
+)
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"md5({_NORM}) as exact_fp",
+        f"array_min(transform({_SHINGLES}, s -> md5(s))) as min_shingle_fp",
+    )
+
+
+_D_SHINGLES = (
+    f"list_transform(generate_series(1, GREATEST(LENGTH(string_split({_NORM}, ' ')) - {_SHINGLE_W - 1}, 1)),"
+    f" i -> array_to_string(list_slice(string_split({_NORM}, ' '), i, i + {_SHINGLE_W - 1}), ' '))"
+)
+
+ORACLE_FINGERPRINT = f"""
+SELECT doc_id, md5({_NORM}) AS exact_fp,
+  list_min(list_transform({_D_SHINGLES}, s -> md5(s))) AS min_shingle_fp
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# MinHash signatures (k hash functions = md5 with salt prefix)
+# ---------------------------------------------------------------------------
+
+MINHASH_K = 8
+
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = [
+        f"array_min(transform({_SHINGLES}, s -> md5(concat('{j}|', s)))) as mh{j}"
+        for j in range(MINHASH_K)
+    ]
+    return _load(spark, sf_dir, "documents").selectExpr("doc_id", *cols)
+
+
+def _oracle_minhash() -> str:
+    cols = ", ".join(
+        f"list_min(list_transform({_D_SHINGLES}, s -> md5(CONCAT('{j}|', s)))) AS mh{j}"
+        for j in range(MINHASH_K)
+    )
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, majority vote over token md5 nibbles)
+# ---------------------------------------------------------------------------
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.selectExpr("doc_id", f"explode({_WORDS}) as w").selectExpr(
+        "doc_id", "md5(w) as h"
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.substring("h", b + 1, 1).isin(*list("89abcdef")), 1
+            ).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(16)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sim = " + ".join(
+        f"(case when b{b} > 0 then cast(pow(2, {b}) as bigint) else 0 end)"
+        for b in range(16)
+    )
+    return agg.selectExpr("doc_id", f"cast({sim} as bigint) as simhash16")
+
+
+def _oracle_simhash() -> str:
+    bit_sums = ", ".join(
+        "SUM(CASE WHEN SUBSTRING(h, %d, 1) IN ('8','9','a','b','c','d','e','f')"
+        " THEN 1 ELSE -1 END) AS b%d" % (b + 1, b)
+        for b in range(16)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST(POW(2, {b}) AS BIGINT) ELSE 0 END)"
+        for b in range(16)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, md5(UNNEST(string_split({_NORM}, ' '))) AS h FROM documents
+), bits AS (
+  SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id
+)
+SELECT doc_id, CAST({sim} AS BIGINT) AS simhash16 FROM bits
+"""
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate pairs: LSH band join + exact shingle-Jaccard verification
+# ---------------------------------------------------------------------------
+
+JACCARD_MIN_MILLI = 300
+
+
+def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs from a 2-minhash band bucket join, verified by exact
+    n-gram Jaccard (intersection over union of distinct shingles). The band
+    join is the scale path: candidates ∝ true duplicates, not n²."""
+    docs = _load(spark, sf_dir, "documents")
+    sh = docs.selectExpr(
+        "doc_id", f"explode(array_distinct({_SHINGLES})) as sh"
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    band = docs.selectExpr(
+        "doc_id",
+        f"md5(concat(array_min(transform({_SHINGLES}, s -> md5(concat('0|', s)))),"
+        f" array_min(transform({_SHINGLES}, s -> md5(concat('1|', s)))))) as band",
+    )
+    cand = (
+        band.alias("a")
+        .join(band.alias("b"), F.col("a.band") == F.col("b.band"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    inter = (
+        sh.alias("x")
+        .join(cand, F.col("x.doc_id") == F.col("doc_a"))
+        .join(
+            sh.alias("y"),
+            (F.col("y.doc_id") == F.col("doc_b")) & (F.col("x.sh") == F.col("y.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .selectExpr(
+            "doc_a", "doc_b",
+            "cast(floor(1000 * n_inter / (n_a + n_b - n_inter)) as bigint) as jaccard_milli",
+        )
+        .filter(F.col("jaccard_milli") >= JACCARD_MIN_MILLI)
+        .orderBy("doc_a", "doc_b")
+    )
+    return out
+
+
+def _oracle_neardup() -> str:
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, UNNEST({_D_SHINGLES}) AS sh FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), band AS (
+  SELECT doc_id,
+    md5(CONCAT(
+      list_min(list_transform({_D_SHINGLES}, s -> md5(CONCAT('0|', s)))),
+      list_min(list_transform({_D_SHINGLES}, s -> md5(CONCAT('1|', s)))))) AS band
+  FROM documents
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band a JOIN band b ON a.band = b.band AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT doc_a, doc_b, COUNT(*) AS n_inter
+  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y
+    ON y.doc_id = doc_b AND x.sh = y.sh
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+  CAST(FLOOR(1000 * n_inter / (sa.n_sh + sb.n_sh - n_inter)) AS BIGINT) AS jaccard_milli
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(FLOOR(1000 * n_inter / (sa.n_sh + sb.n_sh - n_inter)) AS BIGINT) >= {JACCARD_MIN_MILLI}
+ORDER BY doc_a, doc_b
+"""
+
+
+OPS = {
+    "rawtext": q_rawtext,
+    "guardrail_filter": q_guardrail,
+    "dedup_exact": q_exact_dedup,
+    "langid": q_langid,
+    "quality_score": q_quality,
+    "token_count": q_token_count,
+    "fingerprint": q_fingerprint,
+    "dedup_minhash": q_minhash,
+    "dedup_simhash": q_simhash,
+    "dedup_neardup_pairs": q_neardup_pairs,
+}
+
+ORACLES = {
+    "rawtext": ORACLE_RAWTEXT,
+    "guardrail_filter": ORACLE_GUARDRAIL,
+    "dedup_exact": ORACLE_EXACT_DEDUP,
+    "langid": _oracle_langid(),
+    "quality_score": ORACLE_QUALITY,
+    "token_count": ORACLE_TOKEN_COUNT,
+    "fingerprint": ORACLE_FINGERPRINT,
+    "dedup_minhash": _oracle_minhash(),
+    "dedup_simhash": _oracle_simhash(),
+    "dedup_neardup_pairs": _oracle_neardup(),
+}
