@@ -60,9 +60,10 @@ def to_iso_date(s: pd.Series) -> pd.Series:
     txt = s.str.lower().str.extract(_TEXT_DATE, expand=True)
 
     day = num[0].fillna(txt[0])
-    month_num = num[1]
-    month_txt = txt[1].map(lambda m: MONTHS_FR.get(m) if isinstance(m, str) else None)
-    month = month_num.fillna(month_txt.astype("object"))
+    month_txt = txt[1].map(
+        lambda m: f"{MONTHS_FR[m]:02d}" if isinstance(m, str) else None
+    )
+    month = num[1].fillna(month_txt)
     year = num[2].fillna(txt[2])
 
     ok = day.notna() & month.notna() & year.notna()

@@ -69,11 +69,14 @@ def token_features(toks: pd.DataFrame) -> pd.DataFrame:
     for lex_name, lex_set in lx.MEDICAL_SETS.items():
         t[f"lex_{lex_name}"] = low.isin(lex_set)
     # lexicon hit within the previous 2 tokens (dose attachment window)
-    med = t["lex_medicament"]
-    t["near_medicament"] = (
-        (med.shift() & same_line)
-        | (med.shift(2) & same_line & same_line.shift().fillna(False))
-    ).fillna(False)
+    med = t["lex_medicament"].fillna(False).to_numpy()
+    sl = same_line.fillna(False).to_numpy()
+    prev1 = np.roll(med, 1) & sl
+    prev2 = np.roll(med, 2) & sl & np.roll(sl, 1)
+    if len(med):
+        prev1[0] = False
+        prev2[: min(2, len(med))] = False
+    t["near_medicament"] = prev1 | prev2
     return t
 
 

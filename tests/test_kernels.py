@@ -1,0 +1,160 @@
+"""Per-stage unit tests for the pure pandas/numpy kernels (SURVEY.md §5.2.2)."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from grobid_clinical_report_spark.kernels import normalize
+from grobid_clinical_report_spark.kernels.cluster import (
+    dedup_notes,
+    rle_cluster_ids,
+)
+from grobid_clinical_report_spark.kernels.tokenize import (
+    assign_blocks_pages,
+    contiguous_pieces,
+    explode_tokens,
+)
+from grobid_clinical_report_spark.kernels.viterbi import viterbi_batch
+
+
+# --- viterbi -----------------------------------------------------------------
+
+def _brute(em, trans):
+    T, L = em.shape
+    best, bp = -1e18, None
+    for path in itertools.product(range(L), repeat=T):
+        s = em[0, path[0]] + sum(
+            trans[path[i - 1], path[i]] + em[i, path[i]] for i in range(1, T)
+        )
+        if s > best:
+            best, bp = s, path
+    return np.array(bp)
+
+
+def test_viterbi_matches_bruteforce():
+    rng = np.random.default_rng(7)
+    trans = rng.normal(size=(3, 3))
+    ems = [rng.normal(size=(t, 3)) for t in [1, 2, 4, 6, 5, 3]]
+    got = viterbi_batch(ems, trans)
+    for e, g in zip(ems, got):
+        assert np.array_equal(g, _brute(e, trans))
+
+
+def test_viterbi_empty_and_batching():
+    trans = np.zeros((2, 2))
+    out = viterbi_batch([np.zeros((0, 2)), np.ones((3, 2))], trans)
+    assert len(out[0]) == 0 and len(out[1]) == 3
+
+
+# --- normalization -----------------------------------------------------------
+
+def test_iso_dates():
+    s = pd.Series(
+        ["Le 29.04.2000", "01/01/1990", "le 3 mars 2018", "29-04-00", "rien"]
+    )
+    assert normalize.to_iso_date(s).tolist() == [
+        "2000-04-29", "1990-01-01", "2018-03-03", "2000-04-29", "",
+    ]
+
+
+def test_normalize_text_dehyphenize():
+    s = pd.Series(["anti-\nbiothérapie  adaptée", "  a   b "])
+    assert normalize.normalize_text(s).tolist() == [
+        "antibiothérapie adaptée", "a b",
+    ]
+
+
+# --- RLE clustering ----------------------------------------------------------
+
+def test_rle_cluster_ids_label_doc_and_iob_breaks():
+    doc = pd.Series(["d1", "d1", "d1", "d2", "d2"])
+    lab = pd.Series(["a", "a", "b", "b", "I-b"])
+    assert rle_cluster_ids(doc, lab).tolist() == [0, 0, 1, 2, 3]
+
+
+def test_dedup_notes_keeps_first_and_drops_short():
+    spans = pd.DataFrame(
+        {
+            "doc_id": ["d"] * 4,
+            "kind": ["footnote", "footnote", "footnote", "paragraph"],
+            "text": ["Confidentiel - Hôpital", "Confidentiel - Hôpital", "ab", "x"],
+            "media_ref": [None] * 4,
+            "offset": [1, 2, 3, 4],
+        }
+    )
+    out = dedup_notes(spans)
+    assert out["kind"].tolist() == ["footnote", "paragraph"]
+    assert out["offset"].tolist() == [1, 4]
+
+
+# --- tokenization ------------------------------------------------------------
+
+def test_explode_tokens_exact_reconstruction():
+    lines = pd.DataFrame(
+        {
+            "doc_id": ["d"],
+            "seq": [0],
+            "text": ["Pr. Abagael ZOSIMA, 14/03/2017 10h30"],
+        }
+    )
+    t = explode_tokens(lines)
+    assert t["tok"].tolist() == [
+        "Pr", ".", "Abagael", "ZOSIMA", ",", "14/03/2017", "10h30",
+    ]
+    # gap+tok reconstruction reproduces the source text
+    rebuilt = "".join(
+        (g if i else "") + k
+        for i, (g, k) in enumerate(zip(t["gap"], t["tok"]))
+    )
+    assert rebuilt == "Pr. Abagael ZOSIMA, 14/03/2017 10h30"
+
+
+def test_contiguous_pieces():
+    off = np.array([0, 5, 11, 40, 46])
+    assert contiguous_pieces(off, max_gap=10).tolist() == [0, 0, 0, 1, 1]
+
+
+def test_blocks_pages():
+    lines = pd.DataFrame(
+        {
+            "doc_id": ["d"] * 6,
+            "seq": range(6),
+            "kind": ["text"] * 6,
+            "text": ["a", "", "b", "c", "\f", "e"],
+            "media_ref": [None] * 6,
+            "offset": range(6),
+        }
+    )
+    out = assign_blocks_pages(lines)
+    assert out["block_id"].tolist() == [0, 0, 1, 1, 1, 2]
+    assert out["page_id"].tolist() == [0, 0, 0, 0, 0, 1]
+    assert out["is_blank"].tolist() == [False, True, False, False, False, False]
+    assert out["is_page_break"].tolist()[4]
+
+
+# --- property tests (hypothesis) ----------------------------------------------
+
+hyp = pytest.importorskip("hypothesis")
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 8), st.integers(2, 5)), min_size=1, max_size=6
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_viterbi_path_is_valid_shape(shapes):
+    rng = np.random.default_rng(0)
+    n_lab = shapes[0][1]
+    ems = [rng.normal(size=(t, n_lab)) for t, _ in shapes]
+    out = viterbi_batch(ems, np.zeros((n_lab, n_lab)))
+    for e, g in zip(ems, out):
+        assert g.shape == (e.shape[0],)
+        assert ((g >= 0) & (g < n_lab)).all()
+        # with zero transitions the decode is the pointwise argmax
+        assert np.array_equal(g, e.argmax(axis=1))

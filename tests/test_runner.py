@@ -1,0 +1,105 @@
+"""Job-level tests: guardrail quarantine, skew salting, manifest resume
+(SURVEY.md §5.2.3/5, FIXTURES.md fx-skew-0006 + resume contract)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from grobid_clinical_report_spark import datagen, manifest as mf, runner
+from grobid_clinical_report_spark.schema import DOCUMENTS_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def input_path(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("docs") / "documents.parquet")
+    datagen.write_documents_parquet(
+        p, n_docs=40, heavy_docs=1, heavy_spans=600, max_spans=300
+    )
+    return p
+
+
+def test_guardrail_split(spark, input_path):
+    df = spark.read.parquet(input_path)
+    ok, bad = runner.split_guardrail(df, max_spans=500)
+    assert bad.count() == 1  # the heavy doc over the cap
+    assert ok.count() == df.count() - 1
+
+
+def test_salt_partition_isolates_whales(spark, input_path):
+    df = spark.read.parquet(input_path)
+    tasks = 4
+    salted = runner.salt_partition(df, tasks)
+    assert salted.rdd.getNumPartitions() == tasks
+    # every partition gets at most ceil(heavy/tasks) heavy docs (here: 1)
+    heavy_per_part = (
+        salted.withColumn("pid", F.spark_partition_id())
+        .filter(F.size("spans") > runner.HEAVY_SPANS)
+        .groupBy("pid")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert heavy_per_part is None or heavy_per_part <= 1
+
+
+def test_job_runs_and_resumes_idempotently(spark, input_path, tmp_path):
+    out = str(tmp_path / "out")
+    m1 = runner.run_extraction_job(
+        spark, input_path, out, n_buckets=4, max_spans=500
+    )
+    assert m1["buckets_run"] == 4
+    assert m1["quarantined"] == 1
+    first = {
+        r["doc_id"]: r["spans"]
+        for r in runner.read_extracted(spark, out).collect()
+    }
+    assert len(first) == m1["docs"] > 0
+
+    # simulate a crash after 4 committed buckets: delete one bucket's data
+    # AND its manifest row → resume must redo exactly that bucket
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "bucket=2"))
+    done_before = mf.completed_buckets(spark, out)
+    assert done_before == {0, 1, 2, 3}
+    # rewrite manifest without bucket 2 (a crash before commit)
+    m = mf.read_manifest(spark, out).filter(F.col("bucket") != 2)
+    pdf = m.toPandas()
+    shutil.rmtree(mf.manifest_path(out))
+    spark.createDataFrame(pdf, mf.MANIFEST_SCHEMA).write.parquet(
+        mf.manifest_path(out)
+    )
+
+    m2 = runner.run_extraction_job(
+        spark, input_path, out, n_buckets=4, max_spans=500
+    )
+    assert m2["buckets_run"] == 1  # only the missing bucket
+    second = {
+        r["doc_id"]: r["spans"]
+        for r in runner.read_extracted(spark, out).collect()
+    }
+    assert second == first  # byte-identical resume (FIXTURES.md §5)
+
+    # a third run is a no-op
+    m3 = runner.run_extraction_job(
+        spark, input_path, out, n_buckets=4, max_spans=500
+    )
+    assert m3["buckets_run"] == 0
+
+
+def test_fixtures_survive_inside_scale_run(spark, input_path, tmp_path):
+    """Fixture docs embedded in the corpus extract identically inside a
+    bucketed scale run (FIXTURES.md §4)."""
+    out = str(tmp_path / "out2")
+    runner.run_extraction_job(spark, input_path, out, n_buckets=2, max_spans=500)
+    rows = {
+        r["doc_id"]: r["spans"]
+        for r in runner.read_extracted(spark, out).collect()
+    }
+    got = [
+        (s["kind"], s["text"], s["media_ref"]) for s in rows["fx-full-0001"]
+    ]
+    assert got == [tuple(e) for e in datagen.FX_FULL_EXPECTED]
