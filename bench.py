@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "extraction": {"n_docs": ..., "docs_per_sec": ...}}
+
+--scaling: additionally runs the identical extraction job at N and 4N cores
+(two subprocesses → fresh JVMs, the sandbox stand-in for N vs 4N executor
+clusters per BASELINE.md) and writes BENCH/BASELINE.md with throughput at both
+levels + scaling efficiency.
+
+--extract-only N: internal mode used by --scaling (prints one JSON line with
+the extraction wall time at local[N]).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+os.environ.setdefault("OMP_NUM_THREADS", "1")  # no BLAS oversubscription
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# synthetic extraction corpus size per SF tier (docs); ~150 spans/doc median
+_DOCS_PER_SF = 40_000  # sf0.1 → 4000 docs ≈ 600k spans ≈ lineitem row count
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def corpus_path(sf: float) -> str:
+    """Build (once, cached) the seeded interleaved-span corpus for this tier."""
+    cache = os.path.join(REPO, ".bench_cache")
+    os.makedirs(cache, exist_ok=True)
+    n_docs = max(int(sf * _DOCS_PER_SF), 50)
+    p = os.path.join(cache, f"documents_spans_{n_docs}")
+    if not os.path.exists(p):
+        from grobid_clinical_report_spark import datagen
+
+        datagen.write_documents_parquet(
+            p, n_docs=n_docs, heavy_docs=2, shards=128
+        )
+    return p
+
+
+def run_extraction(spark, corpus: str, tasks: int) -> tuple[int, float]:
+    """The identical job used for the scaling comparison: read → guardrail →
+    salt → full cascade → noop sink (measures compute, not output IO)."""
+    from grobid_clinical_report_spark import runner
+    from grobid_clinical_report_spark.pipeline import run_mode
+
+    docs = spark.read.parquet(corpus).select("doc_id", "spans")
+    n_docs = docs.count()
+    ok, _bad = runner.split_guardrail(docs)
+    ok = runner.salt_partition(ok, tasks)
+    out = run_mode(ok, "extract_full")
+    t0 = time.monotonic()
+    out.write.format("noop").mode("overwrite").save()
+    return n_docs, time.monotonic() - t0
+
+
+def extract_only(cpus: int) -> None:
+    from grobid_clinical_report_spark.session import get_spark
+
+    sf = _sf_from_dir(SF_DIR)
+    corpus = corpus_path(sf)
+    spark = get_spark(app=f"bench-extract-{cpus}", cpus=cpus)
+    # warm-up: JIT/codegen + python worker pool spin-up on a small slice
+    from grobid_clinical_report_spark.pipeline import run_mode
+
+    warm = spark.read.parquet(corpus).limit(cpus * 8).repartition(cpus)
+    run_mode(warm, "extract_full").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    n_docs, sec = run_extraction(spark, corpus, tasks=cpus * 4)
+    spark.stop()
+    print(json.dumps({"cpus": cpus, "n_docs": n_docs, "sec": sec}))
+
+
+def headline() -> dict:
+    import __spark_entry__ as E
+    from grobid_clinical_report_spark.session import get_spark
+
+    sf = _sf_from_dir(SF_DIR)
+    spark = get_spark(app="bench", cpus=CPUS)
+    queries: dict[str, float] = {}
+
+    corpus = corpus_path(sf)
+    n_docs, sec = run_extraction(spark, corpus, tasks=CPUS * 4)
+    queries["extract_full_cascade"] = round(sec, 3)
+    extraction = {"n_docs": n_docs, "docs_per_sec": round(n_docs / sec, 1)}
+
+    qs = E.queries()
+    for name in [
+        "extract_header",
+        "ner_entities",
+        "dedup_exact",
+        "dedup_minhash",
+        "dedup_simhash",
+        "dedup_neardup_pairs",
+        "langid",
+        "quality_score",
+        "token_count",
+        "fingerprint",
+        "ann_cosine_topk",
+        "ann_lsh_topk",
+        "rel_pricing_summary",
+        "rel_topk_per_group",
+        "rel_sessionization",
+        "media_decode_features",
+    ]:
+        t0 = time.monotonic()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.monotonic() - t0, 3)
+    spark.stop()
+
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "extraction": extraction,
+    }
+
+
+def scaling(n_small: int = 8) -> dict:
+    """Same job, two parallelism levels, fresh JVM each (subprocess)."""
+    n_big = n_small * 4
+    res = {}
+    for cpus in (n_small, n_big):
+        out = subprocess.run(
+            [sys.executable, __file__, "--extract-only", str(cpus)],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
+            check=True,
+        )
+        res[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    thr = {c: r["n_docs"] / r["sec"] for c, r in res.items()}
+    eff = (thr[n_big] / thr[n_small]) / (n_big / n_small)
+    return {
+        "n_small": n_small,
+        "n_big": n_big,
+        "docs": res[n_small]["n_docs"],
+        "sec_small": round(res[n_small]["sec"], 2),
+        "sec_big": round(res[n_big]["sec"], 2),
+        "docs_per_sec_small": round(thr[n_small], 1),
+        "docs_per_sec_big": round(thr[n_big], 1),
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def write_baseline_md(s: dict) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — two-parallelism scaling evidence
+
+Sandbox stand-in for the N vs 4N executor-cluster criterion
+(BASELINE.json `north_rule`): the identical extraction job (read parquet →
+guardrail filter → salted repartition → full-cascade mapInPandas → noop sink)
+run on the same seeded corpus at two local parallelism levels, fresh JVM each.
+
+| level | cores | docs | wall (s) | docs/sec |
+|---|---|---|---|---|
+| N  | {s['n_small']} | {s['docs']} | {s['sec_small']} | {s['docs_per_sec_small']} |
+| 4N | {s['n_big']} | {s['docs']} | {s['sec_big']} | {s['docs_per_sec_big']} |
+
+**Scaling efficiency = (thr_4N / thr_N) / 4 = {s['scaling_efficiency']}**
+(target ≥ 0.8, BASELINE.md)
+
+Corpus: seeded synthetic interleaved-span documents (datagen.py, seed=42),
+fixtures embedded; tasks = 4 × cores so the salted repartition load-balances
+heavy documents (runner.salt_partition).
+"""
+        )
+
+
+if __name__ == "__main__":
+    if "--extract-only" in sys.argv:
+        extract_only(int(sys.argv[sys.argv.index("--extract-only") + 1]))
+    elif "--scaling" in sys.argv:
+        s = scaling()
+        write_baseline_md(s)
+        print(json.dumps({"metric": "scaling_efficiency", **s}))
+    else:
+        result = headline()
+        if "--with-scaling" in sys.argv:
+            s = scaling()
+            write_baseline_md(s)
+            result["scaling"] = s
+        print(json.dumps(result))

@@ -355,11 +355,16 @@ def _gen_doc(rng: np.random.Generator, n: int, d: int) -> list[dict]:
 
 def write_documents_parquet(
     path: str, n_docs: int, seed: int = SEED, include_fixtures: bool = True,
-    **kw,
+    shards: int = 1, **kw,
 ) -> None:
     """Materialize the corpus (fixtures embedded at known doc_ids, FIXTURES.md
-    §4) as a parquet file with the exact input schema. Uses pyarrow directly so
-    no SparkSession is needed at generation time."""
+    §4) with the exact input schema. Uses pyarrow directly so no SparkSession
+    is needed at generation time.
+
+    ``shards`` > 1 writes a directory of that many files — the stand-in for a
+    real table's many data files: the Spark scan then parallelizes instead of
+    serializing on one file (a single small parquet gives the read+shuffle
+    stage exactly one task, which caps scaling)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -387,4 +392,19 @@ def write_documents_parquet(
             ),
         ]
     )
-    pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), path)
+    table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+    if shards <= 1:
+        pq.write_table(table, path)
+        return
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    n = len(pdf)
+    step = (n + shards - 1) // shards
+    for s in range(shards):
+        lo = s * step
+        if lo >= n:
+            break
+        pq.write_table(
+            table.slice(lo, step), os.path.join(path, f"part-{s:05d}.parquet")
+        )

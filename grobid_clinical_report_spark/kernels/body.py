@@ -32,16 +32,13 @@ def body_emissions(df: pd.DataFrame) -> np.ndarray:
     all_caps = df["all_caps"].to_numpy()
     ends_colon = df["ends_colon"].to_numpy()
     media = df["is_media"].to_numpy()
-    lower = df["text"].fillna("").str.lower()
+    from . import arrowtext as at
 
-    caption = lower.str.match(r"^(?:figure|fig\.)\s*\d*").to_numpy()
-    table_line = lower.str.match(r"^(?:tableau|table)\b").to_numpy()
-    fig_marker = lower.str.contains(
-        r"\((?:cf\.?|voir)\s+figure", regex=True, na=False
-    ).to_numpy()
-    tab_marker = lower.str.contains(
-        r"\((?:cf\.?|voir)\s+tableau", regex=True, na=False
-    ).to_numpy()
+    low = at.lower(at.arr_of(df["text"]))
+    caption = at.match(low, r"(?:figure|fig\.)\s*\d*")
+    table_line = at.match(low, r"(?:tableau|table)\b")
+    fig_marker = at.contains(low, r"\((?:cf\.?|voir)\s+figure")
+    tab_marker = at.contains(low, r"\((?:cf\.?|voir)\s+tableau")
 
     em[:, _IX["title"]] += 4.0 * (
         all_caps & ~ends_colon & (df["rel_pos"] < 0.6).to_numpy() & ~table_line
@@ -113,17 +110,20 @@ def body_spans(df: pd.DataFrame) -> pd.DataFrame:
     # block-change break via composite key (label stays the output kind)
     key = d["label"].astype(str) + "\x00" + d["block_id"].astype(str)
     d["_cl"] = rle_cluster_ids(d["doc_id"], key)
-    agg = (
-        d.groupby("_cl", sort=True)
-        .agg(
-            doc_id=("doc_id", "first"),
-            kind=("label", "first"),
-            text=("text_n", lambda s: " ".join(x for x in s if x)),
-            media_ref=("media_ref", "first"),
-            offset=("offset", "first"),
-        )
-        .reset_index(drop=True)
+
+    # vectorized aggregation: firsts via drop_duplicates (rows are already in
+    # cluster order), text join via reduceat (kernels/cluster.group_join)
+    from .cluster import group_join
+
+    base = d.drop_duplicates("_cl")[["_cl", "doc_id", "label", "offset"]]
+    base = base.rename(columns={"label": "kind"}).set_index("_cl")
+    base["text"] = group_join(
+        d["text_n"].to_numpy(), d["_cl"].to_numpy(), " "
     )
+    base["media_ref"] = d.groupby("_cl")["media_ref"].first()  # first non-null
+    agg = base.reset_index(drop=True)[
+        ["doc_id", "kind", "text", "media_ref", "offset"]
+    ]
     # drop empty clusters (TEIFormatter.java:968-973) unless they carry media
     agg = agg[(agg["text"].str.len() > 0) | agg["media_ref"].notna()]
     return agg.reset_index(drop=True)

@@ -22,6 +22,26 @@ import numpy as np
 import pandas as pd
 
 
+def group_join(values: np.ndarray, cluster_ids: np.ndarray, sep: str = " ") -> np.ndarray:
+    """Join string values per contiguous cluster — np.add.reduceat on object
+    arrays (C loop) instead of pandas' pure-Python groupby.agg(join), which
+    dominates the profile at scale. `cluster_ids` must be non-decreasing.
+    Empty members are skipped (no double separators)."""
+    if len(values) == 0:
+        return np.zeros(0, dtype=object)
+    starts = np.flatnonzero(np.diff(cluster_ids, prepend=cluster_ids[0] - 1))
+    vals = np.asarray(values, dtype=object)
+    if not sep:
+        return np.add.reduceat(vals, starts)
+    nonempty = vals != ""
+    pieces = np.where(nonempty, vals + sep, "")
+    joined = np.add.reduceat(pieces, starts)
+    n = len(sep)
+    return np.array(
+        [s[:-n] if s.endswith(sep) else s for s in joined], dtype=object
+    )
+
+
 def rle_cluster_ids(doc_ids: pd.Series, labels: pd.Series) -> np.ndarray:
     """L2: cluster id per row — increments when doc or label changes.
 
@@ -88,13 +108,17 @@ def repeated_pattern_flags(lines: pd.DataFrame) -> pd.Series:
     (Reference hashes the pattern via FeatureFactory.getPattern and counts
     doc-wide repeats; same semantics.)
     """
-    norm = (
-        lines["text"]
-        .fillna("")
-        .str.lower()
-        .str.replace(r"\d+", "#", regex=True)
-        .str.replace(r"\s+", " ", regex=True)
-        .str.strip()
+    from . import arrowtext as at
+
+    norm_arr = at.strip(
+        at.replace(
+            at.replace(at.lower(at.arr_of(lines["text"])), r"\d+", "#"),
+            r"\s+",
+            " ",
+        )
+    )
+    norm = pd.Series(
+        norm_arr.to_numpy(zero_copy_only=False), index=lines.index
     )
     content = ~(lines["is_blank"] | lines["is_page_break"])
     pos_in_page = (

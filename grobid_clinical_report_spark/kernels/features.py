@@ -31,26 +31,27 @@ LINESCALE = 10
 _BULLET_RE = r"^\s*(?:[-•*·]|\d{1,2}[.)]\s)"
 
 
-def _word_flag(first_words: pd.Series, vocab: set[str]) -> pd.Series:
-    return first_words.isin(vocab)
+import re as _re
+
+from . import arrowtext as at
 
 
-def _contains_any(lower: pd.Series, vocab: set[str]) -> pd.Series:
-    """Vectorized 'line contains a vocab word' via one alternation regex."""
-    import re
-
-    pat = r"\b(?:" + "|".join(re.escape(w) for w in sorted(vocab)) + r")\b"
-    return lower.str.contains(pat, regex=True, na=False)
+def _any_re(vocab: set[str]) -> str:
+    return at.word_bounded("|".join(_re.escape(w) for w in sorted(vocab)))
 
 
 def featurize_lines(lines: pd.DataFrame) -> pd.DataFrame:
     """Add the shared feature columns used by segmenter/header/body emission
     models. Input must already carry block/page structure
-    (tokenize.assign_blocks_pages). Entirely column-wise pandas/numpy.
+    (tokenize.assign_blocks_pages).
+
+    String features run on Arrow compute kernels (kernels/arrowtext.py) —
+    one RE2 pass per feature over the whole column, no per-row Python.
     """
     df = lines.copy()
-    txt = df["text"].fillna("")
-    lower = txt.str.lower()
+    txt = at.arr_of(df["text"])
+    low = at.lower(txt)
+    stripped = at.strip(txt)
 
     n_lines = df.groupby("doc_id", sort=False)["seq"].transform("size")
     line_idx = df.groupby("doc_id", sort=False).cumcount()
@@ -65,55 +66,61 @@ def featurize_lines(lines: pd.DataFrame) -> pd.DataFrame:
     page_idx = df.groupby(["doc_id", "page_id"], sort=False).cumcount()
     df["rel_pos_page"] = page_idx / page_lines.clip(lower=1)
 
-    letters = txt.str.count(r"[A-Za-zÀ-ÖØ-öø-ÿ]")
-    uppers = txt.str.count(r"[A-ZÀ-ÖØ]")
-    digits = txt.str.count(r"\d")
-    length = txt.str.len().clip(lower=1)
-    df["line_len"] = txt.str.len()
+    letters = at.count(txt, r"[A-Za-zÀ-ÖØ-öø-ÿ]")
+    uppers = at.count(txt, r"[A-ZÀ-ÖØ]")
+    digits = at.count(txt, r"\d")
+    raw_len = at.length(txt)
+    length = np.maximum(raw_len, 1)
+    df["line_len"] = raw_len
     df["len_bin"] = np.minimum(
-        (txt.str.len() / 80.0 * LINESCALE).astype(np.int64), LINESCALE
+        (raw_len / 80.0 * LINESCALE).astype(np.int64), LINESCALE
     )
-    df["caps_ratio"] = (uppers / letters.clip(lower=1)).astype(np.float64)
-    df["digit_ratio"] = (digits / length).astype(np.float64)
-    df["punct_ratio"] = (txt.str.count(r"[^\w\s]") / length).astype(np.float64)
+    df["caps_ratio"] = uppers / np.maximum(letters, 1)
+    df["digit_ratio"] = digits / length
+    df["punct_ratio"] = at.count(txt, r"[^\w\s]") / length
     df["all_caps"] = (letters >= 3) & (df["caps_ratio"] > 0.9)
-    df["starts_upper"] = txt.str.match(r"^[A-ZÀ-ÖØ]")
-    df["ends_colon"] = txt.str.rstrip().str.endswith(":")
-    df["ends_period"] = txt.str.rstrip().str.endswith(".")
-    df["is_bullet"] = txt.str.match(_BULLET_RE)
-    df["single_token"] = txt.str.strip().str.count(r"\s+").eq(0) & txt.str.strip().ne("")
-    df["n_tokens"] = txt.str.count(r"\S+")
-    df["starts_lower"] = txt.str.match(r"^[a-zà-öø-ÿ]")
+    df["starts_upper"] = at.match(txt, r"[A-ZÀ-ÖØ]")
+    df["ends_colon"] = at.contains(stripped, r":$")
+    df["ends_period"] = at.contains(stripped, r"\.$")
+    df["is_bullet"] = at.match(txt, _BULLET_RE)
+    df["n_tokens"] = at.count(txt, r"\S+")
+    df["single_token"] = (df["n_tokens"] == 1)
+    df["starts_lower"] = at.match(txt, r"[a-zà-öø-ÿ]")
 
     # regex/dictionary flags (F8 lexicon; FeatureFactory email/http/month/year)
-    df["has_date"] = txt.str.contains(lx.RE_DATE, na=False)
-    df["has_time"] = txt.str.contains(lx.RE_TIME, na=False)
-    df["has_phone"] = txt.str.contains(lx.RE_PHONE, na=False)
-    df["has_email"] = txt.str.contains(lx.RE_EMAIL, na=False)
-    df["has_web"] = txt.str.contains(lx.RE_WEB, na=False)
-    df["has_postcode"] = txt.str.contains(lx.RE_POSTCODE, na=False)
-    df["has_year"] = txt.str.contains(lx.RE_YEAR, na=False)
-    df["has_ipp"] = txt.str.contains(lx.RE_IPP, na=False)
-    df["has_dose"] = txt.str.contains(lx.RE_DOSE, na=False)
-    df["has_month_word"] = _contains_any(lower, set(lx.MONTHS_FR))
-    df["has_medic_title"] = lower.str.contains(
-        r"\b(?:dr|pr|docteur|professeur)\b\.?", regex=True, na=False
+    df["has_date"] = at.contains(txt, lx.RE_DATE.pattern)
+    df["has_time"] = at.contains(txt, lx.RE_TIME.pattern)
+    df["has_phone"] = at.contains(txt, lx.RE_PHONE.pattern)
+    df["has_email"] = at.contains(txt, lx.RE_EMAIL.pattern)
+    df["has_web"] = at.contains(txt, lx.RE_WEB.pattern)
+    df["has_postcode"] = at.contains(txt, lx.RE_POSTCODE.pattern)
+    df["has_year"] = at.contains(txt, lx.RE_YEAR.pattern)
+    df["has_ipp"] = at.contains(
+        txt, at.word_bounded(r"IPP|NIP|N°\s*dossier")
     )
-    df["has_patient_title"] = lower.str.contains(
-        r"\b(?:madame|monsieur|mme|mlle|mademoiselle|patiente?)\b",
-        regex=True,
-        na=False,
+    df["has_dose"] = at.contains(
+        low, at.word_bounded(r"\d+(?:[.,]\d+)?\s*(?:mg|g|ml|ui|µg|mcg)")
+    )
+    df["has_month_word"] = at.contains(low, _any_re(set(lx.MONTHS_FR)))
+    df["has_medic_title"] = at.contains(
+        low, at.word_bounded(r"dr|pr|docteur|professeur")
+    )
+    df["has_patient_title"] = at.contains(
+        low,
+        at.word_bounded(r"madame|monsieur|mme|mlle|mademoiselle|patiente?"),
     )
     df["has_person_title"] = df["has_medic_title"] | df["has_patient_title"]
-    df["has_fax_word"] = lower.str.contains(r"\bfax\b", regex=True, na=False)
-    df["has_docnum"] = txt.str.match(r"^\s*N°\s*[\d-]+\s*$")
-    df["has_birth"] = lower.str.contains(r"\bnée?\s+le\b", regex=True, na=False)
-    df["has_role_word"] = _contains_any(lower, lx.ROLE_WORDS)
-    df["has_org_word"] = _contains_any(lower, lx.ORG_WORDS)
-    df["has_doctype_word"] = _contains_any(lower, lx.DOCTYPE_WORDS)
-    df["has_street_word"] = _contains_any(lower, lx.STREET_WORDS)
-    df["has_city_word"] = _contains_any(lower, lx.CITIES_FR)
-    df["is_page_number"] = txt.str.match(r"^\s*(?:page\s+)?\d+\s*(?:/\s*\d+)?\s*$", case=False)
+    df["has_fax_word"] = at.contains(low, at.word_bounded("fax"))
+    df["has_docnum"] = at.match(txt, r"\s*N°\s*[\d-]+\s*$")
+    df["has_birth"] = at.contains(low, at.word_bounded(r"née?\s+le"))
+    df["has_role_word"] = at.contains(low, _any_re(lx.ROLE_WORDS))
+    df["has_org_word"] = at.contains(low, _any_re(lx.ORG_WORDS))
+    df["has_doctype_word"] = at.contains(low, _any_re(lx.DOCTYPE_WORDS))
+    df["has_street_word"] = at.contains(low, _any_re(lx.STREET_WORDS))
+    df["has_city_word"] = at.contains(low, _any_re(lx.CITIES_FR))
+    df["is_page_number"] = at.match(
+        low, r"\s*(?:page\s+)?\d+\s*(?:/\s*\d+)?\s*$"
+    )
 
     # block-edge status (FeaturesVectorMedical block status features)
     df["block_first"] = df["line_in_block"].eq(0)

@@ -31,8 +31,15 @@ def dehyphenize(s: pd.Series) -> pd.Series:
 
 def normalize_text(s: pd.Series) -> pd.Series:
     """dehyphenize + space-collapse — the normalization applied to every
-    emitted span's text (FIXTURES.md §2)."""
-    return normalize_space(dehyphenize(s))
+    emitted span's text (FIXTURES.md §2). Arrow-compute fast path."""
+    from . import arrowtext as at
+
+    arr = at.arr_of(s)
+    arr = at.replace(arr, r"(\w)-\s*\n\s*(\w)", r"\1\2")
+    arr = at.strip(at.replace(arr, _WS, " "))
+    return pd.Series(
+        arr.to_numpy(zero_copy_only=False), index=s.index, name=s.name
+    )
 
 
 def to_title_case(s: pd.Series) -> pd.Series:

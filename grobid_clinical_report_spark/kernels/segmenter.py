@@ -56,9 +56,11 @@ def segment_emissions(df: pd.DataFrame) -> np.ndarray:
         .to_numpy()
     )
 
-    lower = df["text"].fillna("").str.lower()
-    annex_start = lower.str.match(r"^annexe").to_numpy()
-    ack_start = lower.str.match(r"^remerciements").to_numpy()
+    from . import arrowtext as at
+
+    low = at.lower(at.arr_of(df["text"]))
+    annex_start = at.match(low, r"annexe")
+    ack_start = at.match(low, r"remerciements")
 
     # header: flat prior on the first page + header-content cues
     em[:, _IX["header"]] += 1.5 * fp

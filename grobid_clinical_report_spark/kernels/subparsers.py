@@ -99,19 +99,14 @@ def tokens_to_spans(t: pd.DataFrame, drop: tuple[str, ...] = ("other",)) -> pd.D
     d["_cl"] = rle_cluster_ids(
         d["doc_id"].astype(str) + "\x00" + d["seq"].astype(str), d["label"]
     )
+    from .cluster import group_join
+
     first_of_cl = ~d.duplicated("_cl")
     piece = np.where(first_of_cl, d["tok"], d["gap"].fillna("") + d["tok"])
-    d["_piece"] = piece
-    agg = (
-        d.groupby("_cl", sort=True)
-        .agg(
-            doc_id=("doc_id", "first"),
-            kind=("label", "first"),
-            text=("_piece", "".join),
-            offset=("offset", "first"),
-        )
-        .reset_index(drop=True)
+    agg = d.loc[first_of_cl, ["_cl", "doc_id", "label", "offset"]].rename(
+        columns={"label": "kind"}
     )
+    agg["text"] = group_join(piece, d["_cl"].to_numpy(), sep="")
     agg = agg[~agg["kind"].isin(drop)]
     agg["media_ref"] = None
     agg["text"] = agg["text"].str.strip()

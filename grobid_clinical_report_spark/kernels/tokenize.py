@@ -65,13 +65,22 @@ def explode_tokens(lines: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     return out
 
 
+_JUNK_RE = "|".join(
+    {"@PAGE": "@PAGE", "@IMAGE": "@IMAGE", "\x00": "\\x00", "�": "�"}.values()
+)
+
+
 def sanitize_lines(lines: pd.DataFrame) -> pd.DataFrame:
     """T3: strip junk sentinels from line text; keep blank lines (they are
-    block separators, consumed by block/page segmentation)."""
-    txt = lines["text"].fillna("")
-    for junk in JUNK_TOKENS:
-        txt = txt.str.replace(junk, "", regex=False)
-    return lines.assign(text=txt)
+    block separators, consumed by block/page segmentation). One RE2 pass;
+    skipped entirely when the batch is clean (the common case)."""
+    from . import arrowtext as at
+
+    arr = at.arr_of(lines["text"])
+    if not at.contains(arr, _JUNK_RE).any():
+        return lines.assign(text=lines["text"].fillna(""))
+    clean = at.replace(arr, _JUNK_RE, "")
+    return lines.assign(text=clean.to_numpy(zero_copy_only=False))
 
 
 def contiguous_pieces(offsets: np.ndarray, max_gap: int) -> np.ndarray:

@@ -2,12 +2,13 @@
 
 Reference lifecycle (FullMedicalTextParser.java:106-206): segmenter →
 header+leftnote → body featurize/label → figures/tables → callouts → TEI.
-Here the whole cascade is ONE shuffle-free `mapInPandas` pass: each Arrow
-batch of document rows is exploded to a flat lines frame, run through the
-pure-pandas kernels, and regrouped to `(doc_id, spans)` rows. No groupBy is
-needed because one row already holds a whole document — the JVM↔Python Arrow
-hop is the only process boundary (vs. the reference's per-document
-pdfalto subprocess + Wapiti JNI hops).
+Here the whole cascade is ONE shuffle-free `mapInArrow` pass: each Arrow batch
+of document rows is flattened to a lines frame with Arrow list kernels (no
+Python dicts at the boundary), run through the pure-pandas/numpy kernels, and
+regrouped to `(doc_id, spans)` list<struct> rows, again directly in Arrow.
+No groupBy is needed because one row already holds a whole document — the
+JVM↔Python Arrow hop is the only process boundary (vs. the reference's
+per-document pdfalto subprocess + Wapiti JNI hops).
 
 Public modes (API parity with §2.6: EngineMedical.process* / REST endpoints):
   extract_full     — /api/processFullMedicalText  (body structure + notes)
@@ -23,6 +24,8 @@ from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from .kernels import body as body_k
 from .kernels import header as header_k
@@ -39,70 +42,40 @@ from .schema import EXTRACTED_DDL
 _EMPTY_SPANS = pd.DataFrame(
     columns=["doc_id", "kind", "text", "media_ref", "offset"]
 )
+_LINE_COLS = ["doc_id", "seq", "kind", "text", "media_ref", "offset"]
+
+
+def prepare_lines(lines: pd.DataFrame) -> pd.DataFrame:
+    """Raw flat lines → sanitized, block/page-structured, featurized lines."""
+    if lines.empty:
+        return lines
+    lines["seq"] = lines.groupby("doc_id", sort=False).cumcount()
+    lines = sanitize_lines(lines)
+    lines = assign_blocks_pages(lines)
+    return featurize_lines(lines)
 
 
 def explode_docs(pdf: pd.DataFrame) -> pd.DataFrame:
-    """(doc_id, spans[]) rows → flat featurized lines frame."""
+    """(doc_id, spans[]) pandas rows → raw flat lines frame (test path; the
+    Spark path flattens in Arrow, see _lines_from_batch)."""
     if pdf.empty:
-        return pd.DataFrame(
-            columns=["doc_id", "seq", "kind", "text", "media_ref", "offset"]
-        )
+        return pd.DataFrame(columns=_LINE_COLS)
     ex = pdf[["doc_id", "spans"]].explode("spans", ignore_index=True)
     ex = ex[ex["spans"].notna()]
     cols = pd.DataFrame(ex["spans"].tolist(), index=ex.index)
     lines = pd.concat([ex[["doc_id"]], cols], axis=1).reset_index(drop=True)
-    lines["media_ref"] = lines.get("media_ref", pd.Series(dtype=object))
-    lines["seq"] = lines.groupby("doc_id", sort=False).cumcount()
-    lines = sanitize_lines(lines)
-    lines = assign_blocks_pages(lines)
+    if "media_ref" not in lines:
+        lines["media_ref"] = None
     return lines
 
 
-def _prep(pdf: pd.DataFrame) -> pd.DataFrame:
-    lines = explode_docs(pdf)
-    if lines.empty:
-        return lines
-    return featurize_lines(lines)
-
-
-def _regroup(pdf_in: pd.DataFrame, flat: pd.DataFrame) -> pd.DataFrame:
-    """Flat spans → one (doc_id, spans[]) row per input doc (empty list when
-    a doc produced nothing, so output cardinality == input cardinality)."""
-    if flat.empty:
-        return pd.DataFrame(
-            {"doc_id": pdf_in["doc_id"], "spans": [[] for _ in range(len(pdf_in))]}
-        )
-    flat = flat.sort_values(["doc_id", "offset"], kind="stable")
-    flat["offset"] = flat["offset"].astype("int64")
-    recs = pd.DataFrame(
-        {
-            "doc_id": flat["doc_id"],
-            "span": [
-                {"kind": k, "text": t, "media_ref": m, "offset": int(o)}
-                for k, t, m, o in zip(
-                    flat["kind"], flat["text"], flat["media_ref"], flat["offset"]
-                )
-            ],
-        }
-    )
-    grouped = recs.groupby("doc_id", sort=False)["span"].agg(list).rename("spans")
-    out = pdf_in[["doc_id"]].merge(
-        grouped, left_on="doc_id", right_index=True, how="left"
-    )
-    out["spans"] = [s if isinstance(s, list) else [] for s in out["spans"]]
-    return out
-
-
 # ---------------------------------------------------------------------------
-# pandas-level modes (pure; unit-testable without Spark)
+# flat stage functions: featurized lines → flat spans
 # ---------------------------------------------------------------------------
 
 
-def extract_full_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+def flat_extract_full(lines: pd.DataFrame) -> pd.DataFrame:
     """C1 full cascade → body-structure spans + deduped note spans."""
-    lines = _prep(pdf)
-    if lines.empty:
-        return _regroup(pdf, _EMPTY_SPANS)
     lines = lines.assign(zone=segment_lines(lines))
 
     body_lines = lines[lines["zone"].isin(["body", "annex"])].copy()
@@ -129,75 +102,130 @@ def extract_full_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
         spans_notes = dedup_notes(spans_notes)
     else:
         spans_notes = _EMPTY_SPANS
-
-    flat = pd.concat([spans_body, spans_notes], ignore_index=True)
-    return _regroup(pdf, flat)
+    return pd.concat([spans_body, spans_notes], ignore_index=True)
 
 
-def extract_header_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    lines = _prep(pdf)
-    if lines.empty:
-        return _regroup(pdf, _EMPTY_SPANS)
+def flat_extract_header(lines: pd.DataFrame) -> pd.DataFrame:
     lines = lines.assign(zone=segment_lines(lines))
     hdr = lines[lines["zone"].eq("header")].copy()
     if hdr.empty:
-        return _regroup(pdf, _EMPTY_SPANS)
+        return _EMPTY_SPANS
     hdr["label"] = header_k.label_header_lines(hdr)
-    return _regroup(pdf, header_k.merge_header_fields(hdr))
+    return header_k.merge_header_fields(hdr)
 
 
-def extract_leftnote_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    lines = _prep(pdf)
-    if lines.empty:
-        return _regroup(pdf, _EMPTY_SPANS)
+def flat_extract_leftnote(lines: pd.DataFrame) -> pd.DataFrame:
     lines = lines.assign(zone=segment_lines(lines))
     ln = lines[lines["zone"].eq("leftnote")].copy()
     if ln.empty:
-        return _regroup(pdf, _EMPTY_SPANS)
+        return _EMPTY_SPANS
     ln["label"] = leftnote_k.label_leftnote_lines(ln)
-    return _regroup(pdf, leftnote_k.merge_leftnote_fields(ln))
+    return leftnote_k.merge_leftnote_fields(ln)
 
 
-def _token_mode(pdf: pd.DataFrame, labeler: Callable) -> pd.DataFrame:
-    lines = _prep(pdf)
-    if lines.empty:
-        return _regroup(pdf, _EMPTY_SPANS)
+def _content_tokens(lines: pd.DataFrame) -> pd.DataFrame:
     content = lines[
         ~(lines["is_blank"] | lines["is_page_break"] | lines["is_media"])
     ]
     toks = explode_tokens(content)
     if toks.empty:
-        return _regroup(pdf, _EMPTY_SPANS)
-    toks = sub_k.token_features(toks)
-    toks["label"] = labeler(toks)
-    return _regroup(pdf, sub_k.tokens_to_spans(toks))
+        return toks
+    return sub_k.token_features(toks)
 
 
-def ner_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    lines = _prep(pdf)
-    if lines.empty:
-        return _regroup(pdf, _EMPTY_SPANS)
-    content = lines[
-        ~(lines["is_blank"] | lines["is_page_break"] | lines["is_media"])
-    ]
-    toks = explode_tokens(content)
+def flat_ner(lines: pd.DataFrame) -> pd.DataFrame:
+    toks = _content_tokens(lines)
     if toks.empty:
-        return _regroup(pdf, _EMPTY_SPANS)
-    toks = sub_k.token_features(toks)
-    flat = ner_k.ner_spans(toks)
+        return _EMPTY_SPANS
+    return ner_k.ner_spans(toks)
+
+
+def _flat_token_mode(labeler: Callable) -> Callable:
+    def fn(lines: pd.DataFrame) -> pd.DataFrame:
+        toks = _content_tokens(lines)
+        if toks.empty:
+            return _EMPTY_SPANS
+        toks["label"] = labeler(toks)
+        return sub_k.tokens_to_spans(toks)
+
+    return fn
+
+
+FLAT_MODES: dict[str, Callable[[pd.DataFrame], pd.DataFrame]] = {
+    "extract_full": flat_extract_full,
+    "extract_header": flat_extract_header,
+    "extract_leftnote": flat_extract_leftnote,
+    "ner": flat_ner,
+    "parse_dateline": _flat_token_mode(sub_k.parse_dateline_tokens),
+    "parse_medic": _flat_token_mode(sub_k.parse_medic_tokens),
+    "parse_patient": _flat_token_mode(sub_k.parse_patient_tokens),
+}
+
+
+# ---------------------------------------------------------------------------
+# pandas-level modes (pure; unit-testable without Spark)
+# ---------------------------------------------------------------------------
+
+
+def _run_pdf(pdf: pd.DataFrame, mode: str) -> pd.DataFrame:
+    lines = prepare_lines(explode_docs(pdf))
+    flat = FLAT_MODES[mode](lines) if not lines.empty else _EMPTY_SPANS
     return _regroup(pdf, flat)
 
 
+def _regroup(pdf_in: pd.DataFrame, flat: pd.DataFrame) -> pd.DataFrame:
+    """Flat spans → one (doc_id, spans[]) row per input doc (empty list when
+    a doc produced nothing, so output cardinality == input cardinality)."""
+    if flat.empty:
+        return pd.DataFrame(
+            {"doc_id": pdf_in["doc_id"], "spans": [[] for _ in range(len(pdf_in))]}
+        )
+    flat = flat.sort_values(["doc_id", "offset"], kind="stable")
+    recs = pd.DataFrame(
+        {
+            "doc_id": flat["doc_id"],
+            "span": [
+                {"kind": k, "text": t, "media_ref": m, "offset": int(o)}
+                for k, t, m, o in zip(
+                    flat["kind"], flat["text"], flat["media_ref"], flat["offset"]
+                )
+            ],
+        }
+    )
+    grouped = recs.groupby("doc_id", sort=False)["span"].agg(list).rename("spans")
+    out = pdf_in[["doc_id"]].merge(
+        grouped, left_on="doc_id", right_index=True, how="left"
+    )
+    out["spans"] = [s if isinstance(s, list) else [] for s in out["spans"]]
+    return out
+
+
+def extract_full_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    return _run_pdf(pdf, "extract_full")
+
+
+def extract_header_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    return _run_pdf(pdf, "extract_header")
+
+
+def extract_leftnote_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    return _run_pdf(pdf, "extract_leftnote")
+
+
+def ner_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    return _run_pdf(pdf, "ner")
+
+
 def parse_dateline_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    return _token_mode(pdf, sub_k.parse_dateline_tokens)
+    return _run_pdf(pdf, "parse_dateline")
 
 
 def parse_medic_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    return _token_mode(pdf, sub_k.parse_medic_tokens)
+    return _run_pdf(pdf, "parse_medic")
 
 
 def parse_patient_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    return _token_mode(pdf, sub_k.parse_patient_tokens)
+    return _run_pdf(pdf, "parse_patient")
 
 
 PANDAS_MODES: dict[str, Callable[[pd.DataFrame], pd.DataFrame]] = {
@@ -212,20 +240,90 @@ PANDAS_MODES: dict[str, Callable[[pd.DataFrame], pd.DataFrame]] = {
 
 
 # ---------------------------------------------------------------------------
-# Spark layer
+# Spark layer: Arrow-native flatten → kernels → Arrow-native regroup
 # ---------------------------------------------------------------------------
+
+
+def _lines_from_batch(batch: pa.RecordBatch) -> tuple[pa.Array, pd.DataFrame]:
+    """Arrow batch (doc_id, spans list<struct>) → (doc_id array, raw lines
+    frame). pc.list_flatten/list_parent_indices do the explode in C++ —
+    no per-span Python objects."""
+    doc_ids = batch.column("doc_id")
+    spans = batch.column("spans")
+    parent = pc.list_parent_indices(spans)
+    flat = pc.list_flatten(spans)
+    lines = pd.DataFrame(
+        {
+            "doc_id": doc_ids.take(parent).to_numpy(zero_copy_only=False),
+            "kind": flat.field("kind").to_numpy(zero_copy_only=False),
+            "text": flat.field("text").to_numpy(zero_copy_only=False),
+            "media_ref": flat.field("media_ref").to_numpy(zero_copy_only=False),
+            "offset": flat.field("offset").to_numpy(zero_copy_only=False),
+        }
+    )
+    return doc_ids, lines
+
+
+_OUT_STRUCT = pa.struct(
+    [
+        pa.field("kind", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("offset", pa.int32()),
+    ]
+)
+
+
+def _batch_from_flat(doc_ids: pa.Array, flat: pd.DataFrame) -> pa.RecordBatch:
+    """Flat spans → (doc_id, spans list<struct>) Arrow batch aligned with the
+    input doc order (empty lists for docs with no spans)."""
+    n_docs = len(doc_ids)
+    doc_index = pd.Index(doc_ids.to_numpy(zero_copy_only=False))
+    if flat.empty:
+        counts = np.zeros(n_docs, dtype=np.int64)
+        struct = pa.array([], type=_OUT_STRUCT)
+    else:
+        codes = doc_index.get_indexer(flat["doc_id"])
+        order = np.lexsort((flat["offset"].to_numpy(), codes))
+        flat = flat.iloc[order]
+        codes = codes[order]
+        counts = np.bincount(codes[codes >= 0], minlength=n_docs)
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(flat["kind"].astype(str), type=pa.string()),
+                pa.array(flat["text"].astype(str), type=pa.string()),
+                pa.array(
+                    flat["media_ref"]
+                    .astype(object)
+                    .where(flat["media_ref"].notna(), None)
+                    .to_numpy(),
+                    type=pa.string(),
+                ),
+                pa.array(
+                    flat["offset"].to_numpy().astype(np.int32), type=pa.int32()
+                ),
+            ],
+            fields=list(_OUT_STRUCT),
+        )
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    spans = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), struct)
+    return pa.RecordBatch.from_arrays([doc_ids, spans], names=["doc_id", "spans"])
 
 
 def run_mode(df, mode: str):
     """documents DataFrame → extracted-spans DataFrame, one vectorized
-    mapInPandas pass (no shuffle: one row = one document; partitioning is
+    mapInArrow pass (no shuffle: one row = one document; partitioning is
     whatever the scan/repartition upstream chose — see runner.salt_partition).
     """
-    fn = PANDAS_MODES[mode]
+    flat_fn = FLAT_MODES[mode]
 
-    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf):
-                yield fn(pdf)
+    def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            doc_ids, raw = _lines_from_batch(batch)
+            lines = prepare_lines(raw)
+            flat = flat_fn(lines) if not lines.empty else _EMPTY_SPANS
+            yield _batch_from_flat(doc_ids, flat)
 
-    return df.mapInPandas(mapper, schema=EXTRACTED_DDL)
+    return df.mapInArrow(mapper, schema=EXTRACTED_DDL)
