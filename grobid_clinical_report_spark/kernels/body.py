@@ -107,9 +107,10 @@ def body_spans(df: pd.DataFrame) -> pd.DataFrame:
             columns=["doc_id", "kind", "text", "media_ref", "offset"]
         )
     d["text_n"] = normalize_text(d["text"])
-    # block-change break via composite key (label stays the output kind)
-    key = d["label"].astype(str) + "\x00" + d["block_id"].astype(str)
-    d["_cl"] = rle_cluster_ids(d["doc_id"], key)
+    # block-change breaks clusters (label stays the output kind)
+    d["_cl"] = rle_cluster_ids(
+        d["doc_id"], d["label"], aux=d["block_id"].to_numpy()
+    )
 
     # vectorized aggregation: firsts via drop_duplicates (rows are already in
     # cluster order), text join via reduceat (kernels/cluster.group_join)

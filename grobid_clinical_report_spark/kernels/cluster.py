@@ -42,18 +42,22 @@ def group_join(values: np.ndarray, cluster_ids: np.ndarray, sep: str = " ") -> n
     )
 
 
-def rle_cluster_ids(doc_ids: pd.Series, labels: pd.Series) -> np.ndarray:
-    """L2: cluster id per row — increments when doc or label changes.
+def rle_cluster_ids(
+    doc_ids: pd.Series, labels: pd.Series, aux: np.ndarray | None = None
+) -> np.ndarray:
+    """L2: cluster id per row — increments when doc, label, or the optional
+    ``aux`` key (e.g. block id, for the paragraph-per-block rule) changes.
 
     Equivalent to TaggingTokenClusteror's consecutive-same-label grouping
     (an explicit `I-` prefix in a label value also opens a new cluster, as in
     GROBID's IOB scheme)."""
-    lab = labels.astype(str).to_numpy()
-    doc = doc_ids.astype(str).to_numpy()
+    lab = np.asarray(labels)
+    doc = np.asarray(doc_ids)
     opens = np.char.startswith(lab.astype(str), "I-")
-    prev_lab = np.roll(lab, 1)
-    prev_doc = np.roll(doc, 1)
-    change = (lab != prev_lab) | (doc != prev_doc) | opens
+    change = (lab != np.roll(lab, 1)) | (doc != np.roll(doc, 1)) | opens
+    if aux is not None:
+        aux = np.asarray(aux)
+        change |= aux != np.roll(aux, 1)
     if len(change):
         change[0] = True
     return np.cumsum(change) - 1
@@ -117,28 +121,28 @@ def repeated_pattern_flags(lines: pd.DataFrame) -> pd.Series:
             " ",
         )
     )
-    norm = pd.Series(
-        norm_arr.to_numpy(zero_copy_only=False), index=lines.index
-    )
-    content = ~(lines["is_blank"] | lines["is_page_break"])
-    pos_in_page = (
-        content.astype(np.int64)
-        .groupby([lines["doc_id"], lines["page_id"]], sort=False)
-        .cumsum()
-    )
-    page_len = (
-        content.astype(np.int64)
-        .groupby([lines["doc_id"], lines["page_id"]], sort=False)
-        .transform("sum")
-    )
+    norm = norm_arr.to_numpy(zero_copy_only=False)
+    content = (~(lines["is_blank"] | lines["is_page_break"])).to_numpy()
+
+    # integer composite keys: doc codes are batch-local ints, pages small
+    doc = lines["doc_id"].to_numpy()
+    doc_codes = doc if np.issubdtype(doc.dtype, np.integer) else pd.factorize(doc)[0]
+    page = lines["page_id"].to_numpy()
+    dp_key = doc_codes.astype(np.int64) * (1 << 20) + page
+
+    c = content.astype(np.int64)
+    dp = pd.Series(c).groupby(dp_key, sort=False)
+    pos_in_page = dp.cumsum().to_numpy()
+    page_len = dp.transform("sum").to_numpy()
     edge = (pos_in_page <= 2) | (pos_in_page >= page_len - 1)
-    key = pd.DataFrame(
-        {"doc_id": lines["doc_id"], "pat": norm, "page": lines["page_id"]}
-    )
-    pages_seen = key.groupby(["doc_id", "pat"], sort=False)["page"].transform(
-        "nunique"
-    )
-    return (pages_seen >= 2) & edge & content & norm.ne("")
+
+    pat_codes = pd.factorize(norm)[0]
+    doc_pat = doc_codes.astype(np.int64) * (1 << 31) + pat_codes
+    pages_seen = (
+        pd.Series(dp_key).groupby(doc_pat, sort=False).transform("nunique")
+    ).to_numpy()
+    flag = (pages_seen >= 2) & edge & content & (norm != "")
+    return pd.Series(flag, index=lines.index)
 
 
 def dedup_notes(spans: pd.DataFrame) -> pd.DataFrame:

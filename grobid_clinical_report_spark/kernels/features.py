@@ -48,23 +48,26 @@ def featurize_lines(lines: pd.DataFrame) -> pd.DataFrame:
     String features run on Arrow compute kernels (kernels/arrowtext.py) —
     one RE2 pass per feature over the whole column, no per-row Python.
     """
-    df = lines.copy()
+    df = lines.copy(deep=False)
     txt = at.arr_of(df["text"])
     low = at.lower(txt)
     stripped = at.strip(txt)
 
-    n_lines = df.groupby("doc_id", sort=False)["seq"].transform("size")
-    line_idx = df.groupby("doc_id", sort=False).cumcount()
-    df["rel_pos"] = line_idx / n_lines.clip(lower=1)
+    doc = df["_doc_code"].to_numpy()
+    ones = pd.Series(np.ones(len(df), dtype=np.int64))
+    gdoc = ones.groupby(doc, sort=False)
+    n_lines = gdoc.transform("size").to_numpy()
+    line_idx = gdoc.cumsum().to_numpy() - 1
+    df["rel_pos"] = line_idx / np.maximum(n_lines, 1)
     df["pos_bin"] = np.minimum(
         (df["rel_pos"] * NBBINS_POSITION).astype(np.int64), NBBINS_POSITION - 1
     )
 
-    page_lines = df.groupby(["doc_id", "page_id"], sort=False)["seq"].transform(
-        "size"
-    )
-    page_idx = df.groupby(["doc_id", "page_id"], sort=False).cumcount()
-    df["rel_pos_page"] = page_idx / page_lines.clip(lower=1)
+    page_key = doc * (1 << 20) + df["page_id"].to_numpy()
+    gpage = ones.groupby(page_key, sort=False)
+    page_lines = gpage.transform("size").to_numpy()
+    page_idx = gpage.cumsum().to_numpy() - 1
+    df["rel_pos_page"] = page_idx / np.maximum(page_lines, 1)
 
     letters = at.count(txt, r"[A-Za-zÀ-ÖØ-öø-ÿ]")
     uppers = at.count(txt, r"[A-ZÀ-ÖØ]")

@@ -52,9 +52,7 @@ def ner_emissions(t: pd.DataFrame) -> np.ndarray:
     em[:, _IX["rolename"]] += 3.0 * t["is_role"].to_numpy()
 
     # age: '50 ans'
-    same_line = t["doc_id"].eq(t["doc_id"].shift(-1)) & t["seq"].eq(
-        t["seq"].shift(-1)
-    )
+    same_line = t["line_key"].eq(t["line_key"].shift(-1))
     age_num = t["is_num"] & t["low"].shift(-1).eq("ans") & same_line
     em[:, _IX["age"]] += 6.0 * (t["low"].eq("ans") | age_num).to_numpy()
 
@@ -84,9 +82,7 @@ def ner_emissions(t: pd.DataFrame) -> np.ndarray:
 def label_ner_tokens(t: pd.DataFrame) -> pd.Series:
     em = ner_emissions(t)
     trans = sticky_transitions(NER_LABELS, stay=2.0)
-    _, starts = _doc_slices(
-        (t["doc_id"].astype(str) + "\x00" + t["seq"].astype(str)).to_numpy()
-    )
+    _, starts = _doc_slices(t["line_key"].to_numpy())
     seqs = [em[s:e] for s, e in zip(starts[:-1], starts[1:])]
     flat = np.concatenate(viterbi_batch(seqs, trans)) if seqs else np.zeros(0, int)
     return pd.Series(np.array(NER_LABELS, dtype=object)[flat], index=t.index)

@@ -51,7 +51,7 @@ def segment_emissions(df: pd.DataFrame) -> np.ndarray:
     contact = (df["has_phone"] | df["has_fax_word"]).to_numpy()
     block_contact = (
         pd.Series(contact)
-        .groupby([df["doc_id"].to_numpy(), df["block_id"].to_numpy()], sort=False)
+        .groupby(df["block_key"].to_numpy(), sort=False)
         .transform("any")
         .to_numpy()
     )

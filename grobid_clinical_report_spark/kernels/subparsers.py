@@ -60,7 +60,7 @@ def token_features(toks: pd.DataFrame) -> pd.DataFrame:
     t["is_side"] = low.isin(lx.SIDE_WORDS)
     t["is_month"] = low.isin(lx.MONTHS_FR)
     # previous-token context (within the same line), vectorized via shift
-    same_line = t["doc_id"].eq(t["doc_id"].shift()) & t["seq"].eq(t["seq"].shift())
+    same_line = t["line_key"].eq(t["line_key"].shift())
     t["prev_abbrev"] = (low.shift().isin(_ABBREVS) & same_line).fillna(False)
     t["prev_is_num"] = (t["is_num"].shift() & same_line).fillna(False)
     # sentence-final period: a hard cluster boundary (vs. 'Pr.' abbreviation
@@ -84,9 +84,7 @@ def _decode(
     t: pd.DataFrame, em: np.ndarray, labels: list[str], stay: float = 2.5
 ) -> pd.Series:
     trans = sticky_transitions(labels, stay=stay)
-    _, starts = _doc_slices(
-        (t["doc_id"].astype(str) + "\x00" + t["seq"].astype(str)).to_numpy()
-    )
+    _, starts = _doc_slices(t["line_key"].to_numpy())
     seqs = [em[s:e] for s, e in zip(starts[:-1], starts[1:])]
     flat = np.concatenate(viterbi_batch(seqs, trans)) if seqs else np.zeros(0, int)
     return pd.Series(np.array(labels, dtype=object)[flat], index=t.index)
@@ -95,10 +93,8 @@ def _decode(
 def tokens_to_spans(t: pd.DataFrame, drop: tuple[str, ...] = ("other",)) -> pd.DataFrame:
     """RLE-cluster labeled tokens and rebuild each span's exact source text:
     first token verbatim, subsequent members prefixed by their gap."""
-    d = t.copy()
-    d["_cl"] = rle_cluster_ids(
-        d["doc_id"].astype(str) + "\x00" + d["seq"].astype(str), d["label"]
-    )
+    d = t.copy(deep=False)
+    d["_cl"] = rle_cluster_ids(d["line_key"], d["label"])
     from .cluster import group_join
 
     first_of_cl = ~d.duplicated("_cl")

@@ -61,7 +61,11 @@ def explode_tokens(lines: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     )
     out = out[out["tok"].notna() & ~out["tok"].isin(JUNK_TOKENS)]
     out = out.reset_index(drop=True)
-    out["tok_idx"] = out.groupby(["doc_id", "seq"], sort=False).cumcount()
+    doc = out["doc_id"].to_numpy()
+    if not np.issubdtype(doc.dtype, np.integer):
+        doc = pd.factorize(doc)[0]
+    out["line_key"] = doc.astype(np.int64) * (1 << 22) + out["seq"].to_numpy()
+    out["tok_idx"] = out.groupby("line_key", sort=False).cumcount()
     return out
 
 
@@ -99,40 +103,45 @@ def contiguous_pieces(offsets: np.ndarray, max_gap: int) -> np.ndarray:
 def assign_blocks_pages(lines: pd.DataFrame) -> pd.DataFrame:
     """Derive block_id / page_id / line-in-block structure from the span
     stream: blank text spans ('') delimit blocks, form-feed spans ('\\f')
-    delimit pages (FIXTURES.md §1). Vectorized via groupby-cumsum.
+    delimit pages (FIXTURES.md §1). Vectorized via groupby-cumsum over
+    integer composite keys (doc_id is expected to be a batch-local int code
+    in the hot path — see pipeline._lines_from_batch; string doc_ids are
+    factorized on the fly for the test path).
 
-    Adds: is_blank, is_page_break, is_media, block_id, page_id, line_in_block,
-    block_len (lines per block) — the structural surrogates for the
-    reference's Block/Page geometry (SURVEY.md §7.3 layout-feature surrogates).
+    Adds: is_blank, is_page_break, is_media, block_id, page_id,
+    line_in_block, block_len, block_key (doc⊕block int composite).
     """
-    df = lines.copy()
-    txt = df["text"].fillna("")
-    df["is_media"] = df["kind"].eq("media")
-    df["is_page_break"] = txt.eq("\f")
-    df["is_blank"] = txt.str.strip().eq("") & ~df["is_media"] & ~df["is_page_break"]
+    from . import arrowtext as at
 
-    grp = df.groupby("doc_id", sort=False)
-    # a block starts after a blank or page-break line
-    starts_block = (df["is_blank"] | df["is_page_break"]).astype(np.int64)
-    df["block_id"] = grp[[]].cumcount() * 0  # placeholder, filled below
-    df["block_id"] = (
-        starts_block.groupby(df["doc_id"], sort=False).cumsum()
-        - starts_block  # current separator belongs to previous block
+    df = lines.copy(deep=False)
+    txt_arr = at.arr_of(df["text"])
+    df["is_media"] = np.asarray(df["kind"]) == "media"
+    txt_np = df["text"].fillna("").to_numpy()
+    df["is_page_break"] = txt_np == "\f"
+    df["is_blank"] = (
+        ~at.contains(txt_arr, r"\S") & ~df["is_media"] & ~df["is_page_break"]
     )
+
+    doc = df["doc_id"].to_numpy()
+    if not np.issubdtype(doc.dtype, np.integer):
+        doc = pd.factorize(doc)[0]
+    doc = doc.astype(np.int64)
+    df["_doc_code"] = doc
+
+    sep = (df["is_blank"] | df["is_page_break"]).to_numpy().astype(np.int64)
+    gdoc = pd.Series(sep).groupby(doc, sort=False)
+    df["block_id"] = (gdoc.cumsum() - sep).to_numpy()
+    pb = df["is_page_break"].to_numpy().astype(np.int64)
     df["page_id"] = (
-        df["is_page_break"].astype(np.int64).groupby(df["doc_id"], sort=False).cumsum()
-        - df["is_page_break"].astype(np.int64)
+        pd.Series(pb).groupby(doc, sort=False).cumsum() - pb
+    ).to_numpy()
+
+    block_key = doc * (1 << 22) + df["block_id"].to_numpy()
+    df["block_key"] = block_key
+    content = (~(df["is_blank"] | df["is_page_break"])).to_numpy().astype(
+        np.int64
     )
-    content = ~(df["is_blank"] | df["is_page_break"])
-    df["line_in_block"] = (
-        content.astype(np.int64)
-        .groupby([df["doc_id"], df["block_id"]], sort=False)
-        .cumsum()
-        - content.astype(np.int64)
-    )
-    df["block_len"] = (
-        content.astype(np.int64)
-        .groupby([df["doc_id"], df["block_id"]], sort=False)
-        .transform("sum")
-    )
+    gblk = pd.Series(content).groupby(block_key, sort=False)
+    df["line_in_block"] = (gblk.cumsum() - content).to_numpy()
+    df["block_len"] = gblk.transform("sum").to_numpy()
     return df

@@ -46,7 +46,9 @@ _LINE_COLS = ["doc_id", "seq", "kind", "text", "media_ref", "offset"]
 
 
 def prepare_lines(lines: pd.DataFrame) -> pd.DataFrame:
-    """Raw flat lines → sanitized, block/page-structured, featurized lines."""
+    """Raw flat lines → sanitized, block/page-structured, featurized lines.
+    `doc_id` must be a batch-local integer code (kernels group on ints —
+    string doc_ids stay out of the per-line hot path entirely)."""
     if lines.empty:
         return lines
     lines["seq"] = lines.groupby("doc_id", sort=False).cumcount()
@@ -168,8 +170,15 @@ FLAT_MODES: dict[str, Callable[[pd.DataFrame], pd.DataFrame]] = {
 
 
 def _run_pdf(pdf: pd.DataFrame, mode: str) -> pd.DataFrame:
-    lines = prepare_lines(explode_docs(pdf))
-    flat = FLAT_MODES[mode](lines) if not lines.empty else _EMPTY_SPANS
+    raw = explode_docs(pdf)
+    if raw.empty:
+        return _regroup(pdf, _EMPTY_SPANS)
+    codes, uniques = pd.factorize(raw["doc_id"])
+    raw["doc_id"] = codes
+    lines = prepare_lines(raw)
+    flat = FLAT_MODES[mode](lines)
+    if not flat.empty:
+        flat = flat.assign(doc_id=uniques.to_numpy()[flat["doc_id"].to_numpy()])
     return _regroup(pdf, flat)
 
 
@@ -254,7 +263,9 @@ def _lines_from_batch(batch: pa.RecordBatch) -> tuple[pa.Array, pd.DataFrame]:
     flat = pc.list_flatten(spans)
     lines = pd.DataFrame(
         {
-            "doc_id": doc_ids.take(parent).to_numpy(zero_copy_only=False),
+            # batch-local int code = row index of the parent document; the
+            # string doc_id never materializes per line
+            "doc_id": parent.to_numpy(zero_copy_only=False).astype(np.int64),
             "kind": flat.field("kind").to_numpy(zero_copy_only=False),
             "text": flat.field("text").to_numpy(zero_copy_only=False),
             "media_ref": flat.field("media_ref").to_numpy(zero_copy_only=False),
@@ -278,16 +289,15 @@ def _batch_from_flat(doc_ids: pa.Array, flat: pd.DataFrame) -> pa.RecordBatch:
     """Flat spans → (doc_id, spans list<struct>) Arrow batch aligned with the
     input doc order (empty lists for docs with no spans)."""
     n_docs = len(doc_ids)
-    doc_index = pd.Index(doc_ids.to_numpy(zero_copy_only=False))
     if flat.empty:
         counts = np.zeros(n_docs, dtype=np.int64)
         struct = pa.array([], type=_OUT_STRUCT)
     else:
-        codes = doc_index.get_indexer(flat["doc_id"])
+        codes = flat["doc_id"].to_numpy().astype(np.int64)
         order = np.lexsort((flat["offset"].to_numpy(), codes))
         flat = flat.iloc[order]
         codes = codes[order]
-        counts = np.bincount(codes[codes >= 0], minlength=n_docs)
+        counts = np.bincount(codes, minlength=n_docs)
         struct = pa.StructArray.from_arrays(
             [
                 pa.array(flat["kind"].astype(str), type=pa.string()),
