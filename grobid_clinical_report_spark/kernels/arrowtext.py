@@ -19,7 +19,23 @@ import pyarrow.compute as pc
 
 
 def arr_of(s: pd.Series) -> pa.Array:
+    """pandas Series → Arrow string array. Zero-copy when the Series is
+    already Arrow-backed (the pipeline keeps text columns as ArrowDtype so
+    the megabytes of document text are never re-encoded per feature pass)."""
+    if isinstance(s.dtype, pd.ArrowDtype):
+        arr = s.array._pa_array  # ChunkedArray
+        arr = arr.combine_chunks() if arr.num_chunks != 1 else arr.chunk(0)
+        if arr.null_count:
+            arr = pc.fill_null(arr, "")
+        return arr
     return pa.array(s.fillna("").astype(str), type=pa.string())
+
+
+def series_of(arr: pa.Array, index=None) -> pd.Series:
+    """Arrow string array → Arrow-backed pandas Series (no object dtype)."""
+    return pd.Series(
+        pd.arrays.ArrowExtensionArray(pa.chunked_array([arr])), index=index
+    )
 
 
 def word_bounded(core: str) -> str:

@@ -51,7 +51,14 @@ def explode_tokens(lines: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
 
     One explode over aligned (gap, tok) list columns — no Python loops.
     """
-    txt = lines[text_col].fillna("")
+    txt = lines[text_col]
+    if isinstance(txt.dtype, pd.ArrowDtype):
+        from . import arrowtext as at
+
+        txt = pd.Series(
+            at.arr_of(txt).to_numpy(zero_copy_only=False), index=lines.index
+        )
+    txt = txt.fillna("")
     toks = txt.str.findall(TOKEN_RE)
     gaps = txt.str.split(TOKEN_RE, regex=True)
     # gaps has len(toks)+1 elements; gap i precedes token i
@@ -82,9 +89,9 @@ def sanitize_lines(lines: pd.DataFrame) -> pd.DataFrame:
 
     arr = at.arr_of(lines["text"])
     if not at.contains(arr, _JUNK_RE).any():
-        return lines.assign(text=lines["text"].fillna(""))
+        return lines.assign(text=at.series_of(arr, index=lines.index))
     clean = at.replace(arr, _JUNK_RE, "")
-    return lines.assign(text=clean.to_numpy(zero_copy_only=False))
+    return lines.assign(text=at.series_of(clean, index=lines.index))
 
 
 def contiguous_pieces(offsets: np.ndarray, max_gap: int) -> np.ndarray:
@@ -113,11 +120,15 @@ def assign_blocks_pages(lines: pd.DataFrame) -> pd.DataFrame:
     """
     from . import arrowtext as at
 
+    import pyarrow.compute as pc
+
     df = lines.copy(deep=False)
     txt_arr = at.arr_of(df["text"])
-    df["is_media"] = np.asarray(df["kind"]) == "media"
-    txt_np = df["text"].fillna("").to_numpy()
-    df["is_page_break"] = txt_np == "\f"
+    kind_arr = at.arr_of(df["kind"])
+    df["is_media"] = pc.equal(kind_arr, "media").to_numpy(zero_copy_only=False)
+    df["is_page_break"] = pc.equal(txt_arr, "\f").to_numpy(
+        zero_copy_only=False
+    )
     df["is_blank"] = (
         ~at.contains(txt_arr, r"\S") & ~df["is_media"] & ~df["is_page_break"]
     )

@@ -261,13 +261,16 @@ def _lines_from_batch(batch: pa.RecordBatch) -> tuple[pa.Array, pd.DataFrame]:
     spans = batch.column("spans")
     parent = pc.list_parent_indices(spans)
     flat = pc.list_flatten(spans)
+    from .kernels.arrowtext import series_of
+
     lines = pd.DataFrame(
         {
             # batch-local int code = row index of the parent document; the
-            # string doc_id never materializes per line
+            # string doc_id never materializes per line. text/kind stay
+            # Arrow-backed — object-dtype strings never materialize either.
             "doc_id": parent.to_numpy(zero_copy_only=False).astype(np.int64),
-            "kind": flat.field("kind").to_numpy(zero_copy_only=False),
-            "text": flat.field("text").to_numpy(zero_copy_only=False),
+            "kind": series_of(flat.field("kind")),
+            "text": series_of(flat.field("text")),
             "media_ref": flat.field("media_ref").to_numpy(zero_copy_only=False),
             "offset": flat.field("offset").to_numpy(zero_copy_only=False),
         }
