@@ -88,7 +88,10 @@ def extract_only(cpus: int) -> None:
     run_mode(warm, "extract_full").write.format("noop").mode(
         "overwrite"
     ).save()
-    n_docs, sec = run_extraction(spark, corpus, tasks=cpus * 4)
+    # 8 tasks per core: fine-grained tasks bound the whale-document tail
+    # (a 20k-span doc costs ~400 median docs of compute; small tasks keep it
+    # from defining the stage wall when scheduled late)
+    n_docs, sec = run_extraction(spark, corpus, tasks=cpus * 8)
     spark.stop()
     print(json.dumps({"cpus": cpus, "n_docs": n_docs, "sec": sec}))
 

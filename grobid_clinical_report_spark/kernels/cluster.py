@@ -121,26 +121,37 @@ def repeated_pattern_flags(lines: pd.DataFrame) -> pd.Series:
             " ",
         )
     )
+    from .segments import seg_cumsum, seg_sizes, seg_starts, seg_sum_transform
+
     norm = norm_arr.to_numpy(zero_copy_only=False)
     content = (~(lines["is_blank"] | lines["is_page_break"])).to_numpy()
+    n = len(lines)
 
     # integer composite keys: doc codes are batch-local ints, pages small
     doc = lines["doc_id"].to_numpy()
     doc_codes = doc if np.issubdtype(doc.dtype, np.integer) else pd.factorize(doc)[0]
-    page = lines["page_id"].to_numpy()
-    dp_key = doc_codes.astype(np.int64) * (1 << 20) + page
+    doc_codes = doc_codes.astype(np.int64)
+    page = lines["page_id"].to_numpy().astype(np.int64)
+    dp_key = doc_codes * (1 << 20) + page
+    pstarts = seg_starts(dp_key)
 
     c = content.astype(np.int64)
-    dp = pd.Series(c).groupby(dp_key, sort=False)
-    pos_in_page = dp.cumsum().to_numpy()
-    page_len = dp.transform("sum").to_numpy()
+    pos_in_page = seg_cumsum(c, pstarts)
+    page_len = seg_sum_transform(c, pstarts)
     edge = (pos_in_page <= 2) | (pos_in_page >= page_len - 1)
 
-    pat_codes = pd.factorize(norm)[0]
-    doc_pat = doc_codes.astype(np.int64) * (1 << 31) + pat_codes
-    pages_seen = (
-        pd.Series(dp_key).groupby(doc_pat, sort=False).transform("nunique")
-    ).to_numpy()
+    # pages_seen per (doc, pattern): unique (doc,pat,page) triples, counted
+    # per (doc,pat) — all in sorted-integer space, no hash groupby
+    pat_codes = pd.factorize(norm)[0].astype(np.int64)
+    comp = doc_codes * (1 << 42) + pat_codes * (1 << 20) + page
+    uniq = np.unique(comp)
+    dp_of_uniq = uniq >> 20
+    ustarts = seg_starts(dp_of_uniq)
+    counts = seg_sizes(ustarts, len(uniq))
+    dp_sorted_keys = dp_of_uniq[ustarts]
+    idx = np.searchsorted(dp_sorted_keys, comp >> 20)
+    pages_seen = counts[idx]
+
     flag = (pages_seen >= 2) & edge & content & (norm != "")
     return pd.Series(flag, index=lines.index)
 

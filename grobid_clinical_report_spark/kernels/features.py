@@ -53,21 +53,23 @@ def featurize_lines(lines: pd.DataFrame) -> pd.DataFrame:
     low = at.lower(txt)
     stripped = at.strip(txt)
 
+    from .segments import seg_position, seg_size_transform, seg_starts
+
+    n = len(df)
     doc = df["_doc_code"].to_numpy()
-    ones = pd.Series(np.ones(len(df), dtype=np.int64))
-    gdoc = ones.groupby(doc, sort=False)
-    n_lines = gdoc.transform("size").to_numpy()
-    line_idx = gdoc.cumsum().to_numpy() - 1
-    df["rel_pos"] = line_idx / np.maximum(n_lines, 1)
+    dstarts = seg_starts(doc)
+    df["rel_pos"] = seg_position(dstarts, n) / np.maximum(
+        seg_size_transform(dstarts, n), 1
+    )
     df["pos_bin"] = np.minimum(
         (df["rel_pos"] * NBBINS_POSITION).astype(np.int64), NBBINS_POSITION - 1
     )
 
     page_key = doc * (1 << 20) + df["page_id"].to_numpy()
-    gpage = ones.groupby(page_key, sort=False)
-    page_lines = gpage.transform("size").to_numpy()
-    page_idx = gpage.cumsum().to_numpy() - 1
-    df["rel_pos_page"] = page_idx / np.maximum(page_lines, 1)
+    pstarts = seg_starts(page_key)
+    df["rel_pos_page"] = seg_position(pstarts, n) / np.maximum(
+        seg_size_transform(pstarts, n), 1
+    )
 
     letters = at.count(txt, r"[A-Za-zÀ-ÖØ-öø-ÿ]")
     uppers = at.count(txt, r"[A-ZÀ-ÖØ]")

@@ -48,12 +48,11 @@ def segment_emissions(df: pd.DataFrame) -> np.ndarray:
 
     # block-level contact signal: phone/fax lines pull their whole block into
     # the left margin (surrogate for the reference's x-coordinate evidence)
+    from .segments import seg_any_transform, seg_starts
+
     contact = (df["has_phone"] | df["has_fax_word"]).to_numpy()
-    block_contact = (
-        pd.Series(contact)
-        .groupby(df["block_key"].to_numpy(), sort=False)
-        .transform("any")
-        .to_numpy()
+    block_contact = seg_any_transform(
+        contact, seg_starts(df["block_key"].to_numpy())
     )
 
     from . import arrowtext as at

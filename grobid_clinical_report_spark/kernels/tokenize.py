@@ -122,7 +122,15 @@ def assign_blocks_pages(lines: pd.DataFrame) -> pd.DataFrame:
 
     import pyarrow.compute as pc
 
+    from .segments import (
+        seg_cumsum,
+        seg_position,
+        seg_starts,
+        seg_sum_transform,
+    )
+
     df = lines.copy(deep=False)
+    n = len(df)
     txt_arr = at.arr_of(df["text"])
     kind_arr = at.arr_of(df["kind"])
     df["is_media"] = pc.equal(kind_arr, "media").to_numpy(zero_copy_only=False)
@@ -139,20 +147,22 @@ def assign_blocks_pages(lines: pd.DataFrame) -> pd.DataFrame:
     doc = doc.astype(np.int64)
     df["_doc_code"] = doc
 
+    # lines arrive grouped by document → every grouping below is a
+    # contiguous-segment aggregation (kernels/segments.py), no hash groupby
+    dstarts = seg_starts(doc)
+    if "seq" not in df.columns:
+        df["seq"] = seg_position(dstarts, n)
     sep = (df["is_blank"] | df["is_page_break"]).to_numpy().astype(np.int64)
-    gdoc = pd.Series(sep).groupby(doc, sort=False)
-    df["block_id"] = (gdoc.cumsum() - sep).to_numpy()
+    df["block_id"] = seg_cumsum(sep, dstarts) - sep
     pb = df["is_page_break"].to_numpy().astype(np.int64)
-    df["page_id"] = (
-        pd.Series(pb).groupby(doc, sort=False).cumsum() - pb
-    ).to_numpy()
+    df["page_id"] = seg_cumsum(pb, dstarts) - pb
 
     block_key = doc * (1 << 22) + df["block_id"].to_numpy()
     df["block_key"] = block_key
+    bstarts = seg_starts(block_key)
     content = (~(df["is_blank"] | df["is_page_break"])).to_numpy().astype(
         np.int64
     )
-    gblk = pd.Series(content).groupby(block_key, sort=False)
-    df["line_in_block"] = (gblk.cumsum() - content).to_numpy()
-    df["block_len"] = gblk.transform("sum").to_numpy()
+    df["line_in_block"] = seg_cumsum(content, bstarts) - content
+    df["block_len"] = seg_sum_transform(content, bstarts)
     return df

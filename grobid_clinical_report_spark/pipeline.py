@@ -51,9 +51,8 @@ def prepare_lines(lines: pd.DataFrame) -> pd.DataFrame:
     string doc_ids stay out of the per-line hot path entirely)."""
     if lines.empty:
         return lines
-    lines["seq"] = lines.groupby("doc_id", sort=False).cumcount()
     lines = sanitize_lines(lines)
-    lines = assign_blocks_pages(lines)
+    lines = assign_blocks_pages(lines)  # adds seq/block/page structure
     return featurize_lines(lines)
 
 
