@@ -40,13 +40,19 @@ def _any_re(vocab: set[str]) -> str:
     return at.word_bounded("|".join(_re.escape(w) for w in sorted(vocab)))
 
 
-def featurize_lines(lines: pd.DataFrame) -> pd.DataFrame:
+def featurize_lines(
+    lines: pd.DataFrame, profile: str = "all"
+) -> pd.DataFrame:
     """Add the shared feature columns used by segmenter/header/body emission
     models. Input must already carry block/page structure
     (tokenize.assign_blocks_pages).
 
     String features run on Arrow compute kernels (kernels/arrowtext.py) —
     one RE2 pass per feature over the whole column, no per-row Python.
+
+    ``profile``: 'body' skips the header/left-note-only lexicon passes
+    (time/email/web/city/month/year/dose — ~7 full-column RE2 scans) for the
+    extract_full hot path; 'all' computes everything.
     """
     df = lines.copy(deep=False)
     txt = at.arr_of(df["text"])
@@ -94,19 +100,21 @@ def featurize_lines(lines: pd.DataFrame) -> pd.DataFrame:
 
     # regex/dictionary flags (F8 lexicon; FeatureFactory email/http/month/year)
     df["has_date"] = at.contains(txt, lx.RE_DATE.pattern)
-    df["has_time"] = at.contains(txt, lx.RE_TIME.pattern)
     df["has_phone"] = at.contains(txt, lx.RE_PHONE.pattern)
-    df["has_email"] = at.contains(txt, lx.RE_EMAIL.pattern)
-    df["has_web"] = at.contains(txt, lx.RE_WEB.pattern)
     df["has_postcode"] = at.contains(txt, lx.RE_POSTCODE.pattern)
-    df["has_year"] = at.contains(txt, lx.RE_YEAR.pattern)
     df["has_ipp"] = at.contains(
         txt, at.word_bounded(r"IPP|NIP|N°\s*dossier")
     )
-    df["has_dose"] = at.contains(
-        low, at.word_bounded(r"\d+(?:[.,]\d+)?\s*(?:mg|g|ml|ui|µg|mcg)")
-    )
-    df["has_month_word"] = at.contains(low, _any_re(set(lx.MONTHS_FR)))
+    if profile == "all":
+        df["has_time"] = at.contains(txt, lx.RE_TIME.pattern)
+        df["has_email"] = at.contains(txt, lx.RE_EMAIL.pattern)
+        df["has_web"] = at.contains(txt, lx.RE_WEB.pattern)
+        df["has_year"] = at.contains(txt, lx.RE_YEAR.pattern)
+        df["has_dose"] = at.contains(
+            low, at.word_bounded(r"\d+(?:[.,]\d+)?\s*(?:mg|g|ml|ui|µg|mcg)")
+        )
+        df["has_month_word"] = at.contains(low, _any_re(set(lx.MONTHS_FR)))
+        df["has_city_word"] = at.contains(low, _any_re(lx.CITIES_FR))
     df["has_medic_title"] = at.contains(
         low, at.word_bounded(r"dr|pr|docteur|professeur")
     )
@@ -122,7 +130,6 @@ def featurize_lines(lines: pd.DataFrame) -> pd.DataFrame:
     df["has_org_word"] = at.contains(low, _any_re(lx.ORG_WORDS))
     df["has_doctype_word"] = at.contains(low, _any_re(lx.DOCTYPE_WORDS))
     df["has_street_word"] = at.contains(low, _any_re(lx.STREET_WORDS))
-    df["has_city_word"] = at.contains(low, _any_re(lx.CITIES_FR))
     df["is_page_number"] = at.match(
         low, r"\s*(?:page\s+)?\d+\s*(?:/\s*\d+)?\s*$"
     )

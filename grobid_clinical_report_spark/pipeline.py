@@ -45,7 +45,20 @@ _EMPTY_SPANS = pd.DataFrame(
 _LINE_COLS = ["doc_id", "seq", "kind", "text", "media_ref", "offset"]
 
 
-def prepare_lines(lines: pd.DataFrame) -> pd.DataFrame:
+# which feature passes each mode needs: token modes only need structure,
+# extract_full skips the header-only lexicon scans
+_MODE_PROFILE = {
+    "extract_full": "body",
+    "extract_header": "all",
+    "extract_leftnote": "all",
+    "ner": "minimal",
+    "parse_dateline": "minimal",
+    "parse_medic": "minimal",
+    "parse_patient": "minimal",
+}
+
+
+def prepare_lines(lines: pd.DataFrame, profile: str = "all") -> pd.DataFrame:
     """Raw flat lines → sanitized, block/page-structured, featurized lines.
     `doc_id` must be a batch-local integer code (kernels group on ints —
     string doc_ids stay out of the per-line hot path entirely)."""
@@ -53,7 +66,9 @@ def prepare_lines(lines: pd.DataFrame) -> pd.DataFrame:
         return lines
     lines = sanitize_lines(lines)
     lines = assign_blocks_pages(lines)  # adds seq/block/page structure
-    return featurize_lines(lines)
+    if profile == "minimal":
+        return lines
+    return featurize_lines(lines, profile=profile)
 
 
 def explode_docs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -174,7 +189,7 @@ def _run_pdf(pdf: pd.DataFrame, mode: str) -> pd.DataFrame:
         return _regroup(pdf, _EMPTY_SPANS)
     codes, uniques = pd.factorize(raw["doc_id"])
     raw["doc_id"] = codes
-    lines = prepare_lines(raw)
+    lines = prepare_lines(raw, profile=_MODE_PROFILE.get(mode, "all"))
     flat = FLAT_MODES[mode](lines)
     if not flat.empty:
         flat = flat.assign(doc_id=uniques.to_numpy()[flat["doc_id"].to_numpy()])
@@ -328,13 +343,14 @@ def run_mode(df, mode: str):
     whatever the scan/repartition upstream chose — see runner.salt_partition).
     """
     flat_fn = FLAT_MODES[mode]
+    profile = _MODE_PROFILE.get(mode, "all")
 
     def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             doc_ids, raw = _lines_from_batch(batch)
-            lines = prepare_lines(raw)
+            lines = prepare_lines(raw, profile=profile)
             flat = flat_fn(lines) if not lines.empty else _EMPTY_SPANS
             yield _batch_from_flat(doc_ids, flat)
 
