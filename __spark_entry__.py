@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from grobid_clinical_report_spark import (
+    anonymize,
     multimodal,
     relational,
     similarity,
@@ -132,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(similarity.OPS)
     q.update(relational.OPS)
     q.update(multimodal.OPS)
+    q.update(anonymize.OPS)
     return q
 
 
@@ -141,4 +143,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(similarity.ORACLES)
     o.update(relational.ORACLES)
     o.update(multimodal.ORACLES)
+    o.update(anonymize.ORACLES)
     return o

@@ -1,0 +1,75 @@
+"""TEI serialization of extracted span sequences (SURVEY.md §2.1 S5, §2.5 C5).
+
+Reference: `TEIFormatter.toTEITextPiece` (TEIFormatter.java:766-973) maps
+clusters to TEI elements; `FullMedicalTextParser.toTEI` (:5867-5922) wraps
+them in <TEI><teiHeader/><text><body>…. Correctness in this engine is judged
+on the span sequence itself (SURVEY.md §1.4), so TEI is an *optional sink
+serialization*: a pure string fold over the spans array, vectorized.
+
+Element mapping (TEIFormatter.java:807-957):
+  title→<title>, section→<div><head n="1">, subsection→<head n="2">,
+  paragraph→<p>, item→<list><item>, figure→<figure (+<graphic url=…)>,
+  table→<figure type="table">, medic→<medic>, patient→<patient>,
+  figure_marker/table_marker→<ref>, head/footnote→<note place=…>.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+_TAG = {
+    "title": ("<title>", "</title>"),
+    "section": ('<head n="1">', "</head>"),
+    "subsection": ('<head n="2">', "</head>"),
+    "paragraph": ("<p>", "</p>"),
+    "item": ("<item>", "</item>"),
+    "figure": ("<figure>", "</figure>"),
+    "table": ('<figure type="table">', "</figure>"),
+    "figure_marker": ('<ref type="figure">', "</ref>"),
+    "table_marker": ('<ref type="table">', "</ref>"),
+    "medic": ("<medic>", "</medic>"),
+    "patient": ("<patient>", "</patient>"),
+    "headnote": ('<note place="headnote">', "</note>"),
+    "footnote": ('<note place="footnote">', "</note>"),
+}
+
+
+def _escape(s: pd.Series) -> pd.Series:
+    return (
+        s.fillna("")
+        .str.replace("&", "&amp;", regex=False)
+        .str.replace("<", "&lt;", regex=False)
+        .str.replace(">", "&gt;", regex=False)
+    )
+
+
+def spans_to_tei(flat: pd.DataFrame) -> pd.DataFrame:
+    """Flat spans [doc_id, kind, text, media_ref, offset] → one TEI body
+    string per document. Vectorized: element strings are built column-wise,
+    then folded per document with a groupby join."""
+    from .cluster import group_join
+
+    if flat.empty:
+        return pd.DataFrame(columns=["doc_id", "tei"])
+    d = flat.sort_values(["doc_id", "offset"], kind="stable").reset_index(
+        drop=True
+    )
+    opens = d["kind"].map(lambda k: _TAG.get(k, (f'<note type="{k}">', ""))[0])
+    closes = d["kind"].map(
+        lambda k: _TAG.get(k, ("", "</note>"))[1]
+    )
+    graphic = d["media_ref"].map(
+        lambda m: f'<graphic url="{m}"/>' if isinstance(m, str) and m else ""
+    )
+    elems = opens + _escape(d["text"]) + graphic + closes
+    codes, uniques = pd.factorize(d["doc_id"])
+    body = group_join(elems.to_numpy(), codes, sep="")
+    return pd.DataFrame(
+        {
+            "doc_id": uniques,
+            "tei": [
+                "<TEI><teiHeader/><text><body>" + b + "</body></text></TEI>"
+                for b in body
+            ],
+        }
+    )

@@ -11,6 +11,7 @@ def get_spark(
     app: str = "grobid-clinical-report-spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
+    max_partition_bytes: str = "128m",
 ) -> SparkSession:
     """local[N] session tuned for the extraction pipeline.
 
@@ -36,6 +37,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
+        .config("spark.sql.files.openCostInBytes", "1m")
         .getOrCreate()
     )

@@ -1,0 +1,104 @@
+"""TEI serialization, anonymization, streaming extraction."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+
+from grobid_clinical_report_spark import datagen
+from grobid_clinical_report_spark.kernels.tei import spans_to_tei
+from grobid_clinical_report_spark.pipeline import PANDAS_MODES
+from grobid_clinical_report_spark.schema import DOCUMENTS_SCHEMA
+
+
+def test_tei_serialization(fixture_docs_pdf):
+    out = PANDAS_MODES["extract_full"](
+        fixture_docs_pdf[fixture_docs_pdf.doc_id == "fx-full-0001"].reset_index(
+            drop=True
+        )
+    )
+    flat = pd.DataFrame(
+        [
+            {"doc_id": r.doc_id, **s}
+            for r in out.itertuples()
+            for s in r.spans
+        ]
+    )
+    tei = spans_to_tei(flat)
+    assert len(tei) == 1
+    body = tei.tei.iloc[0]
+    assert body.startswith("<TEI><teiHeader/><text><body>")
+    assert "<title>HYSTÉRECTOMIE PAR COELIOSCOPIE</title>" in body
+    assert '<head n="1">DIAGNOSTIC :</head>' in body
+    assert '<graphic url="img/fx-full-0001/0.png"/>' in body
+    assert '<note place="footnote">' in body
+    # well-formed (every element closed)
+    import xml.etree.ElementTree as ET
+
+    ET.fromstring(body)
+
+
+def test_anonymize_oracle(spark):
+    import duckdb
+
+    from grobid_clinical_report_spark import anonymize
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    got = (
+        anonymize.q_anonymize(spark, sf)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        con.sql(anonymize.ORACLES["anonymize_text"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["anon_text"].tolist() == want["anon_text"].tolist()
+    # no residual emails or digits
+    assert not got["anon_text"].str.contains(r"\d|@[\w-]+\.", regex=True).any()
+
+
+def test_streaming_incremental_extract(spark, tmp_path):
+    from grobid_clinical_report_spark.streaming import stream_extract
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    pdf = datagen.fixture_documents_pdf()
+    spark.createDataFrame(pdf.iloc[:3], DOCUMENTS_SCHEMA).write.parquet(
+        os.path.join(in_dir, "batch0")
+    )
+    # file source needs a flat dir of parquet files
+    import glob
+    import shutil
+
+    for i, f in enumerate(glob.glob(os.path.join(in_dir, "batch0", "*.parquet"))):
+        shutil.move(f, os.path.join(in_dir, f"b0-{i}.parquet"))
+    shutil.rmtree(os.path.join(in_dir, "batch0"))
+
+    q = stream_extract(spark, in_dir, out_dir)
+    q.awaitTermination(120)
+    first = spark.read.parquet(os.path.join(out_dir, "spans"))
+    n1 = first.count()
+    assert n1 == 3
+
+    # second tranche → only new files processed on restart
+    spark.createDataFrame(pdf.iloc[3:], DOCUMENTS_SCHEMA).write.parquet(
+        os.path.join(in_dir, "batch1")
+    )
+    for i, f in enumerate(glob.glob(os.path.join(in_dir, "batch1", "*.parquet"))):
+        shutil.move(f, os.path.join(in_dir, f"b1-{i}.parquet"))
+    shutil.rmtree(os.path.join(in_dir, "batch1"))
+
+    q2 = stream_extract(spark, in_dir, out_dir)
+    q2.awaitTermination(120)
+    time.sleep(0.2)
+    total = spark.read.parquet(os.path.join(out_dir, "spans")).count()
+    assert total == len(pdf)
