@@ -113,7 +113,7 @@ def headline() -> dict:
     from grobid_clinical_report_spark.session import get_spark
 
     sf = _sf_from_dir(SF_DIR)
-    spark = get_spark(app="bench", cpus=CPUS)
+    spark = get_spark(app="bench", cpus=CPUS, max_partition_bytes="4m")
     queries: dict[str, float] = {}
 
     corpus = corpus_path(sf)

@@ -26,8 +26,13 @@ def get_spark(
     """
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle = shuffle_partitions or max(cpus, 8)
+    # above ~16 concurrent Python workers this box's memory bus saturates
+    # (bandwidth-bound pandas kernels) — claim 2 cores per task so task slots
+    # halve while the JVM keeps serialization headroom
+    task_cpus = 2 if cpus >= 32 else 1
     return (
         SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.task.cpus", str(task_cpus))
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")

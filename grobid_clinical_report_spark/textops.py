@@ -41,13 +41,23 @@ def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _load_wide(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Load + spread: the test tiers are single small parquet files (one row
+    group → one scan task), so compute-heavy per-row ops would serialize on
+    one core. One cheap round-robin repartition buys full parallelism. At
+    production scale the table has many files and this is a no-op choice —
+    the scan splits already parallelize."""
+    n = spark.sparkContext.defaultParallelism
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet").repartition(n)
+
+
 # ---------------------------------------------------------------------------
 # S7-style raw text normalization (generateText,
 # FullMedicalTextParser.java:1181-1223 — newline/tab normalization)
 # ---------------------------------------------------------------------------
 
 def q_rawtext(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _load(spark, sf_dir, "documents").selectExpr(
+    return _load_wide(spark, sf_dir, "documents").selectExpr(
         "doc_id",
         f"{_NORM} as raw_text",
         f"length({_NORM}) as n_chars_norm",
@@ -91,7 +101,7 @@ GROUP BY source ORDER BY source
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        _load(spark, sf_dir, "documents")
+        _load_wide(spark, sf_dir, "documents")
         .selectExpr("doc_id", f"md5({_NORM}) as fp")
         .groupBy("fp")
         .agg(
@@ -122,7 +132,7 @@ def _lang_scores() -> list[str]:
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = _load(spark, sf_dir, "documents").selectExpr(
+    scored = _load_wide(spark, sf_dir, "documents").selectExpr(
         "doc_id", *_lang_scores()
     )
     pred = (
@@ -160,7 +170,7 @@ _N_TOKS = f"size(split({_NORM}, ' '))"
 
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _load(spark, sf_dir, "documents").selectExpr(
+    return _load_wide(spark, sf_dir, "documents").selectExpr(
         "doc_id",
         f"cast({_N_TOKS} as bigint) as n_tokens",
         f"cast({_N_PUNCT} as bigint) as n_punct",
@@ -196,7 +206,7 @@ _BPE_RE = "[a-z]+|[0-9]|[^a-z0-9 ]"
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _load(spark, sf_dir, "documents").selectExpr(
+    return _load_wide(spark, sf_dir, "documents").selectExpr(
         "doc_id",
         f"cast({_N_TOKS} as bigint) as ws_tokens",
         f"cast(regexp_count({_NORM}, '{_BPE_RE}') as bigint) as bpe_tokens",
@@ -215,18 +225,42 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 _SHINGLE_W = 5
-# shingles as 5-word windows over the token array
+# shingles as 5-word windows over the token array. IMPORTANT: this form
+# references the bound column `w`, not the inline split expression — SQL text
+# macros re-evaluate at every textual occurrence, so an inlined split would
+# re-tokenize the document once per shingle (measured 5s → 0.5s at sf0.1).
+# Catalyst's CollapseProject keeps the two-step projection separate because
+# split/regexp_replace are non-cheap expressions referenced multiple times.
+_SHINGLES_OF_W = (
+    f"transform(sequence(1, greatest(size(w) - {_SHINGLE_W - 1}, 1)),"
+    f" i -> concat_ws(' ', slice(w, i, {_SHINGLE_W})))"
+)
+# legacy inline form, kept for expression-level parity in the oracles
 _SHINGLES = (
     f"transform(sequence(1, greatest(size({_WORDS}) - {_SHINGLE_W - 1}, 1)),"
     f" i -> concat_ws(' ', slice({_WORDS}, i, {_SHINGLE_W})))"
 )
 
 
+def _with_shingles(spark: SparkSession, sf_dir: str, extra: str = "") -> DataFrame:
+    """documents → (doc_id[, norm], sha) with words/shingles computed once."""
+    cols = ["doc_id", f"split({_NORM}, ' ') as w"]
+    if extra:
+        cols.append(extra)
+    base = _load_wide(spark, sf_dir, "documents").selectExpr(*cols)
+    keep = ["doc_id", f"{_SHINGLES_OF_W} as sha"]
+    if extra:
+        keep.append(extra.split(" as ")[-1])
+    return base.selectExpr(*keep)
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _load(spark, sf_dir, "documents").selectExpr(
+    return _with_shingles(
+        spark, sf_dir, extra=f"md5({_NORM}) as exact_fp"
+    ).selectExpr(
         "doc_id",
-        f"md5({_NORM}) as exact_fp",
-        f"array_min(transform({_SHINGLES}, s -> md5(s))) as min_shingle_fp",
+        "exact_fp",
+        "array_min(transform(sha, s -> md5(s))) as min_shingle_fp",
     )
 
 
@@ -249,11 +283,15 @@ MINHASH_K = 8
 
 
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # materialize the shingle array ONCE, then take k mins over it — without
+    # the intermediate projection Catalyst would inline (and recompute) the
+    # split+transform chain into every one of the k columns
+    sh = _with_shingles(spark, sf_dir)
     cols = [
-        f"array_min(transform({_SHINGLES}, s -> md5(concat('{j}|', s)))) as mh{j}"
+        f"array_min(transform(sha, s -> md5(concat('{j}|', s)))) as mh{j}"
         for j in range(MINHASH_K)
     ]
-    return _load(spark, sf_dir, "documents").selectExpr("doc_id", *cols)
+    return sh.selectExpr("doc_id", *cols)
 
 
 def _oracle_minhash() -> str:
@@ -269,7 +307,7 @@ def _oracle_minhash() -> str:
 # ---------------------------------------------------------------------------
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load_wide(spark, sf_dir, "documents")
     toks = docs.selectExpr("doc_id", f"explode({_WORDS}) as w").selectExpr(
         "doc_id", "md5(w) as h"
     )
@@ -320,15 +358,22 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs from a 2-minhash band bucket join, verified by exact
     n-gram Jaccard (intersection over union of distinct shingles). The band
     join is the scale path: candidates ∝ true duplicates, not n²."""
-    docs = _load(spark, sf_dir, "documents")
-    sh = docs.selectExpr(
-        "doc_id", f"explode(array_distinct({_SHINGLES})) as sh"
+    # compute the shingle array once per doc; everything downstream (band
+    # signature, exploded shingle join, sizes) reuses it instead of
+    # re-splitting the text 4×
+    shingled = _with_shingles(spark, sf_dir).selectExpr(
+        "doc_id", "array_distinct(sha) as sha"
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    band = docs.selectExpr(
+    # four downstream consumers (band, x-side, y-side, sizes) — cache the
+    # shingle table instead of recomputing the tokenize+window subtree per
+    # branch (at production scale this is a materialized intermediate table)
+    shingled = shingled.cache()
+    sh = shingled.selectExpr("doc_id", "explode(sha) as sh")
+    sizes = shingled.selectExpr("doc_id", "size(sha) as n_sh")
+    band = shingled.selectExpr(
         "doc_id",
-        f"md5(concat(array_min(transform({_SHINGLES}, s -> md5(concat('0|', s)))),"
-        f" array_min(transform({_SHINGLES}, s -> md5(concat('1|', s)))))) as band",
+        "md5(concat(array_min(transform(sha, s -> md5(concat('0|', s)))),"
+        " array_min(transform(sha, s -> md5(concat('1|', s)))))) as band",
     )
     cand = (
         band.alias("a")
