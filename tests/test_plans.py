@@ -1,0 +1,75 @@
+"""Physical-plan hygiene (task brief: '.explain the plan and iterate').
+
+Asserts the properties that matter at 100 TB:
+- column pruning + predicate pushdown reach the parquet scan,
+- the extraction cascade plan contains NO shuffle exchange,
+- small dimensions are broadcast in the relational harness,
+- partial aggregation (map-side combine) appears before the exchange.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pyspark.sql.functions as F
+
+from grobid_clinical_report_spark import relational, runner, textops
+from grobid_clinical_report_spark.pipeline import run_mode
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_extraction_plan_is_shuffle_free(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [("d1", [{"kind": "text", "text": "x", "media_ref": None, "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    p = str(tmp_path / "docs.parquet")
+    docs.write.parquet(p)
+    plan = _plan(run_mode(spark.read.parquet(p), "extract_full"))
+    assert "Exchange" not in plan
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan
+
+
+def test_scan_pushdown_and_pruning(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_shipdate") <= "1998-09-02")
+        .select("l_returnflag", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "LessThanOrEqual(l_shipdate" in plan
+    # only the needed columns are read
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_guardrail_filter_prunes_columns(spark):
+    plan = _plan(textops.q_guardrail(spark, SF))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema  # only source/n_chars needed
+    # partial aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_uses_broadcast_join(spark):
+    plan = _plan(relational.q_top_orders_per_cust(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_salt_partition_single_exchange(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "cast(doc_id as string) as doc_id",
+        "array(struct('text' as kind, text, cast(null as string) as media_ref,"
+        " 0 as offset)) as spans",
+    )
+    plan = _plan(run_mode(runner.salt_partition(docs, 8), "extract_full"))
+    # exactly one exchange node in the plan tree: the salt repartition
+    assert plan.count("Exchange (") == 1
