@@ -128,6 +128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["parse_dateline"] = _extraction_query("parse_dateline")
     q["parse_medic"] = _extraction_query("parse_medic")
     q["parse_patient"] = _extraction_query("parse_patient")
+    q["parse_name"] = _extraction_query("parse_name")
+    q["parse_address"] = _extraction_query("parse_address")
+    q["parse_org"] = _extraction_query("parse_org")
     # corpus-prep / dedup / similarity / relational / multimodal operators
     q.update(textops.OPS)
     q.update(similarity.OPS)

@@ -180,6 +180,26 @@ FX_PATIENT_EXPECTED = [
     ("address", "666, RUE DU MARRANT 92290 CHATENAY MALABRY", None),
 ]
 
+FX_NAME_TEXT = "Pr. Abagael Marie ZOSIMA"
+FX_NAME_EXPECTED = [
+    ("title", "Pr.", None),
+    ("forename", "Abagael", None),
+    ("middlename", "Marie", None),
+    ("surname", "ZOSIMA", None),
+]
+FX_ADDR_TEXT = "666, Avenue de la République 94010 CRETEIL"
+FX_ADDR_EXPECTED = [
+    ("streetnumber", "666", None),
+    ("streetname", "Avenue de la République", None),
+    ("postcode", "94010", None),
+    ("city", "CRETEIL", None),
+]
+FX_ORG_TEXT = "SERVICE DE GYNECOLOGIE CHU HENRI MONDOR"
+FX_ORG_EXPECTED = [
+    ("department", "SERVICE DE GYNECOLOGIE", None),
+    ("institution", "CHU HENRI MONDOR", None),
+]
+
 FIXTURE_DOCS = {
     "fx-full-0001": FX_FULL_LINES,
     "fx-hdr-0002": FX_HDR_LINES,
@@ -188,6 +208,9 @@ FIXTURE_DOCS = {
     "fx-dateline-0005": [("text", FX_DATELINE_TEXT, None)],
     "fx-medic-0005": [("text", FX_MEDIC_TEXT, None)],
     "fx-patient-0005": [("text", FX_PATIENT_TEXT, None)],
+    "fx-name-0007": [("text", FX_NAME_TEXT, None)],
+    "fx-addr-0007": [("text", FX_ADDR_TEXT, None)],
+    "fx-org-0007": [("text", FX_ORG_TEXT, None)],
 }
 
 # pipeline mode → (fixture doc_id, expected span list)
@@ -199,6 +222,9 @@ FIXTURE_EXPECTED = {
     "parse_dateline": {"fx-dateline-0005": FX_DATELINE_EXPECTED},
     "parse_medic": {"fx-medic-0005": FX_MEDIC_EXPECTED},
     "parse_patient": {"fx-patient-0005": FX_PATIENT_EXPECTED},
+    "parse_name": {"fx-name-0007": FX_NAME_EXPECTED},
+    "parse_address": {"fx-addr-0007": FX_ADDR_EXPECTED},
+    "parse_org": {"fx-org-0007": FX_ORG_EXPECTED},
 }
 
 

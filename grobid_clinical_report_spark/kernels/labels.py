@@ -90,6 +90,10 @@ PATIENT_LABELS = [
     "death", "address", "country", "settlement", "phone", "note", "other",
 ]
 NAME_LABELS = ["title", "forename", "middlename", "surname", "suffix", "other"]
+ADDRESS_LABELS = [
+    "streetnumber", "streetname", "postcode", "city", "country", "other",
+]
+ORG_LABELS = ["orgname", "department", "institution", "address", "other"]
 
 # --- French medical NER (MedicalLabels.java:80-93, 269-296) ------------------
 NER_LABELS = [

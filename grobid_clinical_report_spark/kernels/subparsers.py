@@ -198,3 +198,117 @@ SUBPARSERS = {
     "parse_medic": parse_medic_tokens,
     "parse_patient": parse_patient_tokens,
 }
+
+
+# ---------------------------------------------------------------------------
+# person name (PersonNameParser.java:76-164; name-person-medical model)
+# ---------------------------------------------------------------------------
+
+from .labels import ADDRESS_LABELS, NAME_LABELS, ORG_LABELS  # noqa: E402
+
+_NM_IX = label_index(NAME_LABELS)
+
+
+def parse_name_tokens(t: pd.DataFrame) -> pd.Series:
+    from .segments import seg_cumsum, seg_starts
+
+    em = np.zeros((len(t), len(NAME_LABELS)))
+    lstarts = seg_starts(t["line_key"].to_numpy())
+    title = (t["is_medic_title"] | t["is_patient_title"]).to_numpy()
+    # rank of capitalized (non-title) name tokens within the line
+    name_tok = (t["is_cap"] | t["is_allcaps"]).to_numpy() & ~title
+    cap_rank = seg_cumsum(name_tok.astype(np.int64), lstarts)
+
+    em[:, _NM_IX["title"]] += 5.0 * title
+    em[:, _NM_IX["title"]] += 4.0 * (t["is_period"] & t["prev_abbrev"]).to_numpy()
+    em[:, _NM_IX["forename"]] += 4.0 * (name_tok & (cap_rank == 1)
+                                        & t["is_cap"].to_numpy())
+    em[:, _NM_IX["middlename"]] += 4.0 * (name_tok & (cap_rank > 1)
+                                          & t["is_cap"].to_numpy())
+    em[:, _NM_IX["surname"]] += 5.0 * (name_tok & t["is_allcaps"].to_numpy())
+    em[:, _NM_IX["suffix"]] += 5.0 * t["low"].isin({"jr", "sr", "junior"}).to_numpy()
+    em[:, _NM_IX["other"]] += 3.0 * (
+        (t["is_stop"] | t["is_punct"]) & ~(t["is_period"] & t["prev_abbrev"])
+    ).to_numpy()
+    em[:, _NM_IX["other"]] += 0.5
+    return _decode(t, em, NAME_LABELS, stay=1.0)
+
+
+# ---------------------------------------------------------------------------
+# address (AddressParser.java:83-246)
+# ---------------------------------------------------------------------------
+
+_AD_IX = label_index(ADDRESS_LABELS)
+
+
+def parse_address_tokens(t: pd.DataFrame) -> pd.Series:
+    from .segments import seg_cumsum, seg_starts
+
+    em = np.zeros((len(t), len(ADDRESS_LABELS)))
+    lstarts = seg_starts(t["line_key"].to_numpy())
+    post = t["is_postcode"].to_numpy().astype(np.int64)
+    after_postcode = (seg_cumsum(post, lstarts) - post) > 0
+
+    em[:, _AD_IX["streetnumber"]] += 5.0 * (
+        t["is_num"] & t["tok_idx"].eq(0)
+    ).to_numpy()
+    em[:, _AD_IX["streetname"]] += 5.0 * t["is_street"].to_numpy()
+    em[:, _AD_IX["streetname"]] += 1.5 * (
+        (t["is_cap"] | t["is_allcaps"]).to_numpy() & ~after_postcode
+    )
+    em[:, _AD_IX["postcode"]] += 6.0 * post
+    em[:, _AD_IX["city"]] += 4.0 * t["is_city"].to_numpy()
+    em[:, _AD_IX["city"]] += 2.0 * (
+        (t["is_cap"] | t["is_allcaps"]).to_numpy() & after_postcode
+    )
+    em[:, _AD_IX["country"]] += 5.0 * t["low"].isin({"france"}).to_numpy()
+    em[:, _AD_IX["other"]] += 3.0 * t["is_punct"].to_numpy()
+    em[:, _AD_IX["other"]] += 0.2
+    return _decode(t, em, ADDRESS_LABELS, stay=2.0)
+
+
+# ---------------------------------------------------------------------------
+# organization (OrganizationParser; left-note org decomposition)
+# ---------------------------------------------------------------------------
+
+_OG_IX = label_index(ORG_LABELS)
+
+_DEPT_HEADS = {"service", "département", "departement", "pôle", "pole",
+               "unité", "unite"}
+_INST_HEADS = {"chu", "ghu", "hôpital", "hopital", "institut", "clinique",
+               "centre", "aphp", "ap-hp"}
+
+
+def parse_org_tokens(t: pd.DataFrame) -> pd.Series:
+    from .segments import seg_cumsum, seg_starts
+
+    em = np.zeros((len(t), len(ORG_LABELS)))
+    lstarts = seg_starts(t["line_key"].to_numpy())
+    dept_head = t["low"].isin(_DEPT_HEADS).to_numpy().astype(np.int64)
+    inst_head = t["low"].isin(_INST_HEADS).to_numpy().astype(np.int64)
+    # zone flags: after the latest head marker of each kind
+    in_dept = seg_cumsum(dept_head, lstarts) > seg_cumsum(inst_head, lstarts)
+    in_inst = seg_cumsum(inst_head, lstarts) > 0
+
+    capish = (t["is_cap"] | t["is_allcaps"]).to_numpy()
+    em[:, _OG_IX["department"]] += 5.0 * (dept_head > 0)
+    em[:, _OG_IX["department"]] += 2.0 * (capish & in_dept & ~in_inst)
+    em[:, _OG_IX["institution"]] += 5.0 * (inst_head > 0)
+    em[:, _OG_IX["institution"]] += 2.0 * (capish & in_inst)
+    em[:, _OG_IX["orgname"]] += 1.5 * (capish & ~in_dept & ~in_inst)
+    em[:, _OG_IX["address"]] += 4.0 * (
+        t["is_street"] | t["is_postcode"] | t["is_city"]
+    ).to_numpy()
+    em[:, _OG_IX["other"]] += 3.0 * t["is_punct"].to_numpy()
+    em[:, _OG_IX["other"]] += 2.4 * t["is_stop"].to_numpy()
+    em[:, _OG_IX["other"]] += 0.2
+    return _decode(t, em, ORG_LABELS, stay=2.0)
+
+
+SUBPARSERS.update(
+    {
+        "parse_name": parse_name_tokens,
+        "parse_address": parse_address_tokens,
+        "parse_org": parse_org_tokens,
+    }
+)

@@ -72,7 +72,18 @@ def explode_tokens(lines: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     if not np.issubdtype(doc.dtype, np.integer):
         doc = pd.factorize(doc)[0]
     out["line_key"] = doc.astype(np.int64) * (1 << 22) + out["seq"].to_numpy()
-    out["tok_idx"] = out.groupby("line_key", sort=False).cumcount()
+
+    from .segments import seg_cumsum, seg_position, seg_starts
+
+    lstarts = seg_starts(out["line_key"].to_numpy())
+    out["tok_idx"] = seg_position(lstarts, len(out))
+    # char offsets within the line (entity spans report start/end,
+    # FrenchMedicalNERParser.java:560-797)
+    tok_len = out["tok"].str.len().to_numpy()
+    gap_len = out["gap"].fillna("").str.len().to_numpy()
+    ends = seg_cumsum(tok_len + gap_len, lstarts)
+    out["tok_end"] = ends
+    out["tok_start"] = ends - tok_len
     return out
 
 

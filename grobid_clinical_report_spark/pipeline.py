@@ -51,10 +51,14 @@ _MODE_PROFILE = {
     "extract_full": "body",
     "extract_header": "all",
     "extract_leftnote": "all",
+    # token-level modes need only block/page structure, no line features
     "ner": "minimal",
     "parse_dateline": "minimal",
     "parse_medic": "minimal",
     "parse_patient": "minimal",
+    "parse_name": "minimal",
+    "parse_address": "minimal",
+    "parse_org": "minimal",
 }
 
 
@@ -172,10 +176,9 @@ FLAT_MODES: dict[str, Callable[[pd.DataFrame], pd.DataFrame]] = {
     "extract_header": flat_extract_header,
     "extract_leftnote": flat_extract_leftnote,
     "ner": flat_ner,
-    "parse_dateline": _flat_token_mode(sub_k.parse_dateline_tokens),
-    "parse_medic": _flat_token_mode(sub_k.parse_medic_tokens),
-    "parse_patient": _flat_token_mode(sub_k.parse_patient_tokens),
 }
+for _name, _labeler in sub_k.SUBPARSERS.items():
+    FLAT_MODES[_name] = _flat_token_mode(_labeler)
 
 
 # ---------------------------------------------------------------------------
@@ -260,6 +263,8 @@ PANDAS_MODES: dict[str, Callable[[pd.DataFrame], pd.DataFrame]] = {
     "parse_medic": parse_medic_pdf,
     "parse_patient": parse_patient_pdf,
 }
+for _m in ("parse_name", "parse_address", "parse_org"):
+    PANDAS_MODES[_m] = (lambda mode: lambda pdf: _run_pdf(pdf, mode))(_m)
 
 
 # ---------------------------------------------------------------------------

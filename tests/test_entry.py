@@ -49,6 +49,7 @@ def test_queries_have_oracles_or_are_documented():
     assert rows_only == {
         "extract_full", "extract_header", "extract_leftnote", "ner_entities",
         "parse_dateline", "parse_medic", "parse_patient",
+        "parse_name", "parse_address", "parse_org",
         "media_decode_features",
     }
 
@@ -66,6 +67,7 @@ def test_query_matches_oracle(spark, con, name):
     [
         "extract_full", "extract_header", "extract_leftnote", "ner_entities",
         "parse_dateline", "parse_medic", "parse_patient",
+        "parse_name", "parse_address", "parse_org",
         "media_decode_features",
     ],
 )
