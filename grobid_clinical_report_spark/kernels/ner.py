@@ -93,3 +93,12 @@ def ner_spans(t: pd.DataFrame) -> pd.DataFrame:
     t = t.copy()
     t["label"] = label_ner_tokens(t)
     return tokens_to_spans(t, drop=("other",))
+
+
+def ner_entities(t: pd.DataFrame) -> pd.DataFrame:
+    """Entities with character offsets [doc_id, kind, text, start, end] —
+    the reference's entity-coordinate output (C8)."""
+    t = t.copy()
+    t["label"] = label_ner_tokens(t)
+    flat = tokens_to_spans(t, drop=("other",), with_char_offsets=True)
+    return flat[["doc_id", "kind", "text", "start", "end"]]

@@ -90,25 +90,43 @@ def _decode(
     return pd.Series(np.array(labels, dtype=object)[flat], index=t.index)
 
 
-def tokens_to_spans(t: pd.DataFrame, drop: tuple[str, ...] = ("other",)) -> pd.DataFrame:
+def tokens_to_spans(
+    t: pd.DataFrame,
+    drop: tuple[str, ...] = ("other",),
+    with_char_offsets: bool = False,
+) -> pd.DataFrame:
     """RLE-cluster labeled tokens and rebuild each span's exact source text:
-    first token verbatim, subsequent members prefixed by their gap."""
+    first token verbatim, subsequent members prefixed by their gap.
+
+    ``with_char_offsets`` adds start/end — character offsets in the flattened
+    document (line offset + in-line token offsets), the entity-coordinate
+    contract of the reference NER output
+    (FrenchMedicalNERParser.java:560-797)."""
     d = t.copy(deep=False)
     d["_cl"] = rle_cluster_ids(d["line_key"], d["label"])
     from .cluster import group_join
 
     first_of_cl = ~d.duplicated("_cl")
+    last_of_cl = ~d.duplicated("_cl", keep="last")
     piece = np.where(first_of_cl, d["tok"], d["gap"].fillna("") + d["tok"])
     agg = d.loc[first_of_cl, ["_cl", "doc_id", "label", "offset"]].rename(
         columns={"label": "kind"}
     )
     agg["text"] = group_join(piece, d["_cl"].to_numpy(), sep="")
+    if with_char_offsets:
+        base = d.loc[first_of_cl, "offset"].to_numpy()
+        agg["start"] = base + d.loc[first_of_cl, "tok_start"].to_numpy()
+        agg["end"] = (
+            d.loc[last_of_cl, "offset"].to_numpy()
+            + d.loc[last_of_cl, "tok_end"].to_numpy()
+        )
     agg = agg[~agg["kind"].isin(drop)]
     agg["media_ref"] = None
     agg["text"] = agg["text"].str.strip()
-    return agg[["doc_id", "kind", "text", "media_ref", "offset"]].reset_index(
-        drop=True
-    )
+    cols = ["doc_id", "kind", "text", "media_ref", "offset"]
+    if with_char_offsets:
+        cols += ["start", "end"]
+    return agg[cols].reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

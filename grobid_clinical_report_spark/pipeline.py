@@ -28,6 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .kernels import body as body_k
+from .kernels import callouts as callouts_k
 from .kernels import header as header_k
 from .kernels import leftnote as leftnote_k
 from .kernels import ner as ner_k
@@ -102,6 +103,7 @@ def flat_extract_full(lines: pd.DataFrame) -> pd.DataFrame:
     if not body_lines.empty:
         body_lines["label"] = body_k.label_body_lines(body_lines)
         spans_body = body_k.body_spans(body_lines)
+        spans_body = callouts_k.reconcile_markers(spans_body)  # C4
     else:
         spans_body = _EMPTY_SPANS
 
@@ -184,6 +186,11 @@ for _name, _labeler in sub_k.SUBPARSERS.items():
 # ---------------------------------------------------------------------------
 # pandas-level modes (pure; unit-testable without Spark)
 # ---------------------------------------------------------------------------
+
+
+def _prep_for_test(pdf: pd.DataFrame, profile: str = "minimal") -> pd.DataFrame:
+    """Test helper: explode + prepare keeping string doc_ids."""
+    return prepare_lines(explode_docs(pdf), profile=profile)
 
 
 def _run_pdf(pdf: pd.DataFrame, mode: str) -> pd.DataFrame:

@@ -80,9 +80,11 @@ def run_extraction_job(
 
     Returns a metrics dict: {buckets_run, docs, spans, quarantined, wall_sec}.
     """
+    from .io import read_documents
+
     run_id = mf.new_run_id()
     tasks = tasks_per_bucket or spark.sparkContext.defaultParallelism
-    docs = spark.read.parquet(input_path).select("doc_id", "spans")
+    docs = read_documents(spark, input_path).select("doc_id", "spans")
     docs = with_bucket(docs, n_buckets)
 
     pending = (
@@ -100,7 +102,9 @@ def run_extraction_job(
 
         extracted = run_mode(ok, mode)
         out_dir = os.path.join(output_path, f"bucket={b}")
-        extracted.write.mode("overwrite").parquet(out_dir)
+        from .io import write_spans
+
+        write_spans(extracted, out_dir, mode="overwrite")
 
         q_dir = os.path.join(output_path, "_quarantine", f"bucket={b}")
         n_quarantined = bad.count()

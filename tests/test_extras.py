@@ -102,3 +102,51 @@ def test_streaming_incremental_extract(spark, tmp_path):
     time.sleep(0.2)
     total = spark.read.parquet(os.path.join(out_dir, "spans")).count()
     assert total == len(pdf)
+
+
+def test_marker_majority_vote():
+    import pandas as pd
+
+    from grobid_clinical_report_spark.kernels.callouts import reconcile_markers
+
+    flat = pd.DataFrame(
+        {
+            "doc_id": ["d"] * 4,
+            "kind": ["figure_marker", "figure_marker", "table_marker",
+                      "paragraph"],
+            "text": ["(cf. Figure 2)", "(voir Figure 2)", "(cf. Tableau 2)",
+                      "x"],
+            "media_ref": [None] * 4,
+            "offset": [1, 2, 3, 4],
+        }
+    )
+    out = reconcile_markers(flat)
+    # majority (2 figure vs 1 table for callout number 2) flips the minority
+    assert out["kind"].tolist() == [
+        "figure_marker", "figure_marker", "figure_marker", "paragraph",
+    ]
+
+
+def test_ner_char_offsets(fixture_docs_pdf):
+    from grobid_clinical_report_spark.kernels import ner as ner_k
+    from grobid_clinical_report_spark.kernels import subparsers as sub_k
+    from grobid_clinical_report_spark.kernels.tokenize import explode_tokens
+    from grobid_clinical_report_spark.pipeline import _prep_for_test
+
+    pdf = fixture_docs_pdf[fixture_docs_pdf.doc_id == "fx-ner-0004"].reset_index(
+        drop=True
+    )
+    lines = _prep_for_test(pdf)
+    content = lines[
+        ~(lines["is_blank"] | lines["is_page_break"] | lines["is_media"])
+    ]
+    toks = sub_k.token_features(explode_tokens(content))
+    ents = ner_k.ner_entities(toks)
+    first = ents.iloc[0]
+    assert first["kind"] == "persname"
+    # offsets point into the flattened doc: line offset + in-line char range
+    line0 = pdf.spans.iloc[0][0]
+    src = line0["text"]
+    rel_start = int(first["start"]) - line0["offset"]
+    rel_end = int(first["end"]) - line0["offset"]
+    assert src[rel_start:rel_end] == "Madame Belle Joseline DUPONT"
