@@ -180,6 +180,72 @@ FX_PATIENT_EXPECTED = [
     ("address", "666, RUE DU MARRANT 92290 CHATENAY MALABRY", None),
 ]
 
+# fx-full-0008 — body structure breadth: items, table, callout markers,
+# annex and acknowledgement zones (TEIFormatter list/figure/table handling,
+# MedicalLabels annex/acknowledgement)
+FX_FULL2_LINES = [
+    # header block (excluded from extract_full output)
+    ("text", "COMPTE RENDU DE CONSULTATION", None),
+    ("text", "Le 12.03.2019", None),
+    ("text", "", None),
+    # body
+    ("text", "SUIVI POSTOPÉRATOIRE", None),
+    ("text", "", None),
+    ("text", "EXAMEN CLINIQUE :", None),
+    ("text", "Les constantes sont normales (cf. Figure 1).", None),
+    ("text", "- tension artérielle stable", None),
+    ("text", "- température normale", None),
+    ("text", "", None),
+    ("text", "Tableau 1 : constantes mesurées.", None),
+    ("text", "Les résultats détaillés figurent ici (cf. Tableau 1).", None),
+    ("text", "", None),
+    ("text", "Remerciements au personnel du service.", None),
+    ("text", "", None),
+    ("text", "ANNEXE", None),
+    ("text", "Protocole de soins standard.", None),
+]
+
+FX_FULL2_EXPECTED = [
+    ("title", "SUIVI POSTOPÉRATOIRE", None),
+    ("section", "EXAMEN CLINIQUE :", None),
+    ("figure_marker", "Les constantes sont normales (cf. Figure 1).", None),
+    ("item", "- tension artérielle stable", None),
+    ("item", "- température normale", None),
+    ("table", "Tableau 1 : constantes mesurées.", None),
+    ("table_marker", "Les résultats détaillés figurent ici (cf. Tableau 1).", None),
+    ("acknowledgement", "Remerciements au personnel du service.", None),
+    ("annex", "ANNEXE Protocole de soins standard.", None),
+]
+
+# fx-hdr-0009 — header field breadth: docnum/email/web/phone/fax.
+# email/web sit in a block WITHOUT phone (a phone+org block would be a
+# left-note contact block); the phone/fax block carries no role/org words.
+FX_HDR2_LINES = [
+    ("text", "N° 2019-000777", None),
+    ("text", "COMPTE RENDU DE CONSULTATION", None),
+    ("text", "Le 12.03.2019 à 14h05", None),
+    ("text", "", None),
+    ("text", "Dr Paul DURAND", None),
+    ("text", "Madame Iris LENOIR, née le 02/02/1962", None),
+    ("text", "rdv@exemple-sante.fr", None),
+    ("text", "www.exemple-sante.fr", None),
+    ("text", "", None),
+    ("text", "Tél : 01 45 17 80 00", None),
+    ("text", "Fax : 01 45 17 80 01", None),
+]
+
+FX_HDR2_EXPECTED = [
+    ("docnum", "N° 2019-000777", None),
+    ("doctype", "COMPTE RENDU DE CONSULTATION", None),
+    ("date", "2019-03-12", None),
+    ("medic", "Dr Paul DURAND", None),
+    ("patient", "Madame Iris LENOIR, née le 02/02/1962", None),
+    ("email", "rdv@exemple-sante.fr", None),
+    ("web", "www.exemple-sante.fr", None),
+    ("phone", "Tél : 01 45 17 80 00", None),
+    ("fax", "Fax : 01 45 17 80 01", None),
+]
+
 FX_NAME_TEXT = "Pr. Abagael Marie ZOSIMA"
 FX_NAME_EXPECTED = [
     ("title", "Pr.", None),
@@ -211,12 +277,20 @@ FIXTURE_DOCS = {
     "fx-name-0007": [("text", FX_NAME_TEXT, None)],
     "fx-addr-0007": [("text", FX_ADDR_TEXT, None)],
     "fx-org-0007": [("text", FX_ORG_TEXT, None)],
+    "fx-full-0008": FX_FULL2_LINES,
+    "fx-hdr-0009": FX_HDR2_LINES,
 }
 
 # pipeline mode → (fixture doc_id, expected span list)
 FIXTURE_EXPECTED = {
-    "extract_full": {"fx-full-0001": FX_FULL_EXPECTED},
-    "extract_header": {"fx-hdr-0002": FX_HDR_EXPECTED},
+    "extract_full": {
+        "fx-full-0001": FX_FULL_EXPECTED,
+        "fx-full-0008": FX_FULL2_EXPECTED,
+    },
+    "extract_header": {
+        "fx-hdr-0002": FX_HDR_EXPECTED,
+        "fx-hdr-0009": FX_HDR2_EXPECTED,
+    },
     "extract_leftnote": {"fx-note-0003": FX_NOTE_EXPECTED},
     "ner": {"fx-ner-0004": FX_NER_EXPECTED},
     "parse_dateline": {"fx-dateline-0005": FX_DATELINE_EXPECTED},

@@ -92,6 +92,12 @@ def label_body_lines(df: pd.DataFrame) -> pd.Series:
     )
 
 
+def zone_block_spans(df: pd.DataFrame) -> pd.DataFrame:
+    """Merge consecutive same-label lines into one span per block — used for
+    trailing zones (annex / acknowledgement back-matter divs)."""
+    return body_spans(df)
+
+
 def body_spans(df: pd.DataFrame) -> pd.DataFrame:
     """Cluster labeled body lines into ordered output spans (C5).
 
@@ -107,10 +113,14 @@ def body_spans(df: pd.DataFrame) -> pd.DataFrame:
             columns=["doc_id", "kind", "text", "media_ref", "offset"]
         )
     d["text_n"] = normalize_text(d["text"])
-    # block-change breaks clusters (label stays the output kind)
-    d["_cl"] = rle_cluster_ids(
-        d["doc_id"], d["label"], aux=d["block_id"].to_numpy()
+    # block-change breaks clusters (label stays the output kind); list items
+    # never merge — each bullet is its own <item> (TEIFormatter.java:876-883)
+    aux = np.where(
+        d["label"].to_numpy() == "item",
+        -(d["seq"].to_numpy().astype(np.int64)) - 1,
+        d["block_id"].to_numpy().astype(np.int64),
     )
+    d["_cl"] = rle_cluster_ids(d["doc_id"], d["label"], aux=aux)
 
     # vectorized aggregation: firsts via drop_duplicates (rows are already in
     # cluster order), text join via reduceat (kernels/cluster.group_join)

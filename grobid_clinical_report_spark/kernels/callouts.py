@@ -26,15 +26,23 @@ def reconcile_markers(flat: pd.DataFrame) -> pd.DataFrame:
     if not is_marker.any():
         return flat
     m = flat[is_marker]
-    num = m["text"].str.extract(r"(\d+)", expand=False).fillna("")
+    # the referent is the callout mention in the text ('Figure 2' vs
+    # 'Tableau 2' are different callouts; the vote fixes labeling
+    # inconsistencies for the SAME referent)
+    ref = (
+        m["text"]
+        .str.lower()
+        .str.extract(r"((?:figure|fig|tableau|table)\.?\s*\d*)", expand=False)
+        .fillna("")
+    )
     fig_votes = (
         m["kind"].eq("figure_marker").astype(np.int64)
-        .groupby([m["doc_id"], num], sort=False)
+        .groupby([m["doc_id"], ref], sort=False)
         .transform("sum")
     )
     tab_votes = (
         m["kind"].eq("table_marker").astype(np.int64)
-        .groupby([m["doc_id"], num], sort=False)
+        .groupby([m["doc_id"], ref], sort=False)
         .transform("sum")
     )
     best = np.where(fig_votes >= tab_votes, "figure_marker", "table_marker")

@@ -50,10 +50,17 @@ def segment_emissions(df: pd.DataFrame) -> np.ndarray:
     # the left margin (surrogate for the reference's x-coordinate evidence)
     from .segments import seg_any_transform, seg_starts
 
-    contact = (df["has_phone"] | df["has_fax_word"]).to_numpy()
-    block_contact = seg_any_transform(
-        contact, seg_starts(df["block_key"].to_numpy())
+    # a left-note block is an organization CONTACT block: phone/fax lines
+    # together with role/org words (Chef de Service, Secrétariat…). A bare
+    # phone line inside the header stays a header field.
+    bstarts = seg_starts(df["block_key"].to_numpy())
+    has_contact = seg_any_transform(
+        (df["has_phone"] | df["has_fax_word"]).to_numpy(), bstarts
     )
+    has_org = seg_any_transform(
+        (df["has_role_word"] | df["has_org_word"]).to_numpy(), bstarts
+    )
+    block_contact = has_contact & has_org
 
     from . import arrowtext as at
 
@@ -93,6 +100,8 @@ def segment_emissions(df: pd.DataFrame) -> np.ndarray:
         (df["n_tokens"] > 8) & df["starts_lower"]
     ).to_numpy()
     em[:, _IX["body"]] -= 2.0 * repeated                      # boilerplate
+    # trailing-zone openers must beat body stickiness + prose evidence
+    em[:, _IX["body"]] -= 6.0 * (annex_start | ack_start)
 
     # page numbers / boilerplate notes
     em[:, _IX["page"]] += 5.0 * df["is_page_number"].to_numpy()

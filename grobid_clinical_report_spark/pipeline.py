@@ -96,16 +96,29 @@ def explode_docs(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def flat_extract_full(lines: pd.DataFrame) -> pd.DataFrame:
-    """C1 full cascade → body-structure spans + deduped note spans."""
+    """C1 full cascade → body-structure spans + annex/acknowledgement spans
+    + deduped note spans."""
     lines = lines.assign(zone=segment_lines(lines))
 
-    body_lines = lines[lines["zone"].isin(["body", "annex"])].copy()
+    body_lines = lines[lines["zone"].eq("body")].copy()
     if not body_lines.empty:
         body_lines["label"] = body_k.label_body_lines(body_lines)
         spans_body = body_k.body_spans(body_lines)
         spans_body = callouts_k.reconcile_markers(spans_body)  # C4
     else:
         spans_body = _EMPTY_SPANS
+
+    # trailing zones: consecutive same-zone lines merge into one span per
+    # block (reference: back-matter <div type=annex|acknowledgement>)
+    tail = lines[
+        lines["zone"].isin(["annex", "acknowledgement"])
+        & ~(lines["is_blank"] | lines["is_page_break"])
+    ].copy()
+    if not tail.empty:
+        tail["label"] = tail["zone"]
+        spans_tail = body_k.zone_block_spans(tail)
+    else:
+        spans_tail = _EMPTY_SPANS
 
     notes = lines[
         lines["zone"].isin(["footnote", "headnote"])
@@ -124,7 +137,9 @@ def flat_extract_full(lines: pd.DataFrame) -> pd.DataFrame:
         spans_notes = dedup_notes(spans_notes)
     else:
         spans_notes = _EMPTY_SPANS
-    return pd.concat([spans_body, spans_notes], ignore_index=True)
+    return pd.concat(
+        [spans_body, spans_tail, spans_notes], ignore_index=True
+    )
 
 
 def flat_extract_header(lines: pd.DataFrame) -> pd.DataFrame:
@@ -202,7 +217,9 @@ def _run_pdf(pdf: pd.DataFrame, mode: str) -> pd.DataFrame:
     lines = prepare_lines(raw, profile=_MODE_PROFILE.get(mode, "all"))
     flat = FLAT_MODES[mode](lines)
     if not flat.empty:
-        flat = flat.assign(doc_id=uniques.to_numpy()[flat["doc_id"].to_numpy()])
+        # concat with the empty sentinel frame may upcast codes to object
+        codes_out = flat["doc_id"].to_numpy().astype(np.int64)
+        flat = flat.assign(doc_id=uniques.to_numpy()[codes_out])
     return _regroup(pdf, flat)
 
 

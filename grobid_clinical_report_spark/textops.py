@@ -60,7 +60,8 @@ def q_rawtext(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _load_wide(spark, sf_dir, "documents").selectExpr(
         "doc_id",
         f"{_NORM} as raw_text",
-        f"length({_NORM}) as n_chars_norm",
+        # bigint: DuckDB LENGTH() is BIGINT, Spark length() is INT — match
+        f"cast(length({_NORM}) as bigint) as n_chars_norm",
     )
 
 

@@ -111,19 +111,21 @@ def test_marker_majority_vote():
 
     flat = pd.DataFrame(
         {
-            "doc_id": ["d"] * 4,
+            "doc_id": ["d"] * 5,
             "kind": ["figure_marker", "figure_marker", "table_marker",
-                      "paragraph"],
-            "text": ["(cf. Figure 2)", "(voir Figure 2)", "(cf. Tableau 2)",
-                      "x"],
-            "media_ref": [None] * 4,
-            "offset": [1, 2, 3, 4],
+                      "table_marker", "paragraph"],
+            "text": ["(cf. Figure 2)", "(voir Figure 2)", "(cf. Figure 2)",
+                      "(cf. Tableau 1)", "x"],
+            "media_ref": [None] * 5,
+            "offset": [1, 2, 3, 4, 5],
         }
     )
     out = reconcile_markers(flat)
-    # majority (2 figure vs 1 table for callout number 2) flips the minority
+    # 'Figure 2' referent: 2 figure votes vs 1 table → minority flips;
+    # 'Tableau 1' is a different referent and keeps its label
     assert out["kind"].tolist() == [
-        "figure_marker", "figure_marker", "figure_marker", "paragraph",
+        "figure_marker", "figure_marker", "figure_marker", "table_marker",
+        "paragraph",
     ]
 
 
