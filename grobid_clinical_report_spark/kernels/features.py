@@ -49,111 +49,115 @@ def featurize_lines(
 
     String features run on Arrow compute kernels (kernels/arrowtext.py) —
     one RE2 pass per feature over the whole column, no per-row Python.
+    Features are accumulated in a dict and attached with ONE concat: ~35
+    individual column inserts would re-consolidate the pandas block manager
+    each time (measured ~10%% of kernel time).
 
     ``profile``: 'body' skips the header/left-note-only lexicon passes
-    (time/email/web/city/month/year/dose — ~7 full-column RE2 scans) for the
-    extract_full hot path; 'all' computes everything.
+    (time/email/web/city/month/year/dose + the ratio profiles — full-column
+    RE2 scans unused by the segmenter/body models); 'all' computes everything.
     """
-    df = lines.copy(deep=False)
-    txt = at.arr_of(df["text"])
+    txt = at.arr_of(lines["text"])
     low = at.lower(txt)
     stripped = at.strip(txt)
+    f: dict[str, np.ndarray] = {}
 
     from .segments import seg_position, seg_size_transform, seg_starts
 
-    n = len(df)
-    doc = df["_doc_code"].to_numpy()
+    n = len(lines)
+    doc = lines["_doc_code"].to_numpy()
     dstarts = seg_starts(doc)
-    df["rel_pos"] = seg_position(dstarts, n) / np.maximum(
+    f["rel_pos"] = seg_position(dstarts, n) / np.maximum(
         seg_size_transform(dstarts, n), 1
     )
-    df["pos_bin"] = np.minimum(
-        (df["rel_pos"] * NBBINS_POSITION).astype(np.int64), NBBINS_POSITION - 1
+    f["pos_bin"] = np.minimum(
+        (f["rel_pos"] * NBBINS_POSITION).astype(np.int64), NBBINS_POSITION - 1
     )
 
-    page_key = doc * (1 << 20) + df["page_id"].to_numpy()
+    page_key = doc * (1 << 20) + lines["page_id"].to_numpy()
     pstarts = seg_starts(page_key)
-    df["rel_pos_page"] = seg_position(pstarts, n) / np.maximum(
+    f["rel_pos_page"] = seg_position(pstarts, n) / np.maximum(
         seg_size_transform(pstarts, n), 1
     )
 
     letters = at.count(txt, r"[A-Za-zÀ-ÖØ-öø-ÿ]")
     uppers = at.count(txt, r"[A-ZÀ-ÖØ]")
-    digits = at.count(txt, r"\d")
     raw_len = at.length(txt)
-    length = np.maximum(raw_len, 1)
-    df["line_len"] = raw_len
-    df["len_bin"] = np.minimum(
-        (raw_len / 80.0 * LINESCALE).astype(np.int64), LINESCALE
-    )
-    df["caps_ratio"] = uppers / np.maximum(letters, 1)
-    df["digit_ratio"] = digits / length
-    df["punct_ratio"] = at.count(txt, r"[^\w\s]") / length
-    df["all_caps"] = (letters >= 3) & (df["caps_ratio"] > 0.9)
-    df["starts_upper"] = at.match(txt, r"[A-ZÀ-ÖØ]")
-    df["ends_colon"] = at.contains(stripped, r":$")
-    df["ends_period"] = at.contains(stripped, r"\.$")
-    df["is_bullet"] = at.match(txt, _BULLET_RE)
-    df["n_tokens"] = at.count(txt, r"\S+")
-    df["single_token"] = (df["n_tokens"] == 1)
-    df["starts_lower"] = at.match(txt, r"[a-zà-öø-ÿ]")
+    f["line_len"] = raw_len
+    f["caps_ratio"] = uppers / np.maximum(letters, 1)
+    f["all_caps"] = (letters >= 3) & (f["caps_ratio"] > 0.9)
+    f["starts_upper"] = at.match(txt, r"[A-ZÀ-ÖØ]")
+    f["ends_colon"] = at.contains(stripped, r":$")
+    f["ends_period"] = at.contains(stripped, r"\.$")
+    f["is_bullet"] = at.match(txt, _BULLET_RE)
+    f["n_tokens"] = at.count(txt, r"\S+")
+    f["single_token"] = f["n_tokens"] == 1
+    f["starts_lower"] = at.match(txt, r"[a-zà-öø-ÿ]")
 
     # regex/dictionary flags (F8 lexicon; FeatureFactory email/http/month/year)
-    df["has_date"] = at.contains(txt, lx.RE_DATE.pattern)
-    df["has_phone"] = at.contains(txt, lx.RE_PHONE.pattern)
-    df["has_postcode"] = at.contains(txt, lx.RE_POSTCODE.pattern)
-    df["has_ipp"] = at.contains(
-        txt, at.word_bounded(r"IPP|NIP|N°\s*dossier")
-    )
+    f["has_date"] = at.contains(txt, lx.RE_DATE.pattern)
+    f["has_phone"] = at.contains(txt, lx.RE_PHONE.pattern)
+    f["has_postcode"] = at.contains(txt, lx.RE_POSTCODE.pattern)
+    f["has_ipp"] = at.contains(txt, at.word_bounded(r"IPP|NIP|N°\s*dossier"))
     if profile == "all":
-        df["has_time"] = at.contains(txt, lx.RE_TIME.pattern)
-        df["has_email"] = at.contains(txt, lx.RE_EMAIL.pattern)
-        df["has_web"] = at.contains(txt, lx.RE_WEB.pattern)
-        df["has_year"] = at.contains(txt, lx.RE_YEAR.pattern)
-        df["has_dose"] = at.contains(
+        length = np.maximum(raw_len, 1)
+        f["len_bin"] = np.minimum(
+            (raw_len / 80.0 * LINESCALE).astype(np.int64), LINESCALE
+        )
+        f["digit_ratio"] = at.count(txt, r"\d") / length
+        f["punct_ratio"] = at.count(txt, r"[^\w\s]") / length
+        f["has_time"] = at.contains(txt, lx.RE_TIME.pattern)
+        f["has_email"] = at.contains(txt, lx.RE_EMAIL.pattern)
+        f["has_web"] = at.contains(txt, lx.RE_WEB.pattern)
+        f["has_year"] = at.contains(txt, lx.RE_YEAR.pattern)
+        f["has_dose"] = at.contains(
             low, at.word_bounded(r"\d+(?:[.,]\d+)?\s*(?:mg|g|ml|ui|µg|mcg)")
         )
-        df["has_month_word"] = at.contains(low, _any_re(set(lx.MONTHS_FR)))
-        df["has_city_word"] = at.contains(low, _any_re(lx.CITIES_FR))
-    df["has_medic_title"] = at.contains(
+        f["has_month_word"] = at.contains(low, _any_re(set(lx.MONTHS_FR)))
+        f["has_city_word"] = at.contains(low, _any_re(lx.CITIES_FR))
+    f["has_medic_title"] = at.contains(
         low, at.word_bounded(r"dr|pr|docteur|professeur")
     )
-    df["has_patient_title"] = at.contains(
+    f["has_patient_title"] = at.contains(
         low,
         at.word_bounded(r"madame|monsieur|mme|mlle|mademoiselle|patiente?"),
     )
-    df["has_person_title"] = df["has_medic_title"] | df["has_patient_title"]
-    df["has_fax_word"] = at.contains(low, at.word_bounded("fax"))
-    df["has_docnum"] = at.match(txt, r"\s*N°\s*[\d-]+\s*$")
-    df["has_birth"] = at.contains(low, at.word_bounded(r"née?\s+le"))
-    df["has_role_word"] = at.contains(low, _any_re(lx.ROLE_WORDS))
-    df["has_org_word"] = at.contains(low, _any_re(lx.ORG_WORDS))
-    df["has_doctype_word"] = at.contains(low, _any_re(lx.DOCTYPE_WORDS))
-    df["has_street_word"] = at.contains(low, _any_re(lx.STREET_WORDS))
-    df["is_page_number"] = at.match(
+    f["has_person_title"] = f["has_medic_title"] | f["has_patient_title"]
+    f["has_fax_word"] = at.contains(low, at.word_bounded("fax"))
+    f["has_docnum"] = at.match(txt, r"\s*N°\s*[\d-]+\s*$")
+    f["has_birth"] = at.contains(low, at.word_bounded(r"née?\s+le"))
+    f["has_role_word"] = at.contains(low, _any_re(lx.ROLE_WORDS))
+    f["has_org_word"] = at.contains(low, _any_re(lx.ORG_WORDS))
+    f["has_doctype_word"] = at.contains(low, _any_re(lx.DOCTYPE_WORDS))
+    f["has_street_word"] = at.contains(low, _any_re(lx.STREET_WORDS))
+    f["is_page_number"] = at.match(
         low, r"\s*(?:page\s+)?\d+\s*(?:/\s*\d+)?\s*$"
     )
 
     # block-edge status (FeaturesVectorMedical block status features)
-    df["block_first"] = df["line_in_block"].eq(0)
-    df["block_last"] = df["line_in_block"].eq(df["block_len"] - 1)
-    df["first_page"] = df["page_id"].eq(0)
+    lib = lines["line_in_block"].to_numpy()
+    f["block_first"] = lib == 0
+    f["block_last"] = lib == lines["block_len"].to_numpy() - 1
+    f["first_page"] = lines["page_id"].to_numpy() == 0
 
     # media adjacency (bitmapAround/vectorAround surrogate,
     # MedicalReportSegmenterParser.java:342-351)
-    med = df["is_media"].to_numpy()
-    doc = df["doc_id"].to_numpy()
-    prev_media = np.roll(med, 1) & (np.roll(doc, 1) == doc)
-    next_media = np.roll(med, -1) & (np.roll(doc, -1) == doc)
-    if len(df):
+    med = lines["is_media"].to_numpy()
+    docn = lines["doc_id"].to_numpy()
+    prev_media = np.roll(med, 1) & (np.roll(docn, 1) == docn)
+    next_media = np.roll(med, -1) & (np.roll(docn, -1) == docn)
+    if n:
         prev_media[0] = False
         next_media[-1] = False
-    df["media_before"] = prev_media
-    df["media_after"] = next_media
+    f["media_before"] = prev_media
+    f["media_after"] = next_media
 
-    # F1 boilerplate
-    df["repeated_pattern"] = repeated_pattern_flags(df).to_numpy()
-    return df
+    out = pd.concat(
+        [lines, pd.DataFrame(f, index=lines.index)], axis=1, copy=False
+    )
+    # F1 boilerplate (needs page structure already attached)
+    out["repeated_pattern"] = repeated_pattern_flags(out).to_numpy()
+    return out
 
 
 def feature_matrix(df: pd.DataFrame, cols: list[str]) -> np.ndarray:
