@@ -448,7 +448,7 @@ def _gen_doc(rng: np.random.Generator, n: int, d: int) -> list[dict]:
             body.append(("text", footer, None))
             body.append(("text", "\f", None))
 
-    lines = head + [("text", "RAPPORT OPÉRATOIRE", None), ("text", "", None)] + body
+    lines = head + [("text", "OBSERVATIONS CLINIQUES", None), ("text", "", None)] + body
     lines.append(("text", footer, None))
     return _with_offsets(lines)
 

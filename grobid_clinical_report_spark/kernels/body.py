@@ -114,13 +114,17 @@ def body_spans(df: pd.DataFrame) -> pd.DataFrame:
         )
     d["text_n"] = normalize_text(d["text"])
     # block-change breaks clusters (label stays the output kind); list items
-    # never merge — each bullet is its own <item> (TEIFormatter.java:876-883)
-    aux = np.where(
-        d["label"].to_numpy() == "item",
-        -(d["seq"].to_numpy().astype(np.int64)) - 1,
-        d["block_id"].to_numpy().astype(np.int64),
+    # never merge — each bullet is its own <item> (TEIFormatter.java:876-883);
+    # every media span opens a new figure cluster so no media_ref is ever
+    # swallowed by a preceding graphic (a span carries exactly one ref) —
+    # its caption line still merges INTO that cluster
+    seq = d["seq"].to_numpy().astype(np.int64)
+    aux = d["block_id"].to_numpy().astype(np.int64)
+    aux = np.where(d["label"].to_numpy() == "item", -seq - 1, aux)
+    d["_cl"] = rle_cluster_ids(
+        d["doc_id"], d["label"], aux=aux,
+        break_before=d["is_media"].to_numpy(),
     )
-    d["_cl"] = rle_cluster_ids(d["doc_id"], d["label"], aux=aux)
 
     # vectorized aggregation: firsts via drop_duplicates (rows are already in
     # cluster order), text join via reduceat (kernels/cluster.group_join)

@@ -43,10 +43,14 @@ def group_join(values: np.ndarray, cluster_ids: np.ndarray, sep: str = " ") -> n
 
 
 def rle_cluster_ids(
-    doc_ids: pd.Series, labels: pd.Series, aux: np.ndarray | None = None
+    doc_ids: pd.Series,
+    labels: pd.Series,
+    aux: np.ndarray | None = None,
+    break_before: np.ndarray | None = None,
 ) -> np.ndarray:
     """L2: cluster id per row — increments when doc, label, or the optional
-    ``aux`` key (e.g. block id, for the paragraph-per-block rule) changes.
+    ``aux`` key (e.g. block id, for the paragraph-per-block rule) changes,
+    or where ``break_before`` is set (forced opens, e.g. each media span).
 
     Equivalent to TaggingTokenClusteror's consecutive-same-label grouping
     (an explicit `I-` prefix in a label value also opens a new cluster, as in
@@ -58,6 +62,8 @@ def rle_cluster_ids(
     if aux is not None:
         aux = np.asarray(aux)
         change |= aux != np.roll(aux, 1)
+    if break_before is not None:
+        change |= np.asarray(break_before)
     if len(change):
         change[0] = True
     return np.cumsum(change) - 1

@@ -68,7 +68,11 @@ def segment_emissions(df: pd.DataFrame) -> np.ndarray:
     annex_start = at.match(low, r"annexe")
     ack_start = at.match(low, r"remerciements")
 
-    # header: flat prior on the first page + header-content cues
+    # header: flat prior on the first page + header-content cues.
+    # The cues only apply to label-shaped lines — running prose that happens
+    # to mention a patient/date is body, not header (prose = long line with
+    # terminal period, or a bullet item).
+    prose_shaped = (long_line & ends_period) | df["is_bullet"].to_numpy()
     em[:, _IX["header"]] += 1.5 * fp
     em[:, _IX["header"]] += 1.5 * (
         df["has_docnum"]
@@ -77,10 +81,10 @@ def segment_emissions(df: pd.DataFrame) -> np.ndarray:
         | (df["all_caps"] & df["has_doctype_word"])
         | df["has_person_title"]
         | df["has_birth"]
-    ).to_numpy() * fp
+    ).to_numpy() * fp * ~prose_shaped
     em[:, _IX["header"]] += 1.0 * (
         df["has_org_word"] | df["has_street_word"] | df["has_postcode"]
-    ).to_numpy() * fp
+    ).to_numpy() * fp * ~prose_shaped
 
     # leftnote: contact block (phone/fax + role/org words)
     em[:, _IX["leftnote"]] += 4.0 * (block_contact & fp)
