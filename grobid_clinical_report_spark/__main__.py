@@ -26,7 +26,11 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="grobid_clinical_report_spark")
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
-    p.add_argument("--mode", default="extract_full")
+    from .pipeline import FLAT_MODES
+
+    p.add_argument(
+        "--mode", default="extract_full", choices=sorted(FLAT_MODES)
+    )
     p.add_argument("--buckets", type=int, default=8)
     p.add_argument("--max-spans", type=int, default=50_000)
     p.add_argument("--no-resume", action="store_true")
