@@ -381,7 +381,10 @@ def synthetic_documents_pdf(
         max_spans,
     )
     if heavy_docs:
-        counts = np.concatenate([counts, np.full(heavy_docs, heavy_spans)])
+        # heavy docs FIRST: a whale costs ~hundreds of median docs of kernel
+        # time — placed last it schedules last and becomes the stage tail at
+        # every parallelism level (longest-processing-time-first heuristic)
+        counts = np.concatenate([np.full(heavy_docs, heavy_spans), counts])
 
     rows = []
     for d, n in enumerate(counts):
