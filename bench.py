@@ -243,7 +243,12 @@ Measurement notes (honest caveats, profiled in round 1):
   shows exactly where and how the single-box ceiling bends.
 - Fine-grained file splits (4m) bound the whale-document tail: a 21k-span
   document costs ~430 median documents of kernel time and must not be
-  scheduled last in a coarse partition.
+  scheduled last in a coarse partition (heavy docs also sort first in the
+  corpus — LPT scheduling).
+- Local-mode walls jitter ±15%; a run that regenerates the corpus first
+  (cold page cache) reads low — measure with the corpus warm and the box
+  otherwise idle. Observed warm range across round-1 runs: 0.83-0.99 for
+  the 1→4 pair, 0.89-0.95 for 2→8.
 """
         )
 
