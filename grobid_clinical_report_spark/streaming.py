@@ -53,3 +53,70 @@ def stream_extract(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# stateful streaming: cross-batch exact dedup (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+
+def stream_dedup_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    mode: str = "extract_full",
+    checkpoint_dir: str | None = None,
+):
+    """Streaming extraction with a custom stateful operator: documents whose
+    normalized-content fingerprint was already seen in ANY earlier
+    micro-batch are dropped before the (expensive) cascade runs.
+
+    The dedup state is a per-fingerprint GroupState kept in the streaming
+    state store — the `applyInPandasWithState` shape for custom stateful
+    operators. At 10^12 scale the state is hash-partitioned by fingerprint
+    across executors; the extraction itself stays the same run_mode pass.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    checkpoint_dir = checkpoint_dir or os.path.join(output_dir, "_checkpoint")
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .parquet(input_dir)
+        .withColumn(
+            "fp",
+            F.md5(
+                F.concat_ws(
+                    "", F.transform(F.col("spans"), lambda s: s["text"])
+                )
+            ),
+        )
+    )
+
+    def keep_first(key, pdfs, state):
+        if not state.exists:
+            state.update((True,))
+            first = next(pdfs, None)
+            if first is not None and len(first):
+                yield first.iloc[:1][["doc_id", "spans"]]
+        # fingerprint already seen (this or an earlier batch): drop
+
+    deduped = stream.groupBy("fp").applyInPandasWithState(
+        keep_first,
+        outputStructType=DOCUMENTS_SCHEMA,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def process(batch_df, epoch_id: int) -> None:
+        run_mode(batch_df, mode).write.mode("append").parquet(
+            os.path.join(output_dir, "spans")
+        )
+
+    return (
+        deduped.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -152,3 +152,40 @@ def test_ner_char_offsets(fixture_docs_pdf):
     rel_start = int(first["start"]) - line0["offset"]
     rel_end = int(first["end"]) - line0["offset"]
     assert src[rel_start:rel_end] == "Madame Belle Joseline DUPONT"
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """Cross-batch dedup: identical docs in batch 2 are dropped by the
+    applyInPandasWithState state store; new docs still extract."""
+    import glob
+    import shutil
+
+    from grobid_clinical_report_spark.streaming import stream_dedup_extract
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    pdf = datagen.fixture_documents_pdf()
+
+    def land(sub, frame):
+        d = os.path.join(in_dir, sub)
+        spark.createDataFrame(frame, DOCUMENTS_SCHEMA).write.parquet(d)
+        for i, f in enumerate(glob.glob(os.path.join(d, "*.parquet"))):
+            shutil.move(f, os.path.join(in_dir, f"{sub}-{i}.parquet"))
+        shutil.rmtree(d)
+
+    land("b0", pdf.iloc[:2])
+    q = stream_dedup_extract(spark, in_dir, out_dir)
+    q.awaitTermination(180)
+    n1 = spark.read.parquet(os.path.join(out_dir, "spans")).count()
+    assert n1 == 2
+
+    # batch 2: one duplicate of doc 0 (same spans, new doc_id) + one new doc
+    dup = pdf.iloc[[0]].copy()
+    dup["doc_id"] = "dup-of-0"
+    land("b1", pd.concat([dup, pdf.iloc[2:3]], ignore_index=True))
+    q2 = stream_dedup_extract(spark, in_dir, out_dir)
+    q2.awaitTermination(180)
+    out = spark.read.parquet(os.path.join(out_dir, "spans"))
+    assert out.count() == 3  # duplicate dropped, new doc processed
+    assert out.filter("doc_id = 'dup-of-0'").count() == 0
