@@ -160,15 +160,62 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
 FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
 """
 
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — multi-level aggregates in one pass (grouping sets)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy(
+            F.col("source").asc_nulls_first(), F.col("lang").asc_nulls_first()
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT source, lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY ROLLUP(source, lang)
+ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST
+"""
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-level distinct/extent statistics (one-row summary)."""
+    return _t(spark, sf_dir, "documents").agg(
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+ORACLE_CORPUS_STATS = """
+SELECT COUNT(DISTINCT lang) AS n_langs, COUNT(DISTINCT source) AS n_sources,
+  COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+"""
+
+
 OPS = {
     "rel_pricing_summary": q_pricing_summary,
     "rel_topk_per_group": q_top_orders_per_cust,
     "rel_resume_antijoin": q_orders_without_lineitems,
     "rel_sessionization": q_event_sessionization,
+    "rel_rollup_counts": q_rollup_counts,
+    "rel_corpus_stats": q_corpus_stats,
 }
 ORACLES = {
     "rel_pricing_summary": ORACLE_PRICING,
     "rel_topk_per_group": ORACLE_TOP_ORDERS,
     "rel_resume_antijoin": ORACLE_ANTIJOIN,
     "rel_sessionization": ORACLE_SESSIONIZATION,
+    "rel_rollup_counts": ORACLE_ROLLUP,
+    "rel_corpus_stats": ORACLE_CORPUS_STATS,
 }
