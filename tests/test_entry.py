@@ -44,14 +44,12 @@ def test_entry_smoke(spark):
 def test_queries_have_oracles_or_are_documented():
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     assert set(os_) <= set(qs)
-    # every non-oracle query is one of the known non-SQL-expressible ops
+    # every non-oracle query is one of the known non-SQL-expressible ops;
+    # since round 2 the extraction family is oracle-visible via
+    # fixture_oracle.py literal VALUES tables — only the stubbed media
+    # decode remains rows-only
     rows_only = set(qs) - set(os_)
-    assert rows_only == {
-        "extract_full", "extract_header", "extract_leftnote", "ner_entities",
-        "parse_dateline", "parse_medic", "parse_patient",
-        "parse_name", "parse_address", "parse_org",
-        "media_decode_features",
-    }
+    assert rows_only == {"media_decode_features"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))
@@ -62,14 +60,6 @@ def test_query_matches_oracle(spark, con, name):
     assert got.equals(want), f"{name}: value mismatch"
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "extract_full", "extract_header", "extract_leftnote", "ner_entities",
-        "parse_dateline", "parse_medic", "parse_patient",
-        "parse_name", "parse_address", "parse_org",
-        "media_decode_features",
-    ],
-)
+@pytest.mark.parametrize("name", ["media_decode_features"])
 def test_rows_only_queries_nonempty(spark, name):
     assert entrymod.queries()[name](spark, SF).count() > 0
