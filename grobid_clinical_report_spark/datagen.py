@@ -114,9 +114,23 @@ FX_HDR_EXPECTED = [
     # to ISO (ibid. :174-181, 394-409)
     ("date", "2000-04-29", None),
     ("medic", "Opérateur : Dr Mathieu MERLIN ; Assistant : Dr Leroy BLANC", None),
+    # C2 enrichment: medics re-parsed through the medic sub-model
+    # (HeaderMedicalParser.java:184-190), patients through the patient
+    # sub-model (:191-198) — sub-spans follow their parent field
+    ("medic_rolename", "Opérateur", None),
+    ("medic_persname", "Dr Mathieu MERLIN", None),
+    ("medic_rolename", "Assistant", None),
+    ("medic_persname", "Dr Leroy BLANC", None),
     ("patient", "Madame Abba Voletta DUPONT, née le 01/01/1990, 27 ans", None),
+    ("patient_persname", "Madame Abba Voletta DUPONT", None),
+    ("patient_birthdate", "née le 01/01/1990", None),
+    ("patient_age", "27 ans", None),
     ("affiliation", "Pôle Femmes-Adolescents-Mères-Enfants SERVICE DE GYNECOLOGIE OBSTETRIQUE", None),
     ("address", "51, Avenue du Mal de Lattre de Tassigny 94010 CRETEIL Cedex", None),
+    # C2 enrichment scalars: language id (fr default, :120-147) + page count
+    # (:150)
+    ("lang", "fr", None),
+    ("page_count", "1", None),
 ]
 
 FX_NOTE_LINES = [
@@ -239,11 +253,38 @@ FX_HDR2_EXPECTED = [
     ("doctype", "COMPTE RENDU DE CONSULTATION", None),
     ("date", "2019-03-12", None),
     ("medic", "Dr Paul DURAND", None),
+    ("medic_persname", "Dr Paul DURAND", None),
     ("patient", "Madame Iris LENOIR, née le 02/02/1962", None),
+    ("patient_persname", "Madame Iris LENOIR", None),
+    ("patient_birthdate", "née le 02/02/1962", None),
     ("email", "rdv@exemple-sante.fr", None),
     ("web", "www.exemple-sante.fr", None),
     ("phone", "Tél : 01 45 17 80 00", None),
     ("fax", "Fax : 01 45 17 80 01", None),
+    ("lang", "fr", None),
+    ("page_count", "1", None),
+]
+
+# fx-hdr-0010 — dateline fallback enrichment: the document date/place come
+# only from the <dateline> line; the DatelineParser fallback must fill them
+# (HeaderMedicalParser.java:153-172)
+FX_HDR3_LINES = [
+    ("text", "COMPTE RENDU D'HOSPITALISATION", None),
+    ("text", "Fait à Paris, le 20.9.2018", None),
+    ("text", "", None),
+    ("text", "Dr Anne CLAIRE", None),
+]
+
+FX_HDR3_EXPECTED = [
+    ("doctype", "COMPTE RENDU D'HOSPITALISATION", None),
+    ("dateline", "Fait à Paris, le 20.9.2018", None),
+    # fallback fills carry the dateline's offset → they follow it directly
+    ("date", "2018-09-20", None),
+    ("place", "Paris", None),
+    ("medic", "Dr Anne CLAIRE", None),
+    ("medic_persname", "Dr Anne CLAIRE", None),
+    ("lang", "fr", None),
+    ("page_count", "1", None),
 ]
 
 FX_NAME_TEXT = "Pr. Abagael Marie ZOSIMA"
@@ -279,6 +320,7 @@ FIXTURE_DOCS = {
     "fx-org-0007": [("text", FX_ORG_TEXT, None)],
     "fx-full-0008": FX_FULL2_LINES,
     "fx-hdr-0009": FX_HDR2_LINES,
+    "fx-hdr-0010": FX_HDR3_LINES,
 }
 
 # pipeline mode → (fixture doc_id, expected span list)
@@ -290,6 +332,7 @@ FIXTURE_EXPECTED = {
     "extract_header": {
         "fx-hdr-0002": FX_HDR_EXPECTED,
         "fx-hdr-0009": FX_HDR2_EXPECTED,
+        "fx-hdr-0010": FX_HDR3_EXPECTED,
     },
     "extract_leftnote": {"fx-note-0003": FX_NOTE_EXPECTED},
     "ner": {"fx-ner-0004": FX_NER_EXPECTED},

@@ -37,6 +37,13 @@ def header_emissions(df: pd.DataFrame) -> np.ndarray:
     em[:, _IX["doctype"]] += 4.0 * (all_caps & df["has_doctype_word"].to_numpy())
     em[:, _IX["date"]] += 3.0 * (df["has_date"] & ~df["has_person_title"]
                                  & ~df["has_birth"]).to_numpy()
+    # dateline: a date co-occurring with a place ('Fait à Paris, le 20.9.2018')
+    # — the reference header model's <dateline> field, later re-parsed by the
+    # DatelineParser for fallback doctype/date/place enrichment
+    # (HeaderMedicalParser.java:153-172)
+    em[:, _IX["dateline"]] += 6.0 * (
+        df["has_date"] & df["has_city_word"] & ~df["has_birth"]
+    ).to_numpy()
     em[:, _IX["time"]] += 1.0 * df["has_time"].to_numpy()
     em[:, _IX["medic"]] += 4.0 * df["has_medic_title"].to_numpy()
     em[:, _IX["medic"]] += 1.0 * df["has_role_word"].to_numpy()
@@ -127,5 +134,185 @@ def merge_header_fields(df: pd.DataFrame) -> pd.DataFrame:
     agg.loc[is_date, "text"] = iso.where(iso.ne(""), agg.loc[is_date, "text"])
     agg["media_ref"] = None
     return agg.sort_values(["doc_id", "offset"], kind="stable")[
+        ["doc_id", "kind", "text", "media_ref", "offset"]
+    ].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# C2 enrichment cascade (HeaderMedicalParser.java:110-198)
+# ---------------------------------------------------------------------------
+
+_EMPTY = pd.DataFrame(columns=["doc_id", "kind", "text", "media_ref", "offset"])
+
+# language-id markers for the 200-char body sample
+# (HeaderMedicalParser.java:121-147; the reference defaults to 'fr' and its
+# languageUtilities call never overrides it — we keep the fr default but make
+# the sample-based id real)
+_FR_MARKERS = r"\b(?:le|la|les|de|des|du|et|une?|est|pour|avec|dans)\b"
+_EN_MARKERS = r"\b(?:the|and|of|to|is|are|for|with|was|this)\b"
+
+
+def _subparse_fields(fields: pd.DataFrame, labeler, prefix: str) -> pd.DataFrame:
+    """Run a token sub-model over merged field texts → prefixed sub-spans.
+
+    The reference splits medics on ';' and parses each chunk
+    (HeaderMedicalParser.java:184-190); here the sub-model's own boundary
+    features (';' and sentence periods are hard 'other' breaks,
+    subparsers.parse_medic_tokens) produce the same clusters over the joined
+    string in one vectorized pass, so no explicit split is needed.
+    """
+    if fields.empty:
+        return _EMPTY
+    from . import subparsers as sub_k
+    from .tokenize import assign_blocks_pages, explode_tokens
+
+    sub = pd.DataFrame(
+        {
+            "doc_id": fields["doc_id"].to_numpy(),
+            "kind": "text",
+            "text": fields["text"].to_numpy(),
+            "media_ref": None,
+            "offset": fields["offset"].to_numpy(),
+        }
+    )
+    sub = assign_blocks_pages(sub)
+    toks = explode_tokens(sub)
+    if toks.empty:
+        return _EMPTY
+    toks = sub_k.token_features(toks)
+    toks["label"] = labeler(toks)
+    out = sub_k.tokens_to_spans(toks)
+    if out.empty:
+        return _EMPTY
+    out["kind"] = prefix + out["kind"]
+    return out
+
+
+def _dateline_fallback(spans: pd.DataFrame) -> pd.DataFrame:
+    """DatelineParser fallback: docs with a <dateline> field get missing
+    doctype/date/place filled from parsing it (HeaderMedicalParser.java:
+    153-172). Emitted at the dateline's offset so the fills sit next to it.
+    """
+    dl = spans[spans["kind"].eq("dateline")]
+    if dl.empty:
+        return _EMPTY
+    from . import subparsers as sub_k
+
+    parsed = _subparse_fields(dl, sub_k.parse_dateline_tokens, "")
+    if parsed.empty:
+        return _EMPTY
+    # only the FIRST cluster of each kind per doc fills the field
+    parsed = parsed[~parsed.duplicated(subset=["doc_id", "kind"], keep="first")]
+    have = spans[["doc_id", "kind"]].drop_duplicates()
+    fills = []
+    for kind, out_kind in [("doctype", "doctype"), ("date", "date"),
+                           ("place", "place")]:
+        cand = parsed[parsed["kind"].eq(kind)]
+        if cand.empty:
+            continue
+        taken = set(
+            map(tuple, have[have["kind"].eq(out_kind)][["doc_id"]].itertuples(
+                index=False, name=None
+            ))
+        )
+        cand = cand[~cand["doc_id"].map(lambda d: (d,) in taken)]
+        if cand.empty:
+            continue
+        cand = cand.assign(kind=out_kind)
+        if out_kind == "date":
+            iso = to_iso_date(cand["text"])
+            cand = cand.assign(text=iso.where(iso.ne(""), cand["text"]))
+        fills.append(cand)
+    if not fills:
+        return _EMPTY
+    return pd.concat(fills, ignore_index=True)
+
+
+def enrich_header_fields(
+    lines: pd.DataFrame, spans: pd.DataFrame
+) -> pd.DataFrame:
+    """C2 header enrichment cascade over merged field spans.
+
+    Reference (HeaderMedicalParser.java:110-198):
+      1. dateline fallback — missing doctype/date/place filled by running the
+         dateline sub-model on the <dateline> field (:153-172),
+      2. medics re-parsed through the medic sub-model (split on ';', :184-190)
+         → `medic_*` sub-spans; patients through the patient sub-model
+         (:191-198) → `patient_*` sub-spans,
+      3. language id over a 200-char body sample, default 'fr' (:120-147)
+         → `lang` span,
+      4. page count (:150) → `page_count` span.
+
+    ``lines`` must carry the zone column (for the body language sample and
+    page counting); ``spans`` is merge_header_fields output. Everything is
+    column-vectorized; the sub-models reuse the exact token kernels the
+    string endpoints use (composition, not reimplementation).
+    """
+    if spans.empty:
+        return spans
+    from . import subparsers as sub_k
+    from .cluster import group_join
+
+    parts = [spans, _dateline_fallback(spans)]
+    parts.append(
+        _subparse_fields(
+            spans[spans["kind"].eq("medic")],
+            sub_k.parse_medic_tokens,
+            "medic_",
+        )
+    )
+    parts.append(
+        _subparse_fields(
+            spans[spans["kind"].eq("patient")],
+            sub_k.parse_patient_tokens,
+            "patient_",
+        )
+    )
+
+    # per-doc scalars: language over a 200-char body sample + page count
+    doc_ids = np.sort(spans["doc_id"].unique())
+    last_off = lines.groupby("doc_id")["offset"].max()
+
+    body = lines[
+        lines["zone"].eq("body")
+        & ~(lines["is_blank"] | lines["is_page_break"] | lines["is_media"])
+    ]
+    if body.empty:
+        sample = pd.Series("", index=pd.Index(doc_ids, name="doc_id"))
+    else:
+        body = body.sort_values(["doc_id", "offset"], kind="stable")
+        joined = pd.Series(
+            group_join(
+                body["text"].astype(str).to_numpy(),
+                pd.factorize(body["doc_id"])[0],
+                sep=" ",
+            ),
+            index=body.loc[~body.duplicated("doc_id"), "doc_id"].to_numpy(),
+        )
+        sample = joined.str.slice(0, 200).reindex(doc_ids, fill_value="")
+    fr = sample.str.lower().str.count(_FR_MARKERS)
+    en = sample.str.lower().str.count(_EN_MARKERS)
+    lang = np.where(en > fr, "en", "fr")  # fr default, as the reference
+
+    breaks = lines[lines["is_page_break"]].groupby("doc_id").size()
+    n_pages = (
+        breaks.reindex(doc_ids, fill_value=0).to_numpy(dtype=np.int64) + 1
+    )
+    tail_off = last_off.reindex(doc_ids).to_numpy(dtype=np.int64)
+    parts.append(
+        pd.DataFrame(
+            {
+                "doc_id": np.repeat(doc_ids, 2),
+                "kind": np.tile(["lang", "page_count"], len(doc_ids)),
+                "text": np.stack([lang, n_pages.astype(str)], axis=1).ravel(),
+                "media_ref": None,
+                "offset": np.stack([tail_off + 1, tail_off + 2], axis=1).ravel(),
+            }
+        )
+    )
+    out = pd.concat([p for p in parts if not p.empty], ignore_index=True)
+    # stable by offset: sub-spans share their parent's offset and were
+    # concatenated after it, so they sort immediately after the parent
+    return out.sort_values(["doc_id", "offset"], kind="stable")[
         ["doc_id", "kind", "text", "media_ref", "offset"]
     ].reset_index(drop=True)

@@ -148,7 +148,10 @@ def flat_extract_header(lines: pd.DataFrame) -> pd.DataFrame:
     if hdr.empty:
         return _EMPTY_SPANS
     hdr["label"] = header_k.label_header_lines(hdr)
-    return header_k.merge_header_fields(hdr)
+    spans = header_k.merge_header_fields(hdr)
+    # C2 enrichment: dateline fallback, medic/patient sub-models, langid,
+    # page count (HeaderMedicalParser.java:110-198)
+    return header_k.enrich_header_fields(lines, spans)
 
 
 def flat_extract_leftnote(lines: pd.DataFrame) -> pd.DataFrame:
