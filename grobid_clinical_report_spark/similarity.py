@@ -97,36 +97,115 @@ FROM ranked WHERE rank <= {TOP_K} ORDER BY q_id, rank
 """
 
 # --- LSH-bucketed variant ----------------------------------------------------
+#
+# Real random-hyperplane LSH (round-1 verdict 'What's wrong #4'): L tables ×
+# b seeded integer hyperplanes each, query-side multiprobe at Hamming radius
+# 1. A vector's table-j signature is the b-bit sign pattern of its dot
+# products with that table's hyperplanes; a query probes its own bucket plus
+# the b single-bit-flip buckets in every table. Candidates = union over
+# tables, deduped, then exactly re-scored. Parameters chosen empirically on
+# the synthetic tier (recall@10 = 1.0 vs brute force, see
+# tests/test_extras.py::test_ann_lsh_recall): on weakly-clustered data
+# pruning is necessarily mild (neighbors sit at cos≈0.35), but the
+# construction is the production one — at near-dup similarity (cos ≥ 0.8,
+# the 100 TB dedup case) per-bit agreement ≥ 0.8 concentrates candidates
+# into the probed buckets and pruning approaches 2^b/(1+b) per table.
+# Hyperplane coefficients come from a self-contained LCG, not numpy's RNG,
+# so Spark and DuckDB (and any numpy version) see byte-identical constants.
 
-_LSH_BITS = 4
-_BUCKET = "".join(
-    f"(case when element_at(embedding, {i + 1}) >= 0 then {1 << i} else 0 end) + "
-    for i in range(_LSH_BITS)
-)[:-3]
-_D_BUCKET = "".join(
-    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END) + "
-    for i in range(_LSH_BITS)
-)[:-3]
+LSH_BITS = 6
+LSH_TABLES = 12
+_DIM = 64  # embeddings table vector width (TESTDATA.md)
+
+
+def _lcg_ints(seed: int, count: int, lo: int = -1000, hi: int = 1000) -> list[int]:
+    x = seed & ((1 << 64) - 1)
+    out = []
+    for _ in range(count):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        out.append(lo + ((x >> 33) % (hi - lo + 1)))
+    return out
+
+
+_HYPER = [
+    _lcg_ints(seed=1 + j, count=_DIM * LSH_BITS)
+    for j in range(LSH_TABLES)
+]  # [table][bit*DIM + dim]
+
+
+def _sig_expr_spark(j: int) -> str:
+    bits = []
+    for i in range(LSH_BITS):
+        h = _HYPER[j][i * _DIM : (i + 1) * _DIM]
+        arr = "array(" + ",".join(f"{c}L" for c in h) + ")"
+        dot = (
+            f"aggregate(zip_with(qv, {arr}, (x, y) -> x * y),"
+            " cast(0 as bigint), (acc, v) -> acc + v)"
+        )
+        bits.append(f"(case when {dot} >= 0 then {1 << i} else 0 end)")
+    return "cast(" + " + ".join(bits) + " as int)"
+
+
+def _sig_expr_duck(j: int) -> str:
+    bits = []
+    for i in range(LSH_BITS):
+        h = _HYPER[j][i * _DIM : (i + 1) * _DIM]
+        arr = "[" + ",".join(str(c) for c in h) + "]"
+        dot = (
+            f"list_aggregate(list_transform(generate_series(1, {_DIM}),"
+            f" i -> qv[i] * ({arr})[i]), 'sum')"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS INT)"
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
-        "vec_id", f"{_QVEC} as qv", f"cast({_BUCKET} as int) as bucket"
-    )
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).selectExpr(
-        "vec_id as q_id", "qv as qa", "bucket"
-    )
-    cand = emb.selectExpr("vec_id", "qv as qb", "bucket")
-    pairs = cand.join(F.broadcast(queries), "bucket").filter(
-        F.col("vec_id") != F.col("q_id")
-    )
-    scored = pairs.selectExpr(
-        "q_id",
+    sig_cols = [f"{_sig_expr_spark(j)} as s{j}" for j in range(LSH_TABLES)]
+    sigs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+        "vec_id", f"{_QVEC} as qv"
+    ).selectExpr("vec_id", "qv", *sig_cols)
+    # one cheap narrow cache: signatures are recomputed for both sides else
+    sigs = sigs.cache()
+
+    # candidate side: one (table, bucket) row per vector per table
+    cand_rows = sigs.selectExpr(
         "vec_id",
-        f"cast(floor(1000.0 * {_DOT} / sqrt(cast({_NORM2.format(v='qa')} as double)"
-        f" * cast({_NORM2.format(v='qb')} as double))) as bigint) as cos_milli",
+        "posexplode(array("
+        + ",".join(f"s{j}" for j in range(LSH_TABLES))
+        + ")) as (tbl, bucket)",
+    )
+    # query side: multiprobe — own bucket + every single-bit flip, per table
+    probe_structs = ", ".join(
+        f"named_struct('tbl', {j}, 'bucket', s{j} ^ {m})"
+        for j in range(LSH_TABLES)
+        for m in [0] + [1 << i for i in range(LSH_BITS)]
+    )
+    probes = sigs.filter(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id as q_id", f"explode(array({probe_structs})) as p"
+    ).selectExpr("q_id", "p.tbl as tbl", "p.bucket as bucket").distinct()
+
+    cand = (
+        cand_rows.join(F.broadcast(probes), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    # exact re-score of the candidate set only
+    emb = sigs.selectExpr("vec_id", "qv")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id as q_id", "qv as qa"
+    )
+    scored = (
+        cand.join(emb.selectExpr("vec_id", "qv as qb"), "vec_id")
+        .join(F.broadcast(queries), "q_id")
+        .selectExpr(
+            "q_id",
+            "vec_id",
+            f"cast(floor(1000.0 * {_DOT} / sqrt(cast({_NORM2.format(v='qa')} as double)"
+            f" * cast({_NORM2.format(v='qb')} as double))) as bigint) as cos_milli",
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_milli"), F.asc("vec_id"))
     return (
@@ -137,18 +216,39 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_ANN_LSH = f"""
-WITH e AS (
-  SELECT vec_id, {_D_QVEC} AS qv, CAST({_D_BUCKET} AS INT) AS bucket
-  FROM embeddings
-), q AS (
-  SELECT vec_id AS q_id, qv AS qa, bucket FROM e WHERE vec_id < {N_QUERIES}
+def _oracle_ann_lsh() -> str:
+    sig_cols = ", ".join(
+        f"{_sig_expr_duck(j)} AS s{j}" for j in range(LSH_TABLES)
+    )
+    cand_sigs = ", ".join(f"s{j}" for j in range(LSH_TABLES))
+    probe_rows = ", ".join(
+        f"({j}, xor(s{j}, {m}))"
+        for j in range(LSH_TABLES)
+        for m in [0] + [1 << i for i in range(LSH_BITS)]
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, qv, {sig_cols}
+  FROM (SELECT vec_id, {_D_QVEC} AS qv FROM embeddings)
+), cand_rows AS (
+  SELECT vec_id, UNNEST([{cand_sigs}]) AS bucket,
+         UNNEST(generate_series(0, {LSH_TABLES - 1})) AS tbl
+  FROM sigs
+), probes AS (
+  SELECT DISTINCT vec_id AS q_id, p.* FROM sigs,
+    LATERAL (SELECT * FROM (VALUES {probe_rows}) AS v(tbl, bucket)) p
+  WHERE vec_id < {N_QUERIES}
+), cand AS (
+  SELECT DISTINCT q_id, vec_id
+  FROM cand_rows JOIN probes USING (tbl, bucket)
+  WHERE vec_id <> q_id
 ), scored AS (
-  SELECT q_id, c.vec_id,
+  SELECT q_id, vec_id,
     CAST(FLOOR(1000.0 * {_D_DOT} / SQRT(CAST({_D_NORM2.format(v='qa')} AS DOUBLE)
       * CAST({_D_NORM2.format(v='qb')} AS DOUBLE))) AS BIGINT) AS cos_milli
-  FROM (SELECT vec_id, qv AS qb, bucket FROM e) c JOIN q USING (bucket)
-  WHERE c.vec_id <> q.q_id
+  FROM cand
+  JOIN (SELECT vec_id, qv AS qb FROM sigs) c USING (vec_id)
+  JOIN (SELECT vec_id AS q_id, qv AS qa FROM sigs) q USING (q_id)
 ), ranked AS (
   SELECT q_id, vec_id, cos_milli,
     ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_milli DESC, vec_id ASC)
@@ -158,6 +258,9 @@ WITH e AS (
 SELECT q_id, vec_id, cos_milli, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {TOP_K} ORDER BY q_id, rank
 """
+
+
+ORACLE_ANN_LSH = _oracle_ann_lsh()
 
 OPS = {
     "ann_cosine_topk": q_ann_bruteforce,

@@ -42,13 +42,17 @@ def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def _load_wide(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Load + spread: the test tiers are single small parquet files (one row
-    group → one scan task), so compute-heavy per-row ops would serialize on
-    one core. One cheap round-robin repartition buys full parallelism. At
-    production scale the table has many files and this is a no-op choice —
-    the scan splits already parallelize."""
+    """Load + spread IF NEEDED: the test tiers are single small parquet files
+    (one row group → one scan task), so compute-heavy per-row ops would
+    serialize on one core — those get one round-robin repartition. At
+    production scale the table has many files and the scan splits already
+    parallelize, so the repartition (a full shuffle) is skipped entirely —
+    gated on actual scan parallelism, not assumed away."""
     n = spark.sparkContext.defaultParallelism
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet").repartition(n)
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
 
 
 # ---------------------------------------------------------------------------
@@ -353,37 +357,92 @@ SELECT doc_id, CAST({sim} AS BIGINT) AS simhash16 FROM bits
 # ---------------------------------------------------------------------------
 
 JACCARD_MIN_MILLI = 300
+# b bands × r rows over the MINHASH_K=8 signature: recall ≈ 1-(1-J^r)^b —
+# at J=0.5 that's 0.68 (vs 0.25 for round 1's single band), at J=0.8: 0.997
+NEARDUP_BANDS = 4
+NEARDUP_ROWS = 2
+# band buckets larger than this are dropped: an oversized bucket is
+# boilerplate shingle collision, and joining it costs O(bucket²). Exact
+# duplicates never reach a bucket (pre-collapsed below), so at web scale the
+# cap only sheds pathological boilerplate families — the standard
+# production-LSH guard (same spirit as Spark MLlib's MinHashLSH docs advice)
+NEARDUP_BUCKET_CAP = 64
 
 
-def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate pairs from a 2-minhash band bucket join, verified by exact
-    n-gram Jaccard (intersection over union of distinct shingles). The band
-    join is the scale path: candidates ∝ true duplicates, not n²."""
-    # compute the shingle array once per doc; everything downstream (band
-    # signature, exploded shingle join, sizes) reuses it instead of
-    # re-splitting the text 4×
-    shingled = _with_shingles(spark, sf_dir).selectExpr(
-        "doc_id", "array_distinct(sha) as sha"
-    )
-    # four downstream consumers (band, x-side, y-side, sizes) — cache the
+def _neardup_candidates(docs: DataFrame):
+    """Candidate-pair stage of the near-dup pipeline, factored for the skew
+    test. Input: (doc_id, text). Returns (shingled_reps, cand) where ``cand``
+    is the deduped candidate-pair DataFrame (doc_a < doc_b).
+
+    Skew safety at 10^12 docs (round-1 verdict 'What's wrong #3'):
+      1. exact duplicates are collapsed FIRST (md5 group → min-doc_id
+         representative): an exact-dup cluster of size c contributes ONE
+         band row, not c — so boilerplate clusters can never blow the band
+         self-join to O(c²),
+      2. b=4 bands × r=2 minhash rows (vs one band): recall 1-(1-J^r)^b,
+      3. any band bucket wider than NEARDUP_BUCKET_CAP is dropped before the
+         self-join, bounding per-bucket join cost to CAP².
+    """
+    from pyspark.sql import Window
+
+    base = docs.selectExpr(
+        "doc_id", f"md5({_NORM}) as fp", f"split({_NORM}, ' ') as w"
+    ).selectExpr("doc_id", "fp", f"{_SHINGLES_OF_W} as sha")
+    # 1. exact-dup pre-collapse: representative = min doc_id per fingerprint
+    rep = base.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+    ).filter(F.col("rn") == 1)
+    shingled = rep.selectExpr("doc_id", "array_distinct(sha) as sha")
+    # four downstream consumers (bands, x-side, y-side, sizes) — cache the
     # shingle table instead of recomputing the tokenize+window subtree per
     # branch (at production scale this is a materialized intermediate table)
     shingled = shingled.cache()
-    sh = shingled.selectExpr("doc_id", "explode(sha) as sh")
-    sizes = shingled.selectExpr("doc_id", "size(sha) as n_sh")
-    band = shingled.selectExpr(
-        "doc_id",
-        "md5(concat(array_min(transform(sha, s -> md5(concat('0|', s)))),"
-        " array_min(transform(sha, s -> md5(concat('1|', s)))))) as band",
+
+    # 2. b×r banding: band j = hash of minhashes [j*r, (j+1)*r)
+    band_exprs = ", ".join(
+        "md5(concat("
+        + ", ".join(
+            f"array_min(transform(sha, s -> md5(concat('{j * NEARDUP_ROWS + i}|', s))))"
+            for i in range(NEARDUP_ROWS)
+        )
+        + "))"
+        for j in range(NEARDUP_BANDS)
     )
+    bands = shingled.selectExpr(
+        "doc_id", f"array({band_exprs}) as bs"
+    ).selectExpr("doc_id", "posexplode(bs) as (band_id, band_val)")
+    # 3. bucket-width cap (one count shuffle on the band key)
+    w = Window.partitionBy("band_id", "band_val")
+    bands = bands.withColumn("bsz", F.count("*").over(w)).filter(
+        F.col("bsz") <= NEARDUP_BUCKET_CAP
+    ).drop("bsz")
+
     cand = (
-        band.alias("a")
-        .join(band.alias("b"), F.col("a.band") == F.col("b.band"))
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
+        .distinct()  # a pair may agree on several bands
     )
+    return shingled, cand
+
+
+def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs among exact-dup representatives: b×r MinHash-LSH
+    band join for candidates, verified by exact n-gram Jaccard (intersection
+    over union of distinct shingles). Exact-duplicate membership itself is
+    the dedup_exact operator's output (fp → keeper) — re-emitting the O(c²)
+    pairs inside each exact cluster is the scale bug this split avoids."""
+    shingled, cand = _neardup_candidates(_load_wide(spark, sf_dir, "documents"))
+    sh = shingled.selectExpr("doc_id", "explode(sha) as sh")
+    sizes = shingled.selectExpr("doc_id", "size(sha) as n_sh")
     inter = (
         sh.alias("x")
         .join(cand, F.col("x.doc_id") == F.col("doc_a"))
@@ -408,20 +467,38 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_neardup() -> str:
+    mh = lambda k: f"list_min(list_transform({_D_SHINGLES}, s -> md5(CONCAT('{k}|', s))))"  # noqa: E731
+    band_exprs = ", ".join(
+        "md5(CONCAT("
+        + ", ".join(mh(j * NEARDUP_ROWS + i) for i in range(NEARDUP_ROWS))
+        + "))"
+        for j in range(NEARDUP_BANDS)
+    )
     return f"""
-WITH sh AS (
-  SELECT DISTINCT doc_id, UNNEST({_D_SHINGLES}) AS sh FROM documents
+WITH rep AS (
+  SELECT doc_id, {_NORM} AS norm,
+    ROW_NUMBER() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn
+  FROM documents
+), docs AS (
+  SELECT doc_id, norm AS text FROM rep WHERE rn = 1
+), sh AS (
+  SELECT DISTINCT doc_id, UNNEST({_D_SHINGLES}) AS sh FROM docs
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
-), band AS (
-  SELECT doc_id,
-    md5(CONCAT(
-      list_min(list_transform({_D_SHINGLES}, s -> md5(CONCAT('0|', s)))),
-      list_min(list_transform({_D_SHINGLES}, s -> md5(CONCAT('1|', s)))))) AS band
-  FROM documents
+), bands AS (
+  SELECT doc_id, UNNEST([{band_exprs}]) AS band_val,
+         UNNEST(generate_series(0, {NEARDUP_BANDS - 1})) AS band_id
+  FROM docs
+), capped AS (
+  SELECT * FROM (
+    SELECT doc_id, band_id, band_val,
+           COUNT(*) OVER (PARTITION BY band_id, band_val) AS bsz
+    FROM bands) WHERE bsz <= {NEARDUP_BUCKET_CAP}
 ), cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM band a JOIN band b ON a.band = b.band AND a.doc_id < b.doc_id
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
 ), inter AS (
   SELECT doc_a, doc_b, COUNT(*) AS n_inter
   FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y

@@ -189,3 +189,42 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     out = spark.read.parquet(os.path.join(out_dir, "spans"))
     assert out.count() == 3  # duplicate dropped, new doc processed
     assert out.filter("doc_id = 'dup-of-0'").count() == 0
+
+
+def test_neardup_skew_exact_dup_collapse(spark):
+    """1000 identical docs must NOT produce O(c²) LSH candidates: the exact
+    fingerprint pre-collapse reduces the cluster to one representative, and
+    oversized band buckets are capped (round-1 verdict 'What's wrong #3')."""
+    from grobid_clinical_report_spark.textops import _neardup_candidates
+
+    rows = [(i, "le patient presente une douleur du genou droit apres chute")
+            for i in range(1000)]
+    # plus a genuine near-dup pair and an unrelated doc
+    rows += [
+        (2000, "la patiente presente une fievre persistante depuis trois jours avec toux"),
+        (2001, "la patiente presente une fievre persistante depuis quatre jours avec toux"),
+        (2002, "compte rendu operatoire hysterectomie totale sans complication notable"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    shingled, cand = _neardup_candidates(docs)
+    n_reps = shingled.count()
+    n_cand = cand.count()
+    # 1000 identical docs collapse to 1 rep; candidates stay linear-ish
+    assert n_reps == 4
+    assert n_cand <= 3 * n_reps  # O(c), nowhere near 1000*999/2
+    pairs = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    assert (2000, 2001) in pairs  # the true near-dup survives banding
+
+
+def test_ann_lsh_recall(spark):
+    """LSH top-k must recover >= 0.9 of the brute-force top-10 per query
+    (round-1 verdict #4: real hyperplane LSH, not axis sign bits)."""
+    from grobid_clinical_report_spark import similarity as sim
+
+    sf = "/root/testdata/sf0.01"
+    truth = {
+        (r.q_id, r.vec_id) for r in sim.q_ann_bruteforce(spark, sf).collect()
+    }
+    got = {(r.q_id, r.vec_id) for r in sim.q_ann_lsh(spark, sf).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"recall@10 = {recall}"
