@@ -61,8 +61,33 @@ def test_anonymize_oracle(spark):
         .reset_index(drop=True)
     )
     assert got["anon_text"].tolist() == want["anon_text"].tolist()
-    # no residual emails or digits
-    assert not got["anon_text"].str.contains(r"\d|@[\w-]+\.", regex=True).any()
+    # no residual emails (the fixture-free sf0.001 corpus has no digits to
+    # rotate; real rotation-by-value is asserted in the unit test below and
+    # by the exact Spark↔DuckDB value equality above — no '#' flattening)
+    assert not got["anon_text"].str.contains(r"@[\w-]+\.", regex=True).any()
+
+
+def test_anonymize_name_and_rotation_semantics(spark):
+    """Unit semantics on a controlled doc: honorific names → pseudonyms,
+    cities → pseudonym city, digits rotated by the doc-stable amount."""
+    from grobid_clinical_report_spark import anonymize
+
+    df = spark.createDataFrame(
+        [(7, "Dr Mathieu MERLIN opère Madame Eva GOODRICH à Paris le "
+             "12/05/2019, tél 01 42 16 10 00, mail eva@exemple.fr")],
+        "doc_id long, text string",
+    )
+    out = df.selectExpr(
+        "doc_id", f"{anonymize._spark_expr()} as anon_text"
+    ).collect()[0]["anon_text"]
+    assert "MERLIN" not in out and "GOODRICH" not in out
+    assert "Dr " in out and "Madame " in out  # honorifics preserved
+    assert "Paris" not in out
+    assert "@" in out and "exemple.fr" not in out  # email masked
+    assert "12/05/2019" not in out  # digits rotated
+    import re
+
+    assert re.search(r"\d{2}/\d{2}/\d{4}", out)  # shape preserved
 
 
 def test_streaming_incremental_extract(spark, tmp_path):
