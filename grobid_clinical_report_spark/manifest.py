@@ -65,6 +65,7 @@ def commit_bucket(
     wall_sec: float,
     input_path: str,
     run_id: str,
+    config: dict,
 ) -> None:
     from . import __version__
 
@@ -79,11 +80,52 @@ def commit_bucket(
             input_path,
             __version__,
             run_id,
+            str(config["mode"]),
+            int(config["n_buckets"]),
+            int(config["max_spans"]),
         )
     ]
     spark.createDataFrame(row, MANIFEST_SCHEMA).write.mode("append").parquet(
         manifest_path(output_path)
     )
+
+
+def check_compatible(
+    spark: SparkSession, output_path: str, config: dict
+) -> None:
+    """Resume guard: every committed 'done' row must match the current job
+    shape (mode / n_buckets / max_spans / input_path). A mismatch means the
+    output directory holds a DIFFERENT job's buckets — resuming would skip
+    'done' buckets computed under other semantics and silently mix outputs.
+    """
+    m = read_manifest(spark, output_path).filter(F.col("status") == "done")
+    rows = (
+        m.select("mode", "n_buckets", "max_spans", "input_path")
+        .distinct()
+        .collect()
+    )
+    for r in rows:
+        got = (r["mode"], r["n_buckets"], r["max_spans"], r["input_path"])
+        want = (
+            config["mode"],
+            int(config["n_buckets"]),
+            int(config["max_spans"]),
+            config["input_path"],
+        )
+        if got != want:
+            raise ValueError(
+                "resume=True but the committed manifest was produced by an "
+                f"incompatible job: committed {got}, requested {want}. "
+                "Run with resume=False to recompute from scratch."
+            )
+
+
+def reset(spark: SparkSession, output_path: str) -> None:
+    """Clear the manifest (full-recompute entry point): overwrite with an
+    empty dataset so stale 'done' rows can't shadow the new run."""
+    spark.createDataFrame([], MANIFEST_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(manifest_path(output_path))
 
 
 def new_run_id() -> str:

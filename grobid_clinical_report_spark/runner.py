@@ -50,20 +50,40 @@ def split_guardrail(
 
 
 def salt_partition(df: DataFrame, tasks: int) -> DataFrame:
-    """Spread documents across ``tasks`` partitions with whale isolation.
+    """Spread documents across ``tasks`` partitions with whale spreading.
 
-    Light docs hash anywhere; heavy docs (> HEAVY_SPANS spans) get a salt from
-    a *different* hash so consecutive heavy doc_ids land on different tasks.
+    Light docs hash anywhere. Heavy docs (> HEAVY_SPANS spans) get a TRUE
+    round-robin salt — row_number over the (small, guardrail-bounded) heavy
+    id set, mod ``tasks`` — broadcast-joined back, so heavy docs are spread
+    evenly across salt values (≤ ceil(H/tasks) whales per salt, not the
+    independent-hash collisions of round 1). The salt→partition step is
+    still a hash partitioning, so co-location of two salts is possible but
+    probabilistically bounded; exact isolation would need a custom
+    partitioner, and the guardrail already caps a whale at max_spans.
+    The heavy set is tiny by construction (whales are the size-distribution
+    tail and hard-capped by the guardrail), so the broadcast is safe.
     One explicit shuffle; the map stage after it is shuffle-free.
     """
-    salted = df.withColumn(
-        "_salt",
-        F.when(
-            F.size("spans") > HEAVY_SPANS,
-            F.pmod(F.xxhash64("doc_id", F.lit("heavy")), F.lit(tasks)),
-        ).otherwise(F.pmod(F.xxhash64("doc_id"), F.lit(tasks))),
+    from pyspark.sql.window import Window
+
+    heavy_ids = (
+        df.filter(F.size("spans") > HEAVY_SPANS)
+        .select("doc_id")
+        .withColumn(
+            "_heavy_salt",
+            (
+                F.row_number().over(Window.orderBy(F.xxhash64("doc_id"))) - 1
+            ) % tasks,
+        )
     )
-    return salted.repartition(tasks, "_salt").drop("_salt")
+    salted = df.join(F.broadcast(heavy_ids), "doc_id", "left").withColumn(
+        "_salt",
+        F.coalesce(
+            F.col("_heavy_salt").cast("long"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(tasks)),
+        ),
+    )
+    return salted.repartition(tasks, "_salt").drop("_salt", "_heavy_salt")
 
 
 def run_extraction_job(
@@ -80,6 +100,8 @@ def run_extraction_job(
 
     Returns a metrics dict: {buckets_run, docs, spans, quarantined, wall_sec}.
     """
+    from pyspark.sql import Observation
+
     from .io import read_documents
 
     run_id = mf.new_run_id()
@@ -87,11 +109,20 @@ def run_extraction_job(
     docs = read_documents(spark, input_path).select("doc_id", "spans")
     docs = with_bucket(docs, n_buckets)
 
-    pending = (
-        mf.pending_buckets(spark, output_path, n_buckets)
-        if resume
-        else list(range(n_buckets))
-    )
+    config = {
+        "mode": mode, "n_buckets": n_buckets, "max_spans": max_spans,
+        "input_path": input_path,
+    }
+    if resume:
+        # refuse to mix incompatible outputs under one directory: resume is
+        # only valid when the committed manifest rows ran the same job shape
+        mf.check_compatible(spark, output_path, config)
+        pending = mf.pending_buckets(spark, output_path, n_buckets)
+    else:
+        # full recompute: clear stale manifest rows (and with them any claim
+        # over stale bucket/quarantine dirs — each bucket below overwrites)
+        mf.reset(spark, output_path)
+        pending = list(range(n_buckets))
     totals = {"buckets_run": 0, "docs": 0, "spans": 0, "quarantined": 0}
     t_all = time.monotonic()
     for b in pending:
@@ -104,23 +135,29 @@ def run_extraction_job(
         out_dir = os.path.join(output_path, f"bucket={b}")
         from .io import write_spans
 
+        # metrics ride the write itself via observe() — no post-write
+        # re-read of the output, no second scan of the input
+        obs = Observation()
+        extracted = extracted.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum(F.size("spans")), F.lit(0)).alias("n_spans"),
+        )
         write_spans(extracted, out_dir, mode="overwrite")
+        n_docs, n_spans = obs.get["n_docs"], obs.get["n_spans"]
 
+        # quarantine is ALWAYS (over)written — an empty dataset when clean —
+        # so a re-run with a raised max_spans can't leave stale whale rows
         q_dir = os.path.join(output_path, "_quarantine", f"bucket={b}")
-        n_quarantined = bad.count()
-        if n_quarantined:
-            bad.select(
-                "doc_id", F.size("spans").alias("n_spans")
-            ).write.mode("overwrite").parquet(q_dir)
+        q_obs = Observation()
+        bad.select("doc_id", F.size("spans").alias("n_spans")).observe(
+            q_obs, F.count(F.lit(1)).alias("n")
+        ).write.mode("overwrite").parquet(q_dir)
+        n_quarantined = q_obs.get["n"]
 
-        written = spark.read.parquet(out_dir)
-        n_docs = written.count()
-        n_spans = written.select(
-            F.coalesce(F.sum(F.size("spans")), F.lit(0)).alias("s")
-        ).collect()[0]["s"]
         mf.commit_bucket(
             spark, output_path, b, n_docs, n_spans, n_quarantined,
-            time.monotonic() - t0, input_path, run_id,
+            time.monotonic() - t0, input_path, run_id, config,
         )
         totals["buckets_run"] += 1
         totals["docs"] += n_docs

@@ -65,6 +65,11 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("input_path", T.StringType(), False),
         T.StructField("code_version", T.StringType(), False),
         T.StructField("run_id", T.StringType(), False),
+        # job shape — resume validates these so outputs of incompatible runs
+        # can never silently mix under one output directory
+        T.StructField("mode", T.StringType(), False),
+        T.StructField("n_buckets", T.IntegerType(), False),
+        T.StructField("max_spans", T.LongType(), False),
     ]
 )
 

@@ -103,3 +103,38 @@ def test_fixtures_survive_inside_scale_run(spark, input_path, tmp_path):
         (s["kind"], s["text"], s["media_ref"]) for s in rows["fx-full-0001"]
     ]
     assert got == [tuple(e) for e in datagen.FX_FULL_EXPECTED]
+
+
+def test_resume_rejects_incompatible_config(spark, input_path, tmp_path):
+    """Resume must refuse to mix outputs of different job shapes (mode /
+    n_buckets / max_spans / input) under one output directory."""
+    out = str(tmp_path / "out3")
+    runner.run_extraction_job(
+        spark, input_path, out, n_buckets=2, max_spans=500
+    )
+    for kw in (
+        {"mode": "extract_header"},
+        {"n_buckets": 4},
+        {"max_spans": 400},
+    ):
+        with pytest.raises(ValueError, match="incompatible"):
+            runner.run_extraction_job(
+                spark, input_path, out,
+                **{"n_buckets": 2, "max_spans": 500, **kw},
+            )
+
+
+def test_quarantine_cleared_on_recompute(spark, input_path, tmp_path):
+    """Re-running with a raised max_spans (resume=False) must not leave
+    stale quarantine rows from the stricter previous run."""
+    out = str(tmp_path / "out4")
+    m1 = runner.run_extraction_job(
+        spark, input_path, out, n_buckets=2, max_spans=500
+    )
+    assert m1["quarantined"] == 1
+    m2 = runner.run_extraction_job(
+        spark, input_path, out, n_buckets=2, max_spans=100_000, resume=False
+    )
+    assert m2["quarantined"] == 0
+    q = spark.read.parquet(os.path.join(out, "_quarantine", "bucket=*"))
+    assert q.count() == 0
