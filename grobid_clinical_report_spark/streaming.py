@@ -4,10 +4,13 @@ The reference is strictly batch (no streaming surface — SURVEY.md §2.8), and
 exact resume is manifest-based (manifest.py). This module is the *additive*
 streaming deployment shape for the same cascade: new document files landing
 in a directory are picked up by a file-source stream, run through the
-identical `run_mode` stages inside `foreachBatch` (exactly-once via the
-streaming checkpoint + idempotent parquet epochs), and appended to the spans
-sink. `availableNow` triggers let the same code run as an incremental batch
-job — the natural mode for a 10^12-doc table that grows by partitions.
+identical `run_mode` stages inside `foreachBatch`, and written to the spans
+sink. Exactly-once: each micro-batch OVERWRITES its own `spans/epoch=<id>`
+partition — foreachBatch replays a crashed batch with the SAME epoch_id, so
+the replay rewrites the same directory instead of appending duplicates (the
+parquet stand-in for an Iceberg `overwritePartitions` transaction).
+`availableNow` triggers let the same code run as an incremental batch job —
+the natural mode for a 10^12-doc table that grows by partitions.
 """
 
 from __future__ import annotations
@@ -40,11 +43,10 @@ def stream_extract(
     )
 
     def process(batch_df, epoch_id: int) -> None:
-        out = run_mode(batch_df, mode)
-        (
-            out.write.mode("append").parquet(
-                os.path.join(output_dir, "spans")
-            )
+        # idempotent per-epoch sink: a replayed micro-batch (crash between
+        # write and checkpoint commit) overwrites its own partition
+        run_mode(batch_df, mode).write.mode("overwrite").parquet(
+            os.path.join(output_dir, "spans", f"epoch={epoch_id}")
         )
 
     return (
@@ -66,6 +68,7 @@ def stream_dedup_extract(
     output_dir: str,
     mode: str = "extract_full",
     checkpoint_dir: str | None = None,
+    state_ttl_hours: float = 24.0,
 ):
     """Streaming extraction with a custom stateful operator: documents whose
     normalized-content fingerprint was already seen in ANY earlier
@@ -74,11 +77,19 @@ def stream_dedup_extract(
     The dedup state is a per-fingerprint GroupState kept in the streaming
     state store — the `applyInPandasWithState` shape for custom stateful
     operators. At 10^12 scale the state is hash-partitioned by fingerprint
-    across executors; the extraction itself stays the same run_mode pass.
+    across executors, and — crucially for a bounded-state story — every
+    fingerprint carries a processing-time TTL (``state_ttl_hours``): a
+    fingerprint not re-seen within the TTL is evicted, so state size tracks
+    the dedup window, not the full corpus history. A duplicate arriving
+    after its original's eviction is re-emitted — the standard
+    windowed-dedup tradeoff (exact global dedup belongs to the batch
+    dedup_exact operator). Output epochs are overwrite-idempotent like
+    stream_extract.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    ttl_ms = int(state_ttl_hours * 3600 * 1000)
     checkpoint_dir = checkpoint_dir or os.path.join(output_dir, "_checkpoint")
     stream = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
@@ -94,24 +105,29 @@ def stream_dedup_extract(
     )
 
     def keep_first(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()  # TTL eviction: bounded state
+            return
         if not state.exists:
             state.update((True,))
             first = next(pdfs, None)
             if first is not None and len(first):
                 yield first.iloc[:1][["doc_id", "spans"]]
-        # fingerprint already seen (this or an earlier batch): drop
+        # fingerprint already seen (this or an earlier batch): drop; either
+        # way refresh the TTL clock for this fingerprint
+        state.setTimeoutDuration(ttl_ms)
 
     deduped = stream.groupBy("fp").applyInPandasWithState(
         keep_first,
         outputStructType=DOCUMENTS_SCHEMA,
         stateStructType="seen boolean",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
 
     def process(batch_df, epoch_id: int) -> None:
-        run_mode(batch_df, mode).write.mode("append").parquet(
-            os.path.join(output_dir, "spans")
+        run_mode(batch_df, mode).write.mode("overwrite").parquet(
+            os.path.join(output_dir, "spans", f"epoch={epoch_id}")
         )
 
     return (
