@@ -287,6 +287,88 @@ FX_HDR3_EXPECTED = [
     ("page_count", "1", None),
 ]
 
+# fx-cover-0011 — title page (MedicalLabels <titlePage>): a prose-free cover
+# page pushes the administrative header to page 2; extract_full must emit
+# ONLY body structure (no cover/header leakage)
+FX_COVER_LINES = [
+    ("text", "COMPTE RENDU D'HOSPITALISATION", None),
+    ("text", "Hôpital de Créteil", None),
+    ("text", "Le 15.06.2021", None),
+    ("text", "", None),
+    ("text", "\f", None),
+    ("text", "N° 2021-000123", None),
+    ("text", "Dr Luc MOREAU", None),
+    ("text", "", None),
+    ("text", "SYNTHÈSE MÉDICALE", None),
+    ("text", "", None),
+    ("text", "EVOLUTION :", None),
+    ("text", "L'évolution clinique est favorable sous traitement adapté.", None),
+]
+
+FX_COVER_EXPECTED = [
+    ("title", "SYNTHÈSE MÉDICALE", None),
+    ("section", "EVOLUTION :", None),
+    ("paragraph", "L'évolution clinique est favorable sous traitement adapté.", None),
+]
+
+# fx-reorder-0012 — reordered zones: the left-note contact block precedes the
+# header block; both extractors must still find their zones (the round-1
+# keyword heuristics assumed header-first ordering)
+FX_REORDER_LINES = [
+    ("text", "SERVICE DE CARDIOLOGIE", None),
+    ("text", "Chef de Service : Pr. D. Lambert", None),
+    ("text", "Secrétariat : 01 48 22 33 44", None),
+    ("text", "Fax : 01 48 22 33 45", None),
+    ("text", "", None),
+    ("text", "COMPTE RENDU DE CONSULTATION", None),
+    ("text", "Le 03.02.2020", None),
+    ("text", "Dr Paul DURAND", None),
+    ("text", "Madame Iris LENOIR, née le 02/02/1962", None),
+]
+
+FX_REORDER_NOTE_EXPECTED = [
+    ("organization", "SERVICE DE CARDIOLOGIE", None),
+    ("medic", "Chef de Service : Pr. D. Lambert", None),
+    ("phone", "Secrétariat : 01 48 22 33 44", None),
+    ("fax", "Fax : 01 48 22 33 45", None),
+]
+
+FX_REORDER_HDR_EXPECTED = [
+    ("doctype", "COMPTE RENDU DE CONSULTATION", None),
+    ("date", "2020-02-03", None),
+    ("medic", "Dr Paul DURAND", None),
+    ("medic_persname", "Dr Paul DURAND", None),
+    ("patient", "Madame Iris LENOIR, née le 02/02/1962", None),
+    ("patient_persname", "Madame Iris LENOIR", None),
+    ("patient_birthdate", "née le 02/02/1962", None),
+    ("lang", "fr", None),
+    ("page_count", "1", None),
+]
+
+# fx-plain-0013 — keyword/convention-free body: section heads are mixed-case
+# standalone lines with no colon and no ALL-CAPS; the structural
+# heading-shaped feature (not keywords) must find them
+FX_PLAIN_LINES = [
+    ("text", "COMPTE RENDU DE CONSULTATION", None),
+    ("text", "Le 05.05.2022", None),
+    ("text", "", None),
+    ("text", "Bilan clinique", None),
+    ("text", "", None),
+    ("text", "Examen initial", None),
+    ("text", "Le patient se porte bien et poursuit son traitement quotidien.", None),
+    ("text", "", None),
+    ("text", "Conduite à tenir", None),
+    ("text", "Poursuite du traitement pendant six mois avant nouvel examen.", None),
+]
+
+FX_PLAIN_EXPECTED = [
+    ("subsection", "Bilan clinique", None),
+    ("subsection", "Examen initial", None),
+    ("paragraph", "Le patient se porte bien et poursuit son traitement quotidien.", None),
+    ("subsection", "Conduite à tenir", None),
+    ("paragraph", "Poursuite du traitement pendant six mois avant nouvel examen.", None),
+]
+
 FX_NAME_TEXT = "Pr. Abagael Marie ZOSIMA"
 FX_NAME_EXPECTED = [
     ("title", "Pr.", None),
@@ -302,9 +384,11 @@ FX_ADDR_EXPECTED = [
     ("city", "CRETEIL", None),
 ]
 FX_ORG_TEXT = "SERVICE DE GYNECOLOGIE CHU HENRI MONDOR"
+# full hierarchy vocabulary (MedicalLabels.java:53-78): SERVICE → <service>,
+# CHU → <chu> — the reference's fine-grained org levels, not coarse bins
 FX_ORG_EXPECTED = [
-    ("department", "SERVICE DE GYNECOLOGIE", None),
-    ("institution", "CHU HENRI MONDOR", None),
+    ("service", "SERVICE DE GYNECOLOGIE", None),
+    ("chu", "CHU HENRI MONDOR", None),
 ]
 
 FIXTURE_DOCS = {
@@ -321,6 +405,9 @@ FIXTURE_DOCS = {
     "fx-full-0008": FX_FULL2_LINES,
     "fx-hdr-0009": FX_HDR2_LINES,
     "fx-hdr-0010": FX_HDR3_LINES,
+    "fx-cover-0011": FX_COVER_LINES,
+    "fx-reorder-0012": FX_REORDER_LINES,
+    "fx-plain-0013": FX_PLAIN_LINES,
 }
 
 # pipeline mode → (fixture doc_id, expected span list)
@@ -328,13 +415,19 @@ FIXTURE_EXPECTED = {
     "extract_full": {
         "fx-full-0001": FX_FULL_EXPECTED,
         "fx-full-0008": FX_FULL2_EXPECTED,
+        "fx-cover-0011": FX_COVER_EXPECTED,
+        "fx-plain-0013": FX_PLAIN_EXPECTED,
     },
     "extract_header": {
         "fx-hdr-0002": FX_HDR_EXPECTED,
         "fx-hdr-0009": FX_HDR2_EXPECTED,
         "fx-hdr-0010": FX_HDR3_EXPECTED,
+        "fx-reorder-0012": FX_REORDER_HDR_EXPECTED,
     },
-    "extract_leftnote": {"fx-note-0003": FX_NOTE_EXPECTED},
+    "extract_leftnote": {
+        "fx-note-0003": FX_NOTE_EXPECTED,
+        "fx-reorder-0012": FX_REORDER_NOTE_EXPECTED,
+    },
     "ner": {"fx-ner-0004": FX_NER_EXPECTED},
     "parse_dateline": {"fx-dateline-0005": FX_DATELINE_EXPECTED},
     "parse_medic": {"fx-medic-0005": FX_MEDIC_EXPECTED},

@@ -81,3 +81,7 @@ def replace(arr: pa.Array, pattern: str, repl: str) -> pa.Array:
 
 def strip(arr: pa.Array) -> pa.Array:
     return pc.utf8_trim_whitespace(arr)
+
+
+def lstrip(arr: pa.Array) -> pa.Array:
+    return pc.utf8_ltrim_whitespace(arr)

@@ -40,12 +40,27 @@ def body_emissions(df: pd.DataFrame) -> np.ndarray:
     fig_marker = at.contains(low, r"\((?:cf\.?|voir)\s+figure")
     tab_marker = at.contains(low, r"\((?:cf\.?|voir)\s+tableau")
 
+    # title eligibility is relative to the BODY zone, not the whole document:
+    # a cover/header-heavy front matter must not push the opening title out
+    # of range (df holds body-zone lines only, so recompute position here)
+    from .segments import seg_position, seg_size_transform, seg_starts
+
+    dstarts = seg_starts(df["doc_id"].to_numpy())
+    body_rel = seg_position(dstarts, n) / np.maximum(
+        seg_size_transform(dstarts, n), 1
+    )
     em[:, _IX["title"]] += 4.0 * (
-        all_caps & ~ends_colon & (df["rel_pos"] < 0.6).to_numpy() & ~table_line
+        all_caps & ~ends_colon & (body_rel < 0.6) & ~table_line
         & ~caption
     )
     em[:, _IX["section"]] += 5.0 * (all_caps & ends_colon)
     em[:, _IX["subsection"]] += 4.0 * (~all_caps & ends_colon)
+    # keyword/convention-free section heads: a short capitalized block-
+    # opening line with no terminal punctuation (structural signature —
+    # reports that use neither ALL-CAPS nor colon conventions still get
+    # structure); 4.5 beats the paragraph default + two accumulated stay
+    # bonuses (1.0 + 1.5 + 1.5 — the chain that rides through a blank line)
+    em[:, _IX["subsection"]] += 4.5 * df["heading_shaped"].to_numpy()
     em[:, _IX["item"]] += 5.0 * df["is_bullet"].to_numpy()
     em[:, _IX["figure"]] += 6.0 * media
     em[:, _IX["figure"]] += 5.0 * caption

@@ -134,11 +134,49 @@ def featurize_lines(
         low, r"\s*(?:page\s+)?\d+\s*(?:/\s*\d+)?\s*$"
     )
 
+    # zone-cue vocabularies for the geometry-free rightnote/marginnote
+    # surrogates (the reference separates these zones by x-coordinates,
+    # MedicalReportSegmenterParser.java; the span model has none, so
+    # recipient blocks and NB-style annotations stand in)
+    f["has_recipient_word"] = at.contains(
+        low, r"\b(?:destinataire|à l'attention|a l'attention|copie à|copie a)"
+    )
+    f["is_margin_note"] = at.match(low, r"\s*(?:nb\s*[:.]|\*\s)")
+
     # block-edge status (FeaturesVectorMedical block status features)
     lib = lines["line_in_block"].to_numpy()
     f["block_first"] = lib == 0
     f["block_last"] = lib == lines["block_len"].to_numpy() - 1
     f["first_page"] = lines["page_id"].to_numpy() == 0
+
+    # indentation / alignment surrogates (FullMedicalTextParser.java:319-723
+    # alignmentStatus; HeaderMedicalParser.java:547-563 font/indent deltas —
+    # no layout geometry in the span model, leading whitespace stands in)
+    f["indent"] = raw_len - at.length(at.lstrip(txt))
+    prev_indent = np.roll(f["indent"], 1)
+    same_doc = np.roll(lines["doc_id"].to_numpy(), 1) == lines[
+        "doc_id"
+    ].to_numpy()
+    f["indent_changed"] = (f["indent"] != prev_indent) & same_doc
+    if n:
+        f["indent_changed"][0] = False
+
+    # heading-shaped: a block-opening capitalized short line with no
+    # terminal punctuation and no digits — the structural (keyword-free)
+    # signature of a section head in reports that use neither ALL-CAPS nor
+    # colon conventions (standalone heading, or heading atop its paragraph)
+    f["heading_shaped"] = (
+        f["block_first"]
+        & f["starts_upper"]
+        & ~f["ends_period"]
+        & ~f["ends_colon"]
+        & ~f["all_caps"]
+        & ~f["is_bullet"]
+        & (f["n_tokens"] >= 1)
+        & (f["n_tokens"] <= 5)
+        & (raw_len <= 40)
+        & (at.count(txt, r"\d") == 0)
+    )
 
     # media adjacency (bitmapAround/vectorAround surrogate,
     # MedicalReportSegmenterParser.java:342-351)

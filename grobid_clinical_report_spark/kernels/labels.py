@@ -15,10 +15,15 @@ from __future__ import annotations
 
 import numpy as np
 
-# --- segmenter zones (MedicalLabels.java:16-26) ----------------------------
+# --- segmenter zones (MedicalLabels.java:15-25: titlePage, header, headnote,
+# footnote, marginnote, leftnote, rightnote, body, page, acknowledgement,
+# annex) — the full reference vocabulary -------------------------------------
 SEG_LABELS = [
+    "titlePage",
     "header",
     "leftnote",
+    "rightnote",
+    "marginnote",
     "body",
     "headnote",
     "footnote",
@@ -93,7 +98,14 @@ NAME_LABELS = ["title", "forename", "middlename", "surname", "suffix", "other"]
 ADDRESS_LABELS = [
     "streetnumber", "streetname", "postcode", "city", "country", "other",
 ]
-ORG_LABELS = ["orgname", "department", "institution", "address", "other"]
+# full hospital-hierarchy vocabulary (MedicalLabels.java:53-78: ghu/chu/dmu/
+# pole/site/hospital/university/institution/center/service/department/unit/
+# administration + orgname/address/settlement/country)
+ORG_LABELS = [
+    "orgname", "ghu", "chu", "dmu", "pole", "site", "hospital", "university",
+    "institution", "center", "service", "department", "unit",
+    "administration", "address", "settlement", "country", "other",
+]
 
 # --- French medical NER (MedicalLabels.java:80-93, 269-296) ------------------
 NER_LABELS = [

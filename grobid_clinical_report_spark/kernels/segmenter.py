@@ -68,12 +68,28 @@ def segment_emissions(df: pd.DataFrame) -> np.ndarray:
     annex_start = at.match(low, r"annexe")
     ack_start = at.match(low, r"remerciements")
 
-    # header: flat prior on the first page + header-content cues.
+    # titlePage: a cover page — the first page of a multi-page document that
+    # carries no body prose at all (MedicalLabels.java:15 <titlePage>; without
+    # x/y geometry, the no-prose-page shape is the surrogate)
+    prose_shaped = (long_line & ends_period) | df["is_bullet"].to_numpy()
+    dstarts = seg_starts(df["_doc_code"].to_numpy())
+    pstarts = seg_starts(
+        df["_doc_code"].to_numpy() * (1 << 20) + df["page_id"].to_numpy()
+    )
+    page_has_prose = seg_any_transform(prose_shaped & ~blank, pstarts)
+    doc_multi_page = seg_any_transform(df["is_page_break"].to_numpy(), dstarts)
+    cover = fp & ~page_has_prose & doc_multi_page
+    em[:, _IX["titlePage"]] += 4.0 * (cover & ~blank)
+
+    # header: flat prior on the header page + header-content cues.
+    # The header page is the first page — or the SECOND page when the first
+    # is a cover (titlePage) that pushed the administrative block over.
     # The cues only apply to label-shaped lines — running prose that happens
     # to mention a patient/date is body, not header (prose = long line with
     # terminal period, or a bullet item).
-    prose_shaped = (long_line & ends_period) | df["is_bullet"].to_numpy()
-    em[:, _IX["header"]] += 1.5 * fp
+    doc_has_cover = seg_any_transform(cover, dstarts)
+    hdr_page = fp | ((df["page_id"].to_numpy() == 1) & doc_has_cover)
+    em[:, _IX["header"]] += 1.5 * hdr_page
     em[:, _IX["header"]] += 1.5 * (
         df["has_docnum"]
         | df["has_ipp"]
@@ -81,20 +97,40 @@ def segment_emissions(df: pd.DataFrame) -> np.ndarray:
         | (df["all_caps"] & df["has_doctype_word"])
         | df["has_person_title"]
         | df["has_birth"]
-    ).to_numpy() * fp * ~prose_shaped
+    ).to_numpy() * hdr_page * ~prose_shaped
     em[:, _IX["header"]] += 1.0 * (
         df["has_org_word"] | df["has_street_word"] | df["has_postcode"]
-    ).to_numpy() * fp * ~prose_shaped
+    ).to_numpy() * hdr_page * ~prose_shaped
+    # mixed-case doctype lines ('Compte rendu de consultation') are header
+    # evidence too — protects headers whose first line avoids ALL-CAPS
+    em[:, _IX["header"]] += 1.5 * (
+        df["has_doctype_word"] & ~df["all_caps"] & (df["n_tokens"] <= 6)
+    ).to_numpy() * hdr_page * ~prose_shaped
 
     # leftnote: contact block (phone/fax + role/org words)
-    em[:, _IX["leftnote"]] += 4.0 * (block_contact & fp)
+    em[:, _IX["leftnote"]] += 4.0 * (block_contact & hdr_page)
+
+    # keyword-free heading-shaped lines open body structure even without
+    # ALL-CAPS/colon conventions: 4.5 beats the flat header prior + stay
+    # (1.5 + 2.5) but NOT a header line with a real cue (3.0 + 2.5)
+    em[:, _IX["body"]] += 4.5 * df["heading_shaped"].to_numpy()
+
+    # rightnote: recipient/addressee block (the reference separates right-
+    # margin notes by geometry; recipient blocks are its dominant content)
+    block_recipient = seg_any_transform(
+        df["has_recipient_word"].to_numpy(), bstarts
+    )
+    em[:, _IX["rightnote"]] += 6.0 * block_recipient
+
+    # marginnote: NB-/asterisk-style annotations
+    em[:, _IX["marginnote"]] += 6.0 * df["is_margin_note"].to_numpy()
 
     # body: strong structural cues open the body zone
     body_title = (all_caps & ~ends_colon
                   & ~df["has_doctype_word"].to_numpy()
                   & ~df["has_org_word"].to_numpy())
     em[:, _IX["body"]] += 4.0 * (all_caps & ends_colon)      # section heads
-    em[:, _IX["body"]] += 4.0 * body_title                    # document title
+    em[:, _IX["body"]] += 4.5 * body_title                    # document title
     em[:, _IX["body"]] += 2.0 * (~all_caps & ends_colon)      # subsections
     em[:, _IX["body"]] += 2.0 * df["is_bullet"].to_numpy()    # list items
     em[:, _IX["body"]] += 2.0 * (long_line & ends_period)     # prose
@@ -136,6 +172,9 @@ def segment_transitions() -> np.ndarray:
     for z in ("annex", "acknowledgement"):
         t[ix[z], ix["header"]] = -8.0
         t[ix[z], ix["leftnote"]] = -8.0
+    # titlePage precedes everything and never re-opens
+    for z in ("body", "annex", "acknowledgement", "header", "leftnote"):
+        t[ix[z], ix["titlePage"]] = -8.0
     return t
 
 

@@ -286,39 +286,72 @@ def parse_address_tokens(t: pd.DataFrame) -> pd.Series:
 
 
 # ---------------------------------------------------------------------------
-# organization (OrganizationParser; left-note org decomposition)
+# organization (OrganizationParser; left-note org decomposition over the
+# full hospital hierarchy, MedicalLabels.java:53-78)
 # ---------------------------------------------------------------------------
 
 _OG_IX = label_index(ORG_LABELS)
 
-_DEPT_HEADS = {"service", "département", "departement", "pôle", "pole",
-               "unité", "unite"}
-_INST_HEADS = {"chu", "ghu", "hôpital", "hopital", "institut", "clinique",
-               "centre", "aphp", "ap-hp"}
+# head word → hierarchy label: the token that OPENS an organizational unit
+# names its level; following tokens on the line ride that level until the
+# next head (the reference CRF learns this from <service>/<chu>/… training
+# chunks — 'SERVICE DE GYNECOLOGIE CHU HENRI MONDOR' → service + chu)
+_ORG_HEADS = {
+    "service": "service",
+    "département": "department", "departement": "department",
+    "pôle": "pole", "pole": "pole",
+    "unité": "unit", "unite": "unit",
+    "chu": "chu",
+    "ghu": "ghu",
+    "dmu": "dmu",
+    "site": "site",
+    "hôpital": "hospital", "hopital": "hospital", "clinique": "hospital",
+    "université": "university", "universite": "university",
+    "institut": "institution", "institution": "institution",
+    "centre": "center",
+    "aphp": "administration", "ap-hp": "administration",
+    "administration": "administration",
+}
+_HEAD_CATS = sorted(set(_ORG_HEADS.values()))
 
 
 def parse_org_tokens(t: pd.DataFrame) -> pd.Series:
-    from .segments import seg_cumsum, seg_starts
+    from .segments import seg_position, seg_starts
 
-    em = np.zeros((len(t), len(ORG_LABELS)))
+    n = len(t)
+    em = np.zeros((n, len(ORG_LABELS)))
     lstarts = seg_starts(t["line_key"].to_numpy())
-    dept_head = t["low"].isin(_DEPT_HEADS).to_numpy().astype(np.int64)
-    inst_head = t["low"].isin(_INST_HEADS).to_numpy().astype(np.int64)
-    # zone flags: after the latest head marker of each kind
-    in_dept = seg_cumsum(dept_head, lstarts) > seg_cumsum(inst_head, lstarts)
-    in_inst = seg_cumsum(inst_head, lstarts) > 0
+
+    # category id per token: 0 = not a head, 1+i = head of category i
+    cat_of = {h: 1 + _HEAD_CATS.index(c) for h, c in _ORG_HEADS.items()}
+    head_cat = t["low"].map(cat_of).fillna(0).to_numpy().astype(np.int64)
+
+    # forward-fill the most recent head within the line: global running max
+    # of head indices is line-local because indices increase monotonically —
+    # a previous line's head index is always below this line's start
+    idx = np.arange(n, dtype=np.int64)
+    head_pos = np.where(head_cat > 0, idx, -1)
+    run = np.maximum.accumulate(head_pos) if n else head_pos
+    line_start = idx - seg_position(lstarts, n)
+    valid = run >= line_start
+    active_cat = np.where(valid, head_cat[np.maximum(run, 0)], 0)
 
     capish = (t["is_cap"] | t["is_allcaps"]).to_numpy()
-    em[:, _OG_IX["department"]] += 5.0 * (dept_head > 0)
-    em[:, _OG_IX["department"]] += 2.0 * (capish & in_dept & ~in_inst)
-    em[:, _OG_IX["institution"]] += 5.0 * (inst_head > 0)
-    em[:, _OG_IX["institution"]] += 2.0 * (capish & in_inst)
-    em[:, _OG_IX["orgname"]] += 1.5 * (capish & ~in_dept & ~in_inst)
+    is_head = head_cat > 0
+    for i, cat in enumerate(_HEAD_CATS):
+        mine = active_cat == (1 + i)
+        em[:, _OG_IX[cat]] += 5.0 * (is_head & mine)
+        # tokens riding the open unit: names and connective stopwords
+        # ('SERVICE *DE* GYNECOLOGIE') continue the chunk
+        em[:, _OG_IX[cat]] += 2.5 * (~is_head & mine & ~t["is_punct"].to_numpy())
+    em[:, _OG_IX["orgname"]] += 1.5 * (capish & (active_cat == 0))
     em[:, _OG_IX["address"]] += 4.0 * (
-        t["is_street"] | t["is_postcode"] | t["is_city"]
+        t["is_street"] | t["is_postcode"]
     ).to_numpy()
+    em[:, _OG_IX["settlement"]] += 5.0 * t["is_city"].to_numpy()
+    em[:, _OG_IX["country"]] += 5.0 * t["low"].isin({"france"}).to_numpy()
     em[:, _OG_IX["other"]] += 3.0 * t["is_punct"].to_numpy()
-    em[:, _OG_IX["other"]] += 2.4 * t["is_stop"].to_numpy()
+    em[:, _OG_IX["other"]] += 2.4 * (t["is_stop"] & (active_cat == 0)).to_numpy()
     em[:, _OG_IX["other"]] += 0.2
     return _decode(t, em, ORG_LABELS, stay=2.0)
 

@@ -158,3 +158,56 @@ def test_viterbi_path_is_valid_shape(shapes):
         assert ((g >= 0) & (g < n_lab)).all()
         # with zero transitions the decode is the pointwise argmax
         assert np.array_equal(g, e.argmax(axis=1))
+
+
+def test_segmenter_new_zones(fixture_docs_pdf):
+    """titlePage / rightnote / marginnote (MedicalLabels.java:15-25): the
+    cover page of fx-cover-0011 is titlePage (header moves to page 2);
+    recipient blocks and NB-annotations get their margin zones."""
+    import pandas as pd
+
+    from grobid_clinical_report_spark.kernels.segmenter import segment_lines
+    from grobid_clinical_report_spark.pipeline import _prep_for_test
+
+    cover = fixture_docs_pdf[
+        fixture_docs_pdf.doc_id == "fx-cover-0011"
+    ].reset_index(drop=True)
+    lines = _prep_for_test(cover, profile="all")
+    lines["zone"] = segment_lines(lines)
+    by_text = dict(zip(lines["text"], lines["zone"]))
+    assert by_text["COMPTE RENDU D'HOSPITALISATION"] == "titlePage"
+    assert by_text["Hôpital de Créteil"] == "titlePage"
+    assert by_text["N° 2021-000123"] == "header"
+    assert by_text["Dr Luc MOREAU"] == "header"
+    assert by_text["SYNTHÈSE MÉDICALE"] == "body"
+
+    margins = pd.DataFrame(
+        [
+            {
+                "doc_id": "m1",
+                "spans": [
+                    {"kind": "text", "text": t, "media_ref": None, "offset": i}
+                    for i, t in enumerate(
+                        [
+                            "COMPTE RENDU OPÉRATOIRE",
+                            "Le 29.04.2000",
+                            "",
+                            "Destinataire : Dr Jean KOVAC",
+                            "Service de Radiologie",
+                            "",
+                            "OBSERVATIONS :",
+                            "Les constantes du patient restent normales ce jour.",
+                            "NB : résultat à confirmer au prochain contrôle.",
+                        ]
+                    )
+                ],
+            }
+        ]
+    )
+    lines = _prep_for_test(margins, profile="all")
+    lines["zone"] = segment_lines(lines)
+    by_text = dict(zip(lines["text"], lines["zone"]))
+    assert by_text["Destinataire : Dr Jean KOVAC"] == "rightnote"
+    assert by_text["Service de Radiologie"] == "rightnote"
+    assert by_text["OBSERVATIONS :"] == "body"
+    assert by_text["NB : résultat à confirmer au prochain contrôle."] == "marginnote"
