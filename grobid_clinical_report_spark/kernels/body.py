@@ -150,7 +150,18 @@ def body_spans(df: pd.DataFrame) -> pd.DataFrame:
     base["text"] = group_join(
         d["text_n"].to_numpy(), d["_cl"].to_numpy(), " "
     )
-    base["media_ref"] = d.groupby("_cl")["media_ref"].first()  # first non-null
+    # first non-null media_ref per cluster: clusters are contiguous runs, so
+    # a minimum.reduceat over non-null row indices replaces the pandas hash
+    # groupby (the former body_spans hotspot)
+    from .segments import seg_starts
+
+    media = d["media_ref"].to_numpy()
+    notna = pd.notna(media)
+    idx = np.where(notna, np.arange(len(d)), len(d))
+    first_idx = np.minimum.reduceat(idx, seg_starts(d["_cl"].to_numpy()))
+    base["media_ref"] = np.where(
+        first_idx < len(d), media[np.minimum(first_idx, len(d) - 1)], None
+    )
     agg = base.reset_index(drop=True)[
         ["doc_id", "kind", "text", "media_ref", "offset"]
     ]

@@ -80,17 +80,28 @@ def featurize_lines(
         seg_size_transform(pstarts, n), 1
     )
 
-    letters = at.count(txt, r"[A-Za-zÀ-ÖØ-öø-ÿ]")
-    uppers = at.count(txt, r"[A-ZÀ-ÖØ]")
     raw_len = at.length(txt)
     f["line_len"] = raw_len
-    f["caps_ratio"] = uppers / np.maximum(letters, 1)
-    f["all_caps"] = (letters >= 3) & (f["caps_ratio"] > 0.9)
+    # all-caps: uppercase-stable text with ≥3 letters. upper()+equality is
+    # ~4× cheaper than the two count_substring_regex scans it replaces
+    # (count dominates the featurizer profile; contains/equality do not)
+    import pyarrow.compute as pc
+
+    f["all_caps"] = at.contains(
+        txt, r"(?:[A-Za-zÀ-ÖØ-öø-ÿ].*){3}"
+    ) & pc.equal(pc.utf8_upper(txt), txt).to_numpy(zero_copy_only=False)
     f["starts_upper"] = at.match(txt, r"[A-ZÀ-ÖØ]")
     f["ends_colon"] = at.contains(stripped, r":$")
     f["ends_period"] = at.contains(stripped, r"\.$")
     f["is_bullet"] = at.match(txt, _BULLET_RE)
-    f["n_tokens"] = at.count(txt, r"\S+")
+    # token count via plain-substring space count (count_substring_regex on
+    # \S+ costs ~7× more and the consumers are coarse thresholds)
+    stripped_len = at.length(stripped)
+    f["n_tokens"] = np.where(
+        stripped_len == 0,
+        0,
+        pc.count_substring(stripped, " ").to_numpy(zero_copy_only=False) + 1,
+    )
     f["single_token"] = f["n_tokens"] == 1
     f["starts_lower"] = at.match(txt, r"[a-zà-öø-ÿ]")
 
@@ -175,7 +186,7 @@ def featurize_lines(
         & (f["n_tokens"] >= 1)
         & (f["n_tokens"] <= 5)
         & (raw_len <= 40)
-        & (at.count(txt, r"\d") == 0)
+        & ~at.contains(txt, r"\d")  # contains is ~12× cheaper than count
     )
 
     # media adjacency (bitmapAround/vectorAround surrogate,

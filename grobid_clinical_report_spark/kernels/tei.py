@@ -58,9 +58,17 @@ def spans_to_tei(flat: pd.DataFrame) -> pd.DataFrame:
     closes = d["kind"].map(
         lambda k: _TAG.get(k, ("", "</note>"))[1]
     )
-    graphic = d["media_ref"].map(
-        lambda m: f'<graphic url="{m}"/>' if isinstance(m, str) and m else ""
-    )
+    def _attr(m) -> str:
+        # attribute-escape the url: '&', '<' and the quote delimiter would
+        # otherwise produce malformed XML
+        if not (isinstance(m, str) and m):
+            return ""
+        esc = (
+            m.replace("&", "&amp;").replace("<", "&lt;").replace('"', "&quot;")
+        )
+        return f'<graphic url="{esc}"/>'
+
+    graphic = d["media_ref"].map(_attr)
     elems = opens + _escape(d["text"]) + graphic + closes
     codes, uniques = pd.factorize(d["doc_id"])
     body = group_join(elems.to_numpy(), codes, sep="")

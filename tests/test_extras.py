@@ -253,3 +253,16 @@ def test_ann_lsh_recall(spark):
     got = {(r.q_id, r.vec_id) for r in sim.q_ann_lsh(spark, sf).collect()}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.9, f"recall@10 = {recall}"
+
+
+def test_tei_media_ref_escaped():
+    """media_ref with XML-hostile chars must produce well-formed TEI."""
+    import xml.etree.ElementTree as ET
+
+    flat = pd.DataFrame(
+        [{"doc_id": "d", "kind": "figure", "text": "Fig",
+          "media_ref": 'im<g>&"x".png', "offset": 0}]
+    )
+    tei = spans_to_tei(flat).tei.iloc[0]
+    ET.fromstring(tei)
+    assert 'url="im&lt;g>&amp;&quot;x&quot;.png"' in tei

@@ -73,3 +73,22 @@ def test_salt_partition_single_exchange(spark):
     plan = _plan(run_mode(runner.salt_partition(docs, 8), "extract_full"))
     # exactly one exchange node in the plan tree: the salt repartition
     assert plan.count("Exchange (") == 1
+
+def test_load_wide_skips_shuffle_when_scan_parallel(spark, tmp_path):
+    """_load_wide must NOT inject a repartition (full shuffle) when the scan
+    already has >= defaultParallelism splits (round-1 verdict: the
+    unconditional repartition was a gratuitous shuffle at scale)."""
+    n = spark.sparkContext.defaultParallelism
+    src = spark.range(n * 10).selectExpr(
+        "id as doc_id", "'un texte clinique simple' as text"
+    )
+    p = str(tmp_path / "documents.parquet")
+    src.repartition(n * 2).write.parquet(p)
+    df = textops._load_wide(spark, str(tmp_path), "documents")
+    assert df.rdd.getNumPartitions() >= n
+    assert "Exchange" not in _plan(df.selectExpr("doc_id", "length(text) as l"))
+    # single-file scan (fewer splits than cores) still spreads
+    p1 = str(tmp_path / "one" / "documents.parquet")
+    src.coalesce(1).write.parquet(p1)
+    df1 = textops._load_wide(spark, str(tmp_path / "one"), "documents")
+    assert df1.rdd.getNumPartitions() >= n
