@@ -154,6 +154,9 @@ FX_NER_LINES = [
     ("text", "Arthrite septique du genou droit à Corynebacterium traitée par Daptomycine 1500 mg puis Linézolide 600 mg.", None),
     ("text", "Lavage articulaire et synovectomie le 14/08/2000, poursuite de Daptomycine jusqu'au 9/09/2000.", None),
     ("text", "Ordonnance validée par Docteur Hakuna Matata ROUX.", None),
+    # out-of-gazetteer entities found by suffix morphology alone
+    # (FeaturesVectorMedicalNER prefix/suffix feature parity)
+    ("text", "Ostéomyélite confirmée, traitée par Clindamycine 600 mg.", None),
 ]
 
 FX_NER_EXPECTED = [
@@ -171,6 +174,8 @@ FX_NER_EXPECTED = [
     ("medicament", "Daptomycine", None),
     ("date", "9/09/2000", None),
     ("persname", "Docteur Hakuna Matata ROUX", None),
+    ("pathology", "Ostéomyélite", None),
+    ("medicament", "Clindamycine 600 mg", None),
 ]
 
 # string sub-parser fixtures (doc/API_service.md cURL examples)

@@ -94,6 +94,15 @@ PROCEDURES = {
     "hystérectomie", "hysterectomie", "césarienne", "cesarienne", "incision",
     "drainage", "ablation", "ostéosynthèse", "osteosynthese",
 }
+# tokens whose -ite/-émie/... endings are NOT pathologies (suffix-feature
+# guard, kernels/subparsers.token_features suf_patho)
+SUF_PATHO_EXCLUDE = {
+    "suite", "suites", "visite", "visites", "limite", "limites", "droite",
+    "conduite", "conduites", "petite", "petites", "site", "sites",
+    "gratuite", "ensuite", "poursuite", "poursuites", "réussite",
+    "réussites", "fuite", "fuites", "cuite",
+}
+
 SYMPTOMS = {
     "douleur", "fièvre", "fievre", "œdème", "oedeme", "gonflement", "toux",
     "fatigue", "nausée", "nausee", "vomissement", "vertige",

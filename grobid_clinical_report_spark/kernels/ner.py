@@ -42,6 +42,12 @@ def ner_emissions(t: pd.DataFrame) -> np.ndarray:
     for lex, lab in _LEX_TO_LABEL.items():
         em[:, _IX[lab]] += 4.0 * t[f"lex_{lex}"].to_numpy()
 
+    # suffix-morphology evidence for out-of-gazetteer entities (the
+    # reference's prefix/suffix CRF features): weaker than a gazetteer hit,
+    # stronger than the plain-word 'other' default
+    em[:, _IX["medicament"]] += 3.5 * t["suf_drug"].to_numpy()
+    em[:, _IX["pathology"]] += 3.0 * t["suf_patho"].to_numpy()
+
     em[:, _IX["date"]] += 6.0 * t["is_date"].to_numpy()
     em[:, _IX["time"]] += 6.0 * t["is_time"].to_numpy()
     em[:, _IX["persname"]] += 5.0 * (

@@ -68,8 +68,23 @@ def token_features(toks: pd.DataFrame) -> pd.DataFrame:
     t["is_sent_period"] = t["is_period"] & ~t["prev_abbrev"]
     for lex_name, lex_set in lx.MEDICAL_SETS.items():
         t[f"lex_{lex_name}"] = low.isin(lex_set)
-    # lexicon hit within the previous 2 tokens (dose attachment window)
-    med = t["lex_medicament"].fillna(False).to_numpy()
+    # suffix-class features (FeaturesVectorMedicalNER's 1-4 char prefix/
+    # suffix features, rebuilt as morphology classes): French drug and
+    # pathology suffixes catch out-of-gazetteer entities
+    t["suf_drug"] = low.str.match(
+        r".{3,}(?:cilline|mycine|micine|cycline|oxacine|prazole|azole"
+        r"|pril|sartan|statine|azépam|azepam|tidine|caïne|caine)$"
+    )
+    t["suf_patho"] = (
+        low.str.match(r".{4,}(?:ite|émie|algie|pathie)s?$")
+        & ~low.isin(lx.SUF_PATHO_EXCLUDE)
+        & ~t["is_stop"]
+    )
+    # drug hit within the previous 2 tokens (dose attachment window) —
+    # suffix-detected drugs attach doses exactly like gazetteer ones
+    med = (
+        t["lex_medicament"].fillna(False) | t["suf_drug"].fillna(False)
+    ).to_numpy()
     sl = same_line.fillna(False).to_numpy()
     prev1 = np.roll(med, 1) & sl
     prev2 = np.roll(med, 2) & sl & np.roll(sl, 1)

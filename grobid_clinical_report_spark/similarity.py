@@ -262,11 +262,102 @@ FROM ranked WHERE rank <= {TOP_K} ORDER BY q_id, rank
 
 ORACLE_ANN_LSH = _oracle_ann_lsh()
 
+# --- embedding-cosine near-duplicate pairs ------------------------------------
+#
+# The embedding member of the dedup family (task brief): pairs whose cosine
+# clears EMB_DUP_MILLI among LSH-bucket cohabitants. All-pairs cosine is
+# O(n²) and dead at 10^12 rows; the same hyperplane tables prune candidates
+# to bucket-mates (multi-table union), then the exact integer-quantized
+# cosine verifies. The DuckDB oracle mirrors the bucketing exactly, so the
+# driver checks the REAL operator (candidates + verify), not a toy.
+
+EMB_DUP_MILLI = 350
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig_cols = [f"{_sig_expr_spark(j)} as s{j}" for j in range(LSH_TABLES)]
+    sigs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+        "vec_id", f"{_QVEC} as qv"
+    ).selectExpr("vec_id", "qv", *sig_cols)
+    sigs = sigs.cache()
+    rows = sigs.selectExpr(
+        "vec_id",
+        "posexplode(array("
+        + ",".join(f"s{j}" for j in range(LSH_TABLES))
+        + ")) as (tbl, bucket)",
+    )
+    cand = (
+        rows.alias("a")
+        .join(
+            rows.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    emb = sigs.selectExpr("vec_id", "qv")
+    scored = (
+        cand.join(
+            emb.selectExpr("vec_id as vec_a", "qv as qa"), "vec_a"
+        )
+        .join(emb.selectExpr("vec_id as vec_b", "qv as qb"), "vec_b")
+        .selectExpr(
+            "vec_a",
+            "vec_b",
+            f"cast(floor(1000.0 * {_DOT} / sqrt(cast({_NORM2.format(v='qa')} as double)"
+            f" * cast({_NORM2.format(v='qb')} as double))) as bigint) as cos_milli",
+        )
+    )
+    return (
+        scored.filter(F.col("cos_milli") >= EMB_DUP_MILLI)
+        .orderBy("vec_a", "vec_b")
+        .select("vec_a", "vec_b", "cos_milli")
+    )
+
+
+def _oracle_dedup_embedding() -> str:
+    sig_cols = ", ".join(
+        f"{_sig_expr_duck(j)} AS s{j}" for j in range(LSH_TABLES)
+    )
+    cand_sigs = ", ".join(f"s{j}" for j in range(LSH_TABLES))
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, qv, {sig_cols}
+  FROM (SELECT vec_id, {_D_QVEC} AS qv FROM embeddings)
+), rows_ AS (
+  SELECT vec_id, UNNEST([{cand_sigs}]) AS bucket,
+         UNNEST(generate_series(0, {LSH_TABLES - 1})) AS tbl
+  FROM sigs
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM rows_ a JOIN rows_ b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+), scored AS (
+  SELECT vec_a, vec_b,
+    CAST(FLOOR(1000.0 * {_D_DOT} / SQRT(CAST({_D_NORM2.format(v='qa')} AS DOUBLE)
+      * CAST({_D_NORM2.format(v='qb')} AS DOUBLE))) AS BIGINT) AS cos_milli
+  FROM cand
+  JOIN (SELECT vec_id AS vec_a, qv AS qa FROM sigs) USING (vec_a)
+  JOIN (SELECT vec_id AS vec_b, qv AS qb FROM sigs) USING (vec_b)
+)
+SELECT vec_a, vec_b, cos_milli FROM scored
+WHERE cos_milli >= {EMB_DUP_MILLI} ORDER BY vec_a, vec_b
+"""
+
+
+ORACLE_DEDUP_EMBEDDING = _oracle_dedup_embedding()
+
 OPS = {
     "ann_cosine_topk": q_ann_bruteforce,
     "ann_lsh_topk": q_ann_lsh,
+    "dedup_embedding": q_dedup_embedding,
 }
 ORACLES = {
     "ann_cosine_topk": ORACLE_ANN_BRUTEFORCE,
     "ann_lsh_topk": ORACLE_ANN_LSH,
+    "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
 }
