@@ -46,8 +46,9 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(doc_id as string) as doc_id",
         "concat('img/', doc_id, '/0.png') as media_ref",
         "encode(text, 'utf-8') as payload",
-        "case when doc_id % 3 = 0 then 'image/png' "
-        "when doc_id % 3 = 1 then 'image/jpeg' else 'audio/wav' end as media_type",
+        "case when doc_id % 4 = 0 then 'image/png' "
+        "when doc_id % 4 = 1 then 'image/jpeg' "
+        "when doc_id % 4 = 2 then 'audio/wav' else 'video/mp4' end as media_type",
         "cast(64 + doc_id % 512 as int) as width",
         "cast(64 + (doc_id * 7) % 512 as int) as height",
     )
@@ -115,8 +116,9 @@ ORACLE_MEDIA_METADATA = """
 WITH media AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
     ENCODE(text) AS payload,
-    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-         WHEN doc_id % 3 = 1 THEN 'image/jpeg' ELSE 'audio/wav' END AS media_type,
+    CASE WHEN doc_id % 4 = 0 THEN 'image/png'
+         WHEN doc_id % 4 = 1 THEN 'image/jpeg'
+         WHEN doc_id % 4 = 2 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
     CAST(64 + doc_id % 512 AS INT) AS width
   FROM documents
 )
@@ -124,6 +126,74 @@ SELECT media_type, COUNT(*) AS n_assets,
   CAST(SUM(OCTET_LENGTH(payload)) AS BIGINT) AS total_bytes,
   MAX(width) AS max_w
 FROM media GROUP BY media_type ORDER BY media_type
+"""
+
+# ---------------------------------------------------------------------------
+# video frame sampling: 1 asset row → N frame rows (task brief: frame-sample
+# as a Pandas UDF over mapInPandas). The decode is stubbed like _fake_decode
+# (no ffmpeg in the container) but the FAN-OUT PLUMBING — duration probe,
+# uniform sampling grid, row explosion inside Arrow batches, per-frame
+# schema — is real, and the sampling grid itself is value-verified by a
+# DuckDB generate_series oracle.
+# ---------------------------------------------------------------------------
+
+FRAME_DDL = "doc_id string, media_ref string, frame_idx int, ts_ms bigint"
+_FRAME_STEP_MS = 1000
+_MAX_FRAMES = 16
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Uniform frame sampling over video assets (mapInPandas fan-out).
+
+    A real implementation probes the container for duration and decodes one
+    frame per grid point; here duration_ms = 10 × payload bytes (the
+    deterministic stand-in probe) and the frame payload itself is omitted —
+    the grid (frame_idx, ts_ms) and the 1→N Arrow-batch explosion are the
+    Spark-side contract under test."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vid = pdf[pdf["media_type"].eq("video/mp4")]
+            if not len(vid):
+                continue
+            dur = vid["payload"].map(len).to_numpy() * 10
+            n_frames = np.minimum(
+                np.maximum(dur // _FRAME_STEP_MS, 1), _MAX_FRAMES
+            ).astype(np.int64)
+            idx = np.concatenate([np.arange(n) for n in n_frames])
+            rep = np.repeat(np.arange(len(vid)), n_frames)
+            yield pd.DataFrame(
+                {
+                    "doc_id": vid["doc_id"].to_numpy()[rep],
+                    "media_ref": vid["media_ref"].to_numpy()[rep],
+                    "frame_idx": idx.astype("int32"),
+                    "ts_ms": (idx * _FRAME_STEP_MS).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(op, schema=FRAME_DDL)
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(media_table(spark, sf_dir)).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+ORACLE_MEDIA_FRAMES = f"""
+WITH vid AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+    CONCAT('img/', doc_id, '/0.png') AS media_ref,
+    LEAST(GREATEST((OCTET_LENGTH(ENCODE(text)) * 10) // {_FRAME_STEP_MS}, 1),
+          {_MAX_FRAMES}) AS n_frames
+  FROM documents WHERE doc_id % 4 = 3
+)
+SELECT doc_id, media_ref,
+  CAST(UNNEST(generate_series(0, CAST(n_frames AS INT) - 1)) AS INT)
+    AS frame_idx,
+  CAST(UNNEST(generate_series(0, CAST(n_frames AS INT) - 1))
+    * {_FRAME_STEP_MS} AS BIGINT) AS ts_ms
+FROM vid ORDER BY doc_id, frame_idx
 """
 
 
@@ -144,8 +214,10 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 OPS = {
     "media_metadata": q_media_metadata,
     "media_decode_features": q_media_features,
+    "media_frame_sample": q_media_frames,
 }
 ORACLES = {
     "media_metadata": ORACLE_MEDIA_METADATA,
+    "media_frame_sample": ORACLE_MEDIA_FRAMES,
     # media_decode_features: no oracle (mapInPandas decode) → rows-only check
 }
