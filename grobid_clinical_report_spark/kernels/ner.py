@@ -102,9 +102,50 @@ def ner_spans(t: pd.DataFrame) -> pd.DataFrame:
 
 
 def ner_entities(t: pd.DataFrame) -> pd.DataFrame:
-    """Entities with character offsets [doc_id, kind, text, start, end] —
-    the reference's entity-coordinate output (C8)."""
+    """Entities with character offsets and a confidence score
+    [doc_id, kind, text, start, end, confidence_milli] — the reference's
+    entity-coordinate output (C8; FrenchMedicalNERParser.java:560-797).
+
+    Confidence = mean per-token emission margin of the decoded label over
+    the best alternative, squashed to 0..1000 (margin/(1+margin) milli) —
+    the deterministic analog of the CRF's posterior confidence: gazetteer
+    hits (strong emissions) score high, weak contextual attachments low.
+    """
     t = t.copy()
-    t["label"] = label_ner_tokens(t)
+    em = ner_emissions(t)
+    trans = sticky_transitions(NER_LABELS, stay=2.0)
+    _, starts = _doc_slices(t["line_key"].to_numpy())
+    seqs = [em[s:e] for s, e in zip(starts[:-1], starts[1:])]
+    flat_lab = (
+        np.concatenate(viterbi_batch(seqs, trans))
+        if seqs
+        else np.zeros(0, int)
+    )
+    t["label"] = pd.Series(
+        np.array(NER_LABELS, dtype=object)[flat_lab], index=t.index
+    )
+    # per-token margin: emission of the decoded label minus the best OTHER
+    # emission (negative when the transition prior carried the token)
+    decoded_em = np.take_along_axis(em, flat_lab[:, None], axis=1)[:, 0]
+    masked = em.copy()
+    np.put_along_axis(masked, flat_lab[:, None], -np.inf, axis=1)
+    margin = decoded_em - masked.max(axis=1)
+    t["_margin"] = np.clip(margin, 0.0, None)
+
     flat = tokens_to_spans(t, drop=("other",), with_char_offsets=True)
-    return flat[["doc_id", "kind", "text", "start", "end"]]
+    # mean margin over each entity's tokens (clusters are contiguous)
+    from .cluster import rle_cluster_ids
+    from .segments import seg_starts as _ss
+
+    d = t
+    cl = rle_cluster_ids(d["line_key"], d["label"])
+    cstarts = _ss(cl)
+    sums = np.add.reduceat(d["_margin"].to_numpy(), cstarts)
+    sizes = np.diff(np.append(cstarts, len(d)))
+    keep = ~d["label"].iloc[cstarts].isin(["other"]).to_numpy()
+    mean_margin = (sums / sizes)[keep]
+    conf = np.floor(
+        1000.0 * mean_margin / (1.0 + mean_margin)
+    ).astype(np.int64)
+    flat = flat.assign(confidence_milli=conf)
+    return flat[["doc_id", "kind", "text", "start", "end", "confidence_milli"]]

@@ -177,6 +177,11 @@ def test_ner_char_offsets(fixture_docs_pdf):
     rel_start = int(first["start"]) - line0["offset"]
     rel_end = int(first["end"]) - line0["offset"]
     assert src[rel_start:rel_end] == "Madame Belle Joseline DUPONT"
+    # confidence (C8): 0..1000, and gazetteer evidence outranks
+    # suffix-morphology-only evidence
+    assert ents["confidence_milli"].between(0, 1000).all()
+    by_text = dict(zip(ents["text"], ents["confidence_milli"]))
+    assert by_text["Arthrite septique"] > by_text["Ostéomyélite"]
 
 
 def test_streaming_stateful_dedup(spark, tmp_path):
