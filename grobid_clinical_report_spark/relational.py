@@ -203,6 +203,41 @@ FROM documents
 """
 
 
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation via the built-in window() function — the
+    batch twin of the Structured Streaming windowed agg (readStream →
+    groupBy(window(ts, '1 hour')) → agg); same shuffle key, same output.
+    Milli-scaled sums keep cross-engine value hashes float-exact."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            # quantize BEFORE summing: an integer sum is summation-order
+            # independent, so Spark's partial aggregation and DuckDB agree
+            # bit-for-bit (float sums can flip a floor() at the boundary)
+            F.expr(
+                "sum(cast(floor(value * 1000 + 0.5) as bigint))"
+            ).alias("sum_value_milli"),
+        )
+        .selectExpr(
+            "cast(unix_micros(cast(w.start as timestamp_ltz)) as bigint)"
+            " as win_start_us",
+            "event_type", "n_events", "sum_value_milli",
+        )
+        .orderBy("win_start_us", "event_type")
+    )
+
+
+ORACLE_EVENT_WINDOWS = """
+SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS win_start_us,
+  event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+    AS sum_value_milli
+FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type
+"""
+
+
 OPS = {
     "rel_pricing_summary": q_pricing_summary,
     "rel_topk_per_group": q_top_orders_per_cust,
@@ -210,6 +245,7 @@ OPS = {
     "rel_sessionization": q_event_sessionization,
     "rel_rollup_counts": q_rollup_counts,
     "rel_corpus_stats": q_corpus_stats,
+    "rel_event_windows": q_event_windows,
 }
 ORACLES = {
     "rel_pricing_summary": ORACLE_PRICING,
@@ -218,4 +254,5 @@ ORACLES = {
     "rel_sessionization": ORACLE_SESSIONIZATION,
     "rel_rollup_counts": ORACLE_ROLLUP,
     "rel_corpus_stats": ORACLE_CORPUS_STATS,
+    "rel_event_windows": ORACLE_EVENT_WINDOWS,
 }
