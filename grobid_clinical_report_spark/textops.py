@@ -385,15 +385,19 @@ def _neardup_candidates(docs: DataFrame):
     """
     from pyspark.sql import Window
 
-    base = docs.selectExpr(
-        "doc_id", f"md5({_NORM}) as fp", f"split({_NORM}, ' ') as w"
-    ).selectExpr("doc_id", "fp", f"{_SHINGLES_OF_W} as sha")
-    # 1. exact-dup pre-collapse: representative = min doc_id per fingerprint
+    # 1. exact-dup pre-collapse FIRST, on (doc_id, fp, norm) only — shingle
+    # arrays are never computed for dropped duplicates and never travel
+    # through the dedup shuffle (they are ~50× wider than the text)
+    base = docs.selectExpr("doc_id", f"{_NORM} as norm").withColumn(
+        "fp", F.expr("md5(norm)")
+    )
     rep = base.withColumn(
         "rn",
         F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
     ).filter(F.col("rn") == 1)
-    shingled = rep.selectExpr("doc_id", "array_distinct(sha) as sha")
+    shingled = rep.selectExpr(
+        "doc_id", "split(norm, ' ') as w"
+    ).selectExpr("doc_id", f"array_distinct({_SHINGLES_OF_W}) as sha")
     # four downstream consumers (bands, x-side, y-side, sizes) — cache the
     # shingle table instead of recomputing the tokenize+window subtree per
     # branch (at production scale this is a materialized intermediate table)
