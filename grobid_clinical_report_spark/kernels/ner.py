@@ -20,7 +20,7 @@ import pandas as pd
 from .labels import NER_LABELS, label_index, sticky_transitions
 from .segmenter import _doc_slices
 from .subparsers import tokens_to_spans
-from .viterbi import viterbi_batch
+from .viterbi import viterbi_batch, viterbi_segments
 
 _IX = label_index(NER_LABELS)
 
@@ -89,8 +89,7 @@ def label_ner_tokens(t: pd.DataFrame) -> pd.Series:
     em = ner_emissions(t)
     trans = sticky_transitions(NER_LABELS, stay=2.0)
     _, starts = _doc_slices(t["line_key"].to_numpy())
-    seqs = [em[s:e] for s, e in zip(starts[:-1], starts[1:])]
-    flat = np.concatenate(viterbi_batch(seqs, trans)) if seqs else np.zeros(0, int)
+    flat = viterbi_segments(em, starts[:-1], trans)
     return pd.Series(np.array(NER_LABELS, dtype=object)[flat], index=t.index)
 
 
@@ -115,12 +114,7 @@ def ner_entities(t: pd.DataFrame) -> pd.DataFrame:
     em = ner_emissions(t)
     trans = sticky_transitions(NER_LABELS, stay=2.0)
     _, starts = _doc_slices(t["line_key"].to_numpy())
-    seqs = [em[s:e] for s, e in zip(starts[:-1], starts[1:])]
-    flat_lab = (
-        np.concatenate(viterbi_batch(seqs, trans))
-        if seqs
-        else np.zeros(0, int)
-    )
+    flat_lab = viterbi_segments(em, starts[:-1], trans)
     t["label"] = pd.Series(
         np.array(NER_LABELS, dtype=object)[flat_lab], index=t.index
     )

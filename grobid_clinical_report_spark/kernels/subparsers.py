@@ -37,25 +37,37 @@ _ABBREVS = {"dr", "pr", "m", "mme", "mlle"}
 
 def token_features(toks: pd.DataFrame) -> pd.DataFrame:
     """Shared token-level features. Input from tokenize.explode_tokens
-    (columns doc_id, seq, tok, gap, tok_idx). All column-wise."""
+    (columns doc_id, seq, tok, gap, tok_idx). All column-wise; the regex
+    features run on Arrow RE2 over the whole token column (pandas
+    .str.match is a per-row Python re loop — the former NER hot spot)."""
+    from . import arrowtext as at
+
     t = toks.copy()
+    tok_arr = at.arr_of(toks["tok"])
+    low_arr = at.lower(tok_arr)
     tok = t["tok"].astype(str)
-    low = tok.str.lower()
+    low = pd.Series(
+        low_arr.to_numpy(zero_copy_only=False), index=t.index
+    )
     t["low"] = low
-    t["is_date"] = tok.str.match(r"^\d{1,2}[./-]\d{1,2}[./-]\d{2,4}$")
-    t["is_time"] = tok.str.match(r"^\d{1,2}[hH:]\d{2}$")
-    t["is_num"] = tok.str.match(r"^\d+(?:[.,]\d+)?$")
-    t["is_punct"] = tok.str.match(r"^[^\wÀ-ÖØ-öø-ÿ]$")
-    t["is_period"] = tok.eq(".")
-    t["is_cap"] = tok.str.match(r"^[A-ZÀ-ÖØ][a-zà-öø-ÿ]")
-    t["is_allcaps"] = tok.str.match(r"^[A-ZÀ-ÖØ]{2,}$")
+
+    def M(pattern: str) -> np.ndarray:
+        return at.match(tok_arr, pattern + "$")
+
+    t["is_date"] = M(r"\d{1,2}[./-]\d{1,2}[./-]\d{2,4}")
+    t["is_time"] = M(r"\d{1,2}[hH:]\d{2}")
+    t["is_num"] = M(r"\d+(?:[.,]\d+)?")
+    t["is_punct"] = M(r"[^\wÀ-ÖØ-öø-ÿ]")
+    t["is_period"] = tok.eq(".").to_numpy()
+    t["is_cap"] = at.match(tok_arr, r"[A-ZÀ-ÖØ][a-zà-öø-ÿ]")
+    t["is_allcaps"] = M(r"[A-ZÀ-ÖØ]{2,}")
     t["is_stop"] = low.isin(lx.STOPWORDS_FR)
     t["is_medic_title"] = low.isin(_MEDIC_TITLES)
     t["is_patient_title"] = low.isin(_PATIENT_TITLES)
     t["is_role"] = low.isin(lx.ROLE_WORDS)
     t["is_city"] = low.isin(lx.CITIES_FR)
     t["is_street"] = low.isin(lx.STREET_WORDS)
-    t["is_postcode"] = tok.str.match(r"^\d{5}$")
+    t["is_postcode"] = M(r"\d{5}")
     t["is_unit"] = low.isin(lx.DOSE_UNITS)
     t["is_side"] = low.isin(lx.SIDE_WORDS)
     t["is_month"] = low.isin(lx.MONTHS_FR)
@@ -71,14 +83,15 @@ def token_features(toks: pd.DataFrame) -> pd.DataFrame:
     # suffix-class features (FeaturesVectorMedicalNER's 1-4 char prefix/
     # suffix features, rebuilt as morphology classes): French drug and
     # pathology suffixes catch out-of-gazetteer entities
-    t["suf_drug"] = low.str.match(
+    t["suf_drug"] = at.match(
+        low_arr,
         r".{3,}(?:cilline|mycine|micine|cycline|oxacine|prazole|azole"
-        r"|pril|sartan|statine|azépam|azepam|tidine|caïne|caine)$"
+        r"|pril|sartan|statine|azépam|azepam|tidine|caïne|caine)$",
     )
     t["suf_patho"] = (
-        low.str.match(r".{4,}(?:ite|émie|algie|pathie)s?$")
-        & ~low.isin(lx.SUF_PATHO_EXCLUDE)
-        & ~t["is_stop"]
+        at.match(low_arr, r".{4,}(?:ite|émie|algie|pathie)s?$")
+        & ~low.isin(lx.SUF_PATHO_EXCLUDE).to_numpy()
+        & ~t["is_stop"].to_numpy()
     )
     # drug hit within the previous 2 tokens (dose attachment window) —
     # suffix-detected drugs attach doses exactly like gazetteer ones
@@ -98,10 +111,11 @@ def token_features(toks: pd.DataFrame) -> pd.DataFrame:
 def _decode(
     t: pd.DataFrame, em: np.ndarray, labels: list[str], stay: float = 2.5
 ) -> pd.Series:
+    from .viterbi import viterbi_segments
+
     trans = sticky_transitions(labels, stay=stay)
     _, starts = _doc_slices(t["line_key"].to_numpy())
-    seqs = [em[s:e] for s, e in zip(starts[:-1], starts[1:])]
-    flat = np.concatenate(viterbi_batch(seqs, trans)) if seqs else np.zeros(0, int)
+    flat = viterbi_segments(em, starts[:-1], trans)
     return pd.Series(np.array(labels, dtype=object)[flat], index=t.index)
 
 

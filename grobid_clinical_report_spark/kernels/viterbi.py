@@ -59,6 +59,110 @@ def viterbi_batch(
     return out  # type: ignore[return-value]
 
 
+def viterbi_segments(
+    em: np.ndarray, starts: np.ndarray, transitions: np.ndarray
+) -> np.ndarray:
+    """Decode contiguous segments of ONE emission matrix.
+
+    em: (N, L) — all tokens' emissions, segments contiguous; starts: segment
+    start offsets (seg_starts form). Returns flat (N,) label indices aligned
+    with em rows.
+
+    This is the token-model fast path: segments (lines) are short and
+    numerous, so instead of padding ~10⁵ sequences into masked -1e30 tensors
+    (the former allocation hotspot), segments are stably sorted by length
+    with ONE gather, equal-length runs reshape into dense (B, T, L) blocks
+    (zero padding, no mask), and results scatter back. The only Python loop
+    is over DISTINCT lengths (≤ tens), not over segments.
+    """
+    n, n_lab = em.shape
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    lengths = np.diff(np.append(starts, n))
+    order = np.argsort(lengths, kind="stable")
+    s_starts = starts[order]
+    s_lens = lengths[order]
+    # gather index: rows of each sorted segment, concatenated
+    ends = np.cumsum(s_lens)
+    seg_of_row = np.repeat(np.arange(len(s_lens)), s_lens)
+    intra = np.arange(n) - np.repeat(ends - s_lens, s_lens)
+    gather = s_starts[seg_of_row] + intra
+    em2 = em[gather]
+
+    out_sorted = np.empty(n, dtype=np.int64)
+    pos = 0
+    uniq, counts = np.unique(s_lens, return_counts=True)
+    for t_len, k in zip(uniq, counts):
+        if t_len == 0:
+            continue
+        width = int(t_len) * int(k)
+        block = em2[pos : pos + width].reshape(int(k), int(t_len), n_lab)
+        out_sorted[pos : pos + width] = _decode_dense(
+            block, transitions
+        ).ravel()
+        pos += width
+    out = np.empty(n, dtype=np.int64)
+    out[gather] = out_sorted
+    return out
+
+
+def _decode_dense(emis: np.ndarray, transitions: np.ndarray) -> np.ndarray:
+    """Batched Viterbi over a dense (B, T, L) tensor — no padding/mask.
+    Shares the structured (sticky-transition) O(L) fast path with
+    _decode_padded; tie resolution is argmax-first-index in both."""
+    b, max_t, n_lab = emis.shape
+    dp = emis[:, 0, :].copy()
+    back = np.empty((b, max_t, n_lab), dtype=np.int32)
+
+    off_mask = ~np.eye(n_lab, dtype=bool)
+    off = transitions[off_mask]
+    structured = off.size > 0 and np.all(off == off[0])
+    if structured:
+        move = float(off[0])
+        diag = np.diag(transitions)[None, :]
+        col = np.arange(n_lab, dtype=np.int32)[None, :]
+        rows = np.arange(b)
+        for t in range(1, max_t):
+            m_all = dp + move
+            i1 = m_all.argmax(axis=1)
+            m1 = m_all[rows, i1]
+            m_all2 = m_all.copy()
+            m_all2[rows, i1] = -np.inf
+            i2 = m_all2.argmax(axis=1).astype(np.int32)
+            m2 = m_all2[rows, i2]
+            is_i1 = col == i1[:, None].astype(np.int32)
+            bo_val = np.where(is_i1, m2[:, None], m1[:, None])
+            bo_idx = np.where(is_i1, i2[:, None], i1[:, None].astype(np.int32))
+            self_val = dp + diag
+            take_self = (self_val > bo_val) | (
+                (self_val == bo_val) & (col < bo_idx)
+            )
+            back[:, t, :] = np.where(take_self, col, bo_idx)
+            dp = np.maximum(self_val, bo_val) + emis[:, t, :]
+    else:
+        trans = transitions[None, :, :]
+        for t in range(1, max_t):
+            scores = dp[:, :, None] + trans
+            best_prev = scores.argmax(axis=1)
+            dp = (
+                np.take_along_axis(scores, best_prev[:, None, :], axis=1)[
+                    :, 0, :
+                ]
+                + emis[:, t, :]
+            )
+            back[:, t, :] = best_prev
+
+    labels = np.empty((b, max_t), dtype=np.int64)
+    cur = dp.argmax(axis=1)
+    labels[:, max_t - 1] = cur
+    rows = np.arange(b)
+    for t in range(max_t - 1, 0, -1):
+        cur = back[rows, t, cur]
+        labels[:, t - 1] = cur
+    return labels
+
+
 def _decode_padded(
     seqs: list[np.ndarray], max_t: int, transitions: np.ndarray
 ) -> np.ndarray:
@@ -76,17 +180,54 @@ def _decode_padded(
     # forward max-product
     dp = emis[:, 0, :].copy()  # (B, L)
     back = np.zeros((b, max_t, n_lab), dtype=np.int32)
-    trans = transitions[None, :, :]  # (1, L, L) prev → next
-    for t in range(1, max_t):
-        scores = dp[:, :, None] + trans  # (B, prev, next)
-        best_prev = scores.argmax(axis=1)  # (B, L)
-        best_score = np.take_along_axis(scores, best_prev[:, None, :], axis=1)[
-            :, 0, :
-        ]
-        ndp = best_score + emis[:, t, :]
-        alive = mask[:, t]
-        dp = np.where(alive[:, None], ndp, dp)
-        back[:, t, :] = np.where(alive[:, None], best_prev, 0)
+
+    # structured fast path: sticky_transitions matrices are `move` constant
+    # everywhere except the diagonal, so the (prev→next) max decomposes to
+    # max(top-other + move, dp[c] + diag[c]) — O(L) per label instead of the
+    # full O(L²) scores tensor. Tie resolution replicates np.argmax's
+    # first-index rule exactly (token models run 10-27 labels over millions
+    # of tokens; this is the NER-at-corpus-scale hot loop).
+    off_mask = ~np.eye(n_lab, dtype=bool)
+    off = transitions[off_mask]
+    structured = off.size > 0 and np.all(off == off[0])
+    if structured:
+        move = float(off[0])
+        diag = np.diag(transitions)[None, :]  # (1, L)
+        col = np.arange(n_lab, dtype=np.int32)[None, :]
+        rows = np.arange(b)
+        for t in range(1, max_t):
+            m_all = dp + move  # candidate from any prev ≠ c
+            i1 = m_all.argmax(axis=1)
+            m1 = m_all[rows, i1]
+            m_all2 = m_all.copy()
+            m_all2[rows, i1] = -np.inf
+            i2 = m_all2.argmax(axis=1).astype(np.int32)
+            m2 = m_all2[rows, i2]
+            is_i1 = col == i1[:, None].astype(np.int32)
+            bo_val = np.where(is_i1, m2[:, None], m1[:, None])
+            bo_idx = np.where(is_i1, i2[:, None], i1[:, None].astype(np.int32))
+            self_val = dp + diag  # candidate from prev == c
+            take_self = (self_val > bo_val) | (
+                (self_val == bo_val) & (col < bo_idx)
+            )
+            best_prev = np.where(take_self, col, bo_idx)
+            best_score = np.maximum(self_val, bo_val)
+            ndp = best_score + emis[:, t, :]
+            alive = mask[:, t]
+            dp = np.where(alive[:, None], ndp, dp)
+            back[:, t, :] = np.where(alive[:, None], best_prev, 0)
+    else:
+        trans = transitions[None, :, :]  # (1, L, L) prev → next
+        for t in range(1, max_t):
+            scores = dp[:, :, None] + trans  # (B, prev, next)
+            best_prev = scores.argmax(axis=1)  # (B, L)
+            best_score = np.take_along_axis(
+                scores, best_prev[:, None, :], axis=1
+            )[:, 0, :]
+            ndp = best_score + emis[:, t, :]
+            alive = mask[:, t]
+            dp = np.where(alive[:, None], ndp, dp)
+            back[:, t, :] = np.where(alive[:, None], best_prev, 0)
 
     # backtrace (batched across sequences; loop is over time steps only)
     labels = np.zeros((b, max_t), dtype=np.int64)
