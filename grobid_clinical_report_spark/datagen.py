@@ -443,6 +443,32 @@ FIXTURE_EXPECTED = {
 }
 
 
+
+# pinned segmenter training labels (A2 generator oracle): content-line seq →
+# zone, audited against MedicalLabels zone semantics (page numbers <page>,
+# repeated footers <footnote>, contact block <leftnote>, cover <titlePage>)
+FX_SEG_TRAINING = {
+    "fx-full-0001": [
+        (0, "header"), (1, "header"), (2, "header"), (4, "header"),
+        (5, "header"), (7, "header"), (8, "header"), (9, "header"),
+        (10, "header"),
+        (12, "leftnote"), (13, "leftnote"), (14, "leftnote"),
+        (16, "body"), (18, "body"), (19, "body"), (21, "body"),
+        (22, "body"), (23, "body"), (24, "body"), (26, "body"),
+        (27, "body"), (29, "body"), (30, "body"), (31, "body"),
+        (32, "body"), (33, "body"), (34, "body"),
+        (35, "footnote"), (36, "page"),
+        (38, "body"), (39, "body"),
+        (40, "footnote"), (41, "page"),
+    ],
+    "fx-cover-0011": [
+        (0, "titlePage"), (1, "titlePage"), (2, "titlePage"),
+        (5, "header"), (6, "header"),
+        (8, "body"), (10, "body"), (11, "body"),
+    ],
+}
+
+
 def _with_offsets(lines: list[tuple]) -> list[dict]:
     """Assign strictly-increasing char offsets (flattened-document positions)."""
     spans, off = [], 0

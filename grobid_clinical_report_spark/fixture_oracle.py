@@ -112,3 +112,39 @@ ORACLES: dict[str, str] = {
 assert set(QUERY_NAMES) <= set(FLAT_MODES), sorted(
     set(QUERY_NAMES) - set(FLAT_MODES)
 )
+
+
+# ---------------------------------------------------------------------------
+# A2 training-data generator (createTraining* analog): per-line labeled
+# table for segmenter refits, oracle = pinned zone sequences
+# ---------------------------------------------------------------------------
+
+
+def q_training_segmenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import run_training
+
+    pdf = datagen.fixture_documents_pdf()
+    keep = sorted(datagen.FX_SEG_TRAINING)
+    pdf = pdf[pdf.doc_id.isin(keep)].reset_index(drop=True)
+    docs = spark.createDataFrame(pdf, schema=DOCUMENTS_SCHEMA)
+    return run_training(docs, model="segmenter").select(
+        "doc_id", "seq", "label"
+    )
+
+
+def _training_oracle_sql() -> str:
+    rows = []
+    for doc_id, pairs in sorted(datagen.FX_SEG_TRAINING.items()):
+        for seq, zone in pairs:
+            rows.append(
+                f"({_sql_str(doc_id)}, CAST({seq} AS INT), {_sql_str(zone)})"
+            )
+    return (
+        "SELECT * FROM (VALUES\n "
+        + ",\n ".join(rows)
+        + "\n) AS t(doc_id, seq, label)"
+    )
+
+
+OPS["training_segmenter"] = q_training_segmenter
+ORACLES["training_segmenter"] = _training_oracle_sql()

@@ -89,7 +89,11 @@ def segment_emissions(df: pd.DataFrame) -> np.ndarray:
     # terminal period, or a bullet item).
     doc_has_cover = seg_any_transform(cover, dstarts)
     hdr_page = fp | ((df["page_id"].to_numpy() == 1) & doc_has_cover)
-    em[:, _IX["header"]] += 1.5 * hdr_page
+    # contact blocks (phone/fax + role/org words) belong to the left note —
+    # header evidence is suppressed on them so the whole block, including
+    # its leading 'Chef de Service : Pr. X' line, stays together
+    hdr_line = hdr_page & ~block_contact
+    em[:, _IX["header"]] += 1.5 * hdr_line
     em[:, _IX["header"]] += 1.5 * (
         df["has_docnum"]
         | df["has_ipp"]
@@ -97,15 +101,15 @@ def segment_emissions(df: pd.DataFrame) -> np.ndarray:
         | (df["all_caps"] & df["has_doctype_word"])
         | df["has_person_title"]
         | df["has_birth"]
-    ).to_numpy() * hdr_page * ~prose_shaped
+    ).to_numpy() * hdr_line * ~prose_shaped
     em[:, _IX["header"]] += 1.0 * (
         df["has_org_word"] | df["has_street_word"] | df["has_postcode"]
-    ).to_numpy() * hdr_page * ~prose_shaped
+    ).to_numpy() * hdr_line * ~prose_shaped
     # mixed-case doctype lines ('Compte rendu de consultation') are header
     # evidence too — protects headers whose first line avoids ALL-CAPS
     em[:, _IX["header"]] += 1.5 * (
         df["has_doctype_word"] & ~df["all_caps"] & (df["n_tokens"] <= 6)
-    ).to_numpy() * hdr_page * ~prose_shaped
+    ).to_numpy() * hdr_line * ~prose_shaped
 
     # leftnote: contact block (phone/fax + role/org words)
     em[:, _IX["leftnote"]] += 4.0 * (block_contact & hdr_page)
@@ -143,10 +147,23 @@ def segment_emissions(df: pd.DataFrame) -> np.ndarray:
     # trailing-zone openers must beat body stickiness + prose evidence
     em[:, _IX["body"]] -= 6.0 * (annex_start | ack_start)
 
-    # page numbers / boilerplate notes
-    em[:, _IX["page"]] += 5.0 * df["is_page_number"].to_numpy()
-    em[:, _IX["footnote"]] += 6.0 * (repeated & near_bot)
-    em[:, _IX["headnote"]] += 6.0 * (repeated & near_top & ~fp)
+    # page numbers / boilerplate notes. A page number IS a repeated pattern
+    # at the page edge, so its specific emission must beat the generic
+    # footnote one even through footnote stickiness (9.0 > 6.0 + 2.5) — the
+    # reference labels it <page>, not <footnote>
+    em[:, _IX["page"]] += 9.0 * df["is_page_number"].to_numpy()
+    # footers/running heads: repeated pattern at the page's content edge
+    # (last/first 2 content lines — ratio-based position alone misses the
+    # footer of a short final page)
+    content = (~blank).astype(np.int64)
+    from .segments import seg_cumsum, seg_sum_transform
+
+    cpos = seg_cumsum(content, pstarts)
+    clen = seg_sum_transform(content, pstarts)
+    bottom_edge = near_bot | (cpos >= clen - 1)
+    top_edge = near_top | (cpos <= 2)
+    em[:, _IX["footnote"]] += 6.0 * (repeated & bottom_edge)
+    em[:, _IX["headnote"]] += 6.0 * (repeated & top_edge & ~fp)
 
     # trailing zones
     em[:, _IX["annex"]] += 5.0 * annex_start

@@ -369,6 +369,53 @@ def _batch_from_flat(doc_ids: pa.Array, flat: pd.DataFrame) -> pa.RecordBatch:
     return pa.RecordBatch.from_arrays([doc_ids, spans], names=["doc_id", "spans"])
 
 
+TRAINING_DDL = "doc_id string, seq int, text string, label string"
+
+
+def run_training(df, model: str = "segmenter"):
+    """A2 training-data generation (SURVEY.md §2.7; the reference's
+    createTraining* family, e.g. FullMedicalTextParser.createTraining):
+    emit the per-line labeled table a model refit consumes — every content
+    line with its decoded zone label. Same single mapInArrow shape as
+    run_mode; the output is the (features → label) supervision pairs, with
+    features recomputable from `text` by featurize_lines."""
+    if model != "segmenter":
+        raise ValueError(f"unknown training model: {model}")
+
+    def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .kernels.segmenter import segment_lines
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            doc_ids, raw = _lines_from_batch(batch)
+            lines = prepare_lines(raw, profile="all")
+            if lines.empty:
+                continue
+            lines = lines.assign(zone=segment_lines(lines))
+            content = lines[
+                ~(lines["is_blank"] | lines["is_page_break"])
+            ]
+            ids = pa.array(
+                np.asarray(doc_ids)[content["doc_id"].to_numpy()],
+                type=pa.string(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(
+                        content["seq"].to_numpy().astype(np.int32),
+                        type=pa.int32(),
+                    ),
+                    pa.array(content["text"].astype(str), type=pa.string()),
+                    pa.array(content["zone"].astype(str), type=pa.string()),
+                ],
+                names=["doc_id", "seq", "text", "label"],
+            )
+
+    return df.mapInArrow(mapper, schema=TRAINING_DDL)
+
+
 def run_mode(df, mode: str):
     """documents DataFrame → extracted-spans DataFrame, one vectorized
     mapInArrow pass (no shuffle: one row = one document; partitioning is
