@@ -58,6 +58,31 @@ def spans_to_tei(flat: pd.DataFrame) -> pd.DataFrame:
     closes = d["kind"].map(
         lambda k: _TAG.get(k, ("", "</note>"))[1]
     )
+    # table-structure surrogate (C3; core Table.toTEI serializes row/cell
+    # structure from layout geometry — absent here, columnar whitespace
+    # runs stand in): a table span whose text has 2+-space/tab-separated
+    # fields renders as <table><row><cell>…</cell></row>
+    is_table = d["kind"].eq("table")
+    if is_table.any():
+        cells = _escape(d.loc[is_table, "text"]).str.split(
+            r" {2,}|\t+| \| ", regex=True
+        )
+        tabular = cells.str.len() > 1
+        body_tbl = cells[tabular].map(
+            lambda cs: "<table><row>"
+            + "".join(f"<cell>{c.strip()}</cell>" for c in cs)
+            + "</row></table>"
+        )
+        if len(body_tbl):
+            # replace the raw text with the structured rendering
+            d = d.copy()
+            d.loc[body_tbl.index, "text"] = ""
+            pre_structured = pd.Series("", index=d.index)
+            pre_structured.loc[body_tbl.index] = body_tbl
+        else:
+            pre_structured = pd.Series("", index=d.index)
+    else:
+        pre_structured = pd.Series("", index=d.index)
     def _attr(m) -> str:
         # attribute-escape the url: '&', '<' and the quote delimiter would
         # otherwise produce malformed XML
@@ -69,7 +94,7 @@ def spans_to_tei(flat: pd.DataFrame) -> pd.DataFrame:
         return f'<graphic url="{esc}"/>'
 
     graphic = d["media_ref"].map(_attr)
-    elems = opens + _escape(d["text"]) + graphic + closes
+    elems = opens + _escape(d["text"]) + pre_structured + graphic + closes
     codes, uniques = pd.factorize(d["doc_id"])
     body = group_join(elems.to_numpy(), codes, sep="")
     return pd.DataFrame(

@@ -271,3 +271,23 @@ def test_tei_media_ref_escaped():
     tei = spans_to_tei(flat).tei.iloc[0]
     ET.fromstring(tei)
     assert 'url="im&lt;g>&amp;&quot;x&quot;.png"' in tei
+
+
+def test_tei_table_cells():
+    """C3 table-structure surrogate: columnar whitespace runs become
+    row/cell TEI structure; caption-like table text stays plain."""
+    import xml.etree.ElementTree as ET
+
+    flat = pd.DataFrame(
+        [
+            {"doc_id": "d", "kind": "table",
+             "text": "Na  140  mmol/L", "media_ref": None, "offset": 0},
+            {"doc_id": "d", "kind": "table",
+             "text": "Tableau 1 : constantes.", "media_ref": None,
+             "offset": 1},
+        ]
+    )
+    tei = spans_to_tei(flat).tei.iloc[0]
+    ET.fromstring(tei)
+    assert "<table><row><cell>Na</cell><cell>140</cell><cell>mmol/L</cell></row></table>" in tei
+    assert "Tableau 1 : constantes." in tei
