@@ -311,6 +311,25 @@ EMB_DUP_MILLI = 350
 EMB_BUCKET_CAP = 64
 
 
+def _cos_milli_udf():
+    """Integer-quantized cosine, vectorized (numpy batch matmul; exact on
+    the same int64 values as the SQL aggregate/zip_with form, and IEEE-754
+    sqrt is correctly rounded in both engines). Built lazily — pandas_udf
+    registration needs an active SparkSession."""
+
+    @F.pandas_udf("bigint")
+    def cos_milli(qa: pd.Series, qb: pd.Series) -> pd.Series:
+        A = np.stack(qa.to_numpy()).astype(np.int64)
+        B = np.stack(qb.to_numpy()).astype(np.int64)
+        dot = (A * B).sum(axis=1)
+        n2 = ((A * A).sum(axis=1) * (B * B).sum(axis=1)).astype(np.float64)
+        return pd.Series(
+            np.floor(1000.0 * dot / np.sqrt(n2)).astype(np.int64)
+        )
+
+    return cos_milli
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -344,11 +363,10 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.selectExpr("vec_id as vec_a", "qv as qa"), "vec_a"
         )
         .join(emb.selectExpr("vec_id as vec_b", "qv as qb"), "vec_b")
-        .selectExpr(
+        .select(
             "vec_a",
             "vec_b",
-            f"cast(floor(1000.0 * {_DOT} / sqrt(cast({_NORM2.format(v='qa')} as double)"
-            f" * cast({_NORM2.format(v='qb')} as double))) as bigint) as cos_milli",
+            _cos_milli_udf()("qa", "qb").alias("cos_milli"),
         )
     )
     return (
