@@ -49,25 +49,42 @@ def explode_tokens(lines: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
                  first tok + Σ(gap_i + tok_i) — no per-row slicing needed),
       tok_idx  — position within the line.
 
-    One explode over aligned (gap, tok) list columns — no Python loops.
+    Fully Arrow-vectorized: every token match is bracketed with a \\x00
+    sentinel (one RE2 replace), the line splits on the sentinel into an
+    alternating [gap, tok, gap, tok, …, gap] list, and list_flatten /
+    list_parent_indices explode it in C++ — position parity separates
+    tokens from gaps (pandas str.findall was a per-row Python re loop, the
+    former tokenizer hotspot).
     """
-    txt = lines[text_col]
-    if isinstance(txt.dtype, pd.ArrowDtype):
-        from . import arrowtext as at
+    import pyarrow.compute as pc
 
-        txt = pd.Series(
-            at.arr_of(txt).to_numpy(zero_copy_only=False), index=lines.index
-        )
-    txt = txt.fillna("")
-    toks = txt.str.findall(TOKEN_RE)
-    gaps = txt.str.split(TOKEN_RE, regex=True)
-    # gaps has len(toks)+1 elements; gap i precedes token i
-    gaps = [g[: len(t)] for g, t in zip(gaps, toks)]
-    out = lines.assign(tok=toks, gap=gaps).explode(
-        ["tok", "gap"], ignore_index=True
+    from . import arrowtext as at
+    from .segments import seg_position, seg_starts
+
+    arr = at.arr_of(lines[text_col])
+    arr = pc.coalesce(arr, "")
+    marked = pc.replace_substring_regex(
+        arr, f"({TOKEN_RE})", "\x00\\1\x00"
     )
-    out = out[out["tok"].notna() & ~out["tok"].isin(JUNK_TOKENS)]
-    out = out.reset_index(drop=True)
+    parts = pc.split_pattern(marked, "\x00")
+    flat = pc.list_flatten(parts)
+    parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    n_flat = len(flat)
+    pos = seg_position(seg_starts(parent), n_flat)
+    is_tok = (pos % 2) == 1  # odd positions are the bracketed matches
+
+    tok_idx_flat = np.flatnonzero(is_tok)
+    flat_np = flat.to_numpy(zero_copy_only=False)
+    toks = flat_np[tok_idx_flat]
+    gaps = flat_np[tok_idx_flat - 1]  # element before = preceding gap
+    parents = parent[tok_idx_flat]
+
+    keep = ~np.isin(toks, list(JUNK_TOKENS))
+    toks, gaps, parents = toks[keep], gaps[keep], parents[keep]
+
+    out = lines.reset_index(drop=True).take(parents).reset_index(drop=True)
+    out["tok"] = toks
+    out["gap"] = gaps
     doc = out["doc_id"].to_numpy()
     if not np.issubdtype(doc.dtype, np.integer):
         doc = pd.factorize(doc)[0]
