@@ -20,7 +20,7 @@ import pandas as pd
 from .labels import NER_LABELS, label_index, sticky_transitions
 from .segmenter import _doc_slices
 from .subparsers import tokens_to_spans
-from .viterbi import viterbi_batch, viterbi_segments
+from .viterbi import viterbi_segments
 
 _IX = label_index(NER_LABELS)
 

@@ -291,3 +291,21 @@ def test_tei_table_cells():
     ET.fromstring(tei)
     assert "<table><row><cell>Na</cell><cell>140</cell><cell>mmol/L</cell></row></table>" in tei
     assert "Tableau 1 : constantes." in tei
+
+
+def test_service_endpoint_dispatch(spark, fixture_docs_pdf):
+    """§2.6: reference endpoint names dispatch to the right modes."""
+    import pytest as _pytest
+
+    from grobid_clinical_report_spark import service
+
+    docs = spark.createDataFrame(
+        fixture_docs_pdf[fixture_docs_pdf.doc_id == "fx-medic-0005"],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    rows = service.process("processMedic", docs).collect()
+    kinds = [s["kind"] for s in rows[0]["spans"]]
+    assert kinds == ["rolename", "persname", "rolename", "persname"]
+    assert service.is_alive() and isinstance(service.version(), str)
+    with _pytest.raises(ValueError, match="annotatePDF"):
+        service.process("annotatePDF", docs)
