@@ -147,6 +147,9 @@ FX_NOTE_EXPECTED = [
     ("phone", "Secrétariat : 01 41 12 34 56", None),
     ("fax", "Fax : 01 41 12 34 58", None),
     ("email", "contact@hopital-creteil.fr", None),
+    # scalar enrichment (LeftNoteMedicalParser.java:121-155)
+    ("lang", "fr", None),
+    ("page_count", "1", None),
 ]
 
 FX_NER_LINES = [
@@ -336,6 +339,8 @@ FX_REORDER_NOTE_EXPECTED = [
     ("medic", "Chef de Service : Pr. D. Lambert", None),
     ("phone", "Secrétariat : 01 48 22 33 44", None),
     ("fax", "Fax : 01 48 22 33 45", None),
+    ("lang", "fr", None),
+    ("page_count", "1", None),
 ]
 
 FX_REORDER_HDR_EXPECTED = [
@@ -396,6 +401,40 @@ FX_ORG_EXPECTED = [
     ("chu", "CHU HENRI MONDOR", None),
 ]
 
+
+# 0014 family — full label-vocabulary breadth for the string sub-models
+# (suffix, country, time, idno/sex — vocabulary the 0005/0007 fixtures
+# leave unexercised)
+FX_NAME2_TEXT = "Pr. Abagael Marie ZOSIMA Jr"
+FX_NAME2_EXPECTED = [
+    ("title", "Pr.", None),
+    ("forename", "Abagael", None),
+    ("middlename", "Marie", None),
+    ("surname", "ZOSIMA", None),
+    ("suffix", "Jr", None),
+]
+FX_ADDR2_TEXT = "10 Avenue Victor Hugo 94010 CRETEIL France"
+FX_ADDR2_EXPECTED = [
+    ("streetnumber", "10", None),
+    ("streetname", "Avenue Victor Hugo", None),
+    ("postcode", "94010", None),
+    ("city", "CRETEIL", None),
+    ("country", "France", None),
+]
+FX_DATELINE2_TEXT = "Paris, le 20.9.2018 à 15h30"
+FX_DATELINE2_EXPECTED = [
+    ("place", "Paris", None),
+    ("date", "20.9.2018", None),
+    ("time", "15h30", None),
+]
+FX_PATIENT2_TEXT = "IPP 800099001 Madame Eva GOODRICH née le 02/02/1962 sexe féminin"
+FX_PATIENT2_EXPECTED = [
+    ("idno", "IPP 800099001", None),
+    ("persname", "Madame Eva GOODRICH", None),
+    ("birthdate", "née le 02/02/1962", None),
+    ("sex", "sexe féminin", None),
+]
+
 FIXTURE_DOCS = {
     "fx-full-0001": FX_FULL_LINES,
     "fx-hdr-0002": FX_HDR_LINES,
@@ -411,6 +450,10 @@ FIXTURE_DOCS = {
     "fx-hdr-0009": FX_HDR2_LINES,
     "fx-hdr-0010": FX_HDR3_LINES,
     "fx-cover-0011": FX_COVER_LINES,
+    "fx-name-0014": [("text", FX_NAME2_TEXT, None)],
+    "fx-addr-0014": [("text", FX_ADDR2_TEXT, None)],
+    "fx-dateline-0014": [("text", FX_DATELINE2_TEXT, None)],
+    "fx-patient-0014": [("text", FX_PATIENT2_TEXT, None)],
     "fx-reorder-0012": FX_REORDER_LINES,
     "fx-plain-0013": FX_PLAIN_LINES,
 }
@@ -434,11 +477,23 @@ FIXTURE_EXPECTED = {
         "fx-reorder-0012": FX_REORDER_NOTE_EXPECTED,
     },
     "ner": {"fx-ner-0004": FX_NER_EXPECTED},
-    "parse_dateline": {"fx-dateline-0005": FX_DATELINE_EXPECTED},
+    "parse_dateline": {
+        "fx-dateline-0005": FX_DATELINE_EXPECTED,
+        "fx-dateline-0014": FX_DATELINE2_EXPECTED,
+    },
     "parse_medic": {"fx-medic-0005": FX_MEDIC_EXPECTED},
-    "parse_patient": {"fx-patient-0005": FX_PATIENT_EXPECTED},
-    "parse_name": {"fx-name-0007": FX_NAME_EXPECTED},
-    "parse_address": {"fx-addr-0007": FX_ADDR_EXPECTED},
+    "parse_patient": {
+        "fx-patient-0005": FX_PATIENT_EXPECTED,
+        "fx-patient-0014": FX_PATIENT2_EXPECTED,
+    },
+    "parse_name": {
+        "fx-name-0007": FX_NAME_EXPECTED,
+        "fx-name-0014": FX_NAME2_EXPECTED,
+    },
+    "parse_address": {
+        "fx-addr-0007": FX_ADDR_EXPECTED,
+        "fx-addr-0014": FX_ADDR2_EXPECTED,
+    },
     "parse_org": {"fx-org-0007": FX_ORG_EXPECTED},
 }
 

@@ -228,6 +228,56 @@ def _dateline_fallback(spans: pd.DataFrame) -> pd.DataFrame:
     return pd.concat(fills, ignore_index=True)
 
 
+def scalar_enrichment_spans(
+    lines: pd.DataFrame, spans: pd.DataFrame
+) -> pd.DataFrame:
+    """Per-document scalar enrichment shared by the header and left-note
+    parsers (HeaderMedicalParser.java:120-150, LeftNoteMedicalParser.java:
+    121-155): language id over a 200-char body sample (fr default — the
+    reference never overrides it) + page count. Emitted as `lang` /
+    `page_count` spans after the document's last line."""
+    from .cluster import group_join
+
+    doc_ids = np.sort(spans["doc_id"].unique())
+    last_off = lines.groupby("doc_id")["offset"].max()
+
+    body = lines[
+        lines["zone"].eq("body")
+        & ~(lines["is_blank"] | lines["is_page_break"] | lines["is_media"])
+    ]
+    if body.empty:
+        sample = pd.Series("", index=pd.Index(doc_ids, name="doc_id"))
+    else:
+        body = body.sort_values(["doc_id", "offset"], kind="stable")
+        joined = pd.Series(
+            group_join(
+                body["text"].astype(str).to_numpy(),
+                pd.factorize(body["doc_id"])[0],
+                sep=" ",
+            ),
+            index=body.loc[~body.duplicated("doc_id"), "doc_id"].to_numpy(),
+        )
+        sample = joined.str.slice(0, 200).reindex(doc_ids, fill_value="")
+    fr = sample.str.lower().str.count(_FR_MARKERS)
+    en = sample.str.lower().str.count(_EN_MARKERS)
+    lang = np.where(en > fr, "en", "fr")  # fr default, as the reference
+
+    breaks = lines[lines["is_page_break"]].groupby("doc_id").size()
+    n_pages = (
+        breaks.reindex(doc_ids, fill_value=0).to_numpy(dtype=np.int64) + 1
+    )
+    tail_off = last_off.reindex(doc_ids).to_numpy(dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "doc_id": np.repeat(doc_ids, 2),
+            "kind": np.tile(["lang", "page_count"], len(doc_ids)),
+            "text": np.stack([lang, n_pages.astype(str)], axis=1).ravel(),
+            "media_ref": None,
+            "offset": np.stack([tail_off + 1, tail_off + 2], axis=1).ravel(),
+        }
+    )
+
+
 def enrich_header_fields(
     lines: pd.DataFrame, spans: pd.DataFrame
 ) -> pd.DataFrame:
@@ -269,47 +319,7 @@ def enrich_header_fields(
         )
     )
 
-    # per-doc scalars: language over a 200-char body sample + page count
-    doc_ids = np.sort(spans["doc_id"].unique())
-    last_off = lines.groupby("doc_id")["offset"].max()
-
-    body = lines[
-        lines["zone"].eq("body")
-        & ~(lines["is_blank"] | lines["is_page_break"] | lines["is_media"])
-    ]
-    if body.empty:
-        sample = pd.Series("", index=pd.Index(doc_ids, name="doc_id"))
-    else:
-        body = body.sort_values(["doc_id", "offset"], kind="stable")
-        joined = pd.Series(
-            group_join(
-                body["text"].astype(str).to_numpy(),
-                pd.factorize(body["doc_id"])[0],
-                sep=" ",
-            ),
-            index=body.loc[~body.duplicated("doc_id"), "doc_id"].to_numpy(),
-        )
-        sample = joined.str.slice(0, 200).reindex(doc_ids, fill_value="")
-    fr = sample.str.lower().str.count(_FR_MARKERS)
-    en = sample.str.lower().str.count(_EN_MARKERS)
-    lang = np.where(en > fr, "en", "fr")  # fr default, as the reference
-
-    breaks = lines[lines["is_page_break"]].groupby("doc_id").size()
-    n_pages = (
-        breaks.reindex(doc_ids, fill_value=0).to_numpy(dtype=np.int64) + 1
-    )
-    tail_off = last_off.reindex(doc_ids).to_numpy(dtype=np.int64)
-    parts.append(
-        pd.DataFrame(
-            {
-                "doc_id": np.repeat(doc_ids, 2),
-                "kind": np.tile(["lang", "page_count"], len(doc_ids)),
-                "text": np.stack([lang, n_pages.astype(str)], axis=1).ravel(),
-                "media_ref": None,
-                "offset": np.stack([tail_off + 1, tail_off + 2], axis=1).ravel(),
-            }
-        )
-    )
+    parts.append(scalar_enrichment_spans(lines, spans))
     out = pd.concat([p for p in parts if not p.empty], ignore_index=True)
     # stable by offset: sub-spans share their parent's offset and were
     # concatenated after it, so they sort immediately after the parent

@@ -223,6 +223,14 @@ def parse_patient_tokens(t: pd.DataFrame) -> pd.Series:
     em[:, _PT_IX["persname"]] += 2.0 * (t["is_cap"] | t["is_allcaps"]).to_numpy()
     em[:, _PT_IX["persname"]] += 4.0 * (t["is_period"] & t["prev_abbrev"]).to_numpy()
     em[:, _PT_IX["birthdate"]] += 4.0 * t["is_date"].to_numpy()
+    # 'née le 02/02/1962' — the birth marker opens the birthdate phrase and
+    # the article rides it (PatientParser birth-date chunks carry the marker)
+    born = t["low"].isin({"née", "né", "nee", "ne"}).to_numpy()
+    em[:, _PT_IX["birthdate"]] += 4.0 * born
+    prev_born = np.roll(born, 1)
+    if len(born):
+        prev_born[0] = False
+    em[:, _PT_IX["birthdate"]] += 3.5 * (t["low"].eq("le").to_numpy() & prev_born)
     em[:, _PT_IX["age"]] += 5.0 * (
         t["low"].eq("ans") | (t["is_num"] & t["low"].shift(-1).eq("ans"))
     ).to_numpy()
@@ -231,7 +239,9 @@ def parse_patient_tokens(t: pd.DataFrame) -> pd.Series:
     ).to_numpy()
     em[:, _PT_IX["address"]] += 2.5 * t["is_num"].to_numpy()
     em[:, _PT_IX["idno"]] += 5.0 * t["low"].isin({"ipp", "nip"}).to_numpy()
-    em[:, _PT_IX["sex"]] += 1.0 * t["low"].isin({"féminin", "masculin"}).to_numpy()
+    em[:, _PT_IX["sex"]] += 4.0 * t["low"].isin(
+        {"sexe", "féminin", "feminin", "masculin"}
+    ).to_numpy()
     em[:, _PT_IX["other"]] += 3.0 * (
         (t["is_stop"] | t["is_punct"]) & ~(t["is_period"] & t["prev_abbrev"])
     ).to_numpy()

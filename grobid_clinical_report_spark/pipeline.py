@@ -160,7 +160,16 @@ def flat_extract_leftnote(lines: pd.DataFrame) -> pd.DataFrame:
     if ln.empty:
         return _EMPTY_SPANS
     ln["label"] = leftnote_k.label_leftnote_lines(ln)
-    return leftnote_k.merge_leftnote_fields(ln)
+    spans = leftnote_k.merge_leftnote_fields(ln)
+    if spans.empty:
+        return spans
+    # langid + page-count enrichment (LeftNoteMedicalParser.java:121-155 —
+    # the same scalar pass the header parser runs)
+    scalars = header_k.scalar_enrichment_spans(lines, spans)
+    out = pd.concat([spans, scalars], ignore_index=True)
+    return out.sort_values(["doc_id", "offset"], kind="stable").reset_index(
+        drop=True
+    )
 
 
 def _content_tokens(lines: pd.DataFrame) -> pd.DataFrame:
