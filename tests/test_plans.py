@@ -92,3 +92,35 @@ def test_load_wide_skips_shuffle_when_scan_parallel(spark, tmp_path):
     src.coalesce(1).write.parquet(p1)
     df1 = textops._load_wide(spark, str(tmp_path / "one"), "documents")
     assert df1.rdd.getNumPartitions() >= n
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Co-located joins via bucketing (task brief): two tables bucketed by
+    the join key join WITHOUT an exchange on either side — the batch
+    equivalent of pre-partitioning the 100 TB corpus by doc_id so
+    spans-to-metadata joins never shuffle the big side."""
+    import uuid
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    left = f"bj_left_{uuid.uuid4().hex[:8]}"
+    right = f"bj_right_{uuid.uuid4().hex[:8]}"
+    docs = spark.range(10_000).selectExpr(
+        "id as doc_id", "id % 7 as quality"
+    )
+    meta = spark.range(10_000).selectExpr(
+        "id as doc_id", "concat('s', id % 3) as source"
+    )
+    try:
+        docs.write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(left)
+        meta.write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(right)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(left).join(spark.table(right), "doc_id")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing co-locates both sides
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {left}")
+        spark.sql(f"DROP TABLE IF EXISTS {right}")
+    _ = wh
