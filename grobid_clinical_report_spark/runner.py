@@ -169,3 +169,70 @@ def run_extraction_job(
 
 def read_extracted(spark: SparkSession, output_path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(output_path, "bucket=*"))
+
+
+def process_quarantined(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    mode: str = "extract_full",
+    max_spans: int = DEFAULT_MAX_SPANS,
+) -> dict:
+    """Second-pass whale processing: quarantine must not blackhole data.
+
+    Every quarantined document (spans > max_spans) is split into
+    ≤max_spans-span windows, each window runs the normal cascade as its own
+    task, and the per-window outputs re-merge by original doc_id ordered by
+    the PRESERVED char offsets — so the final span sequence interleaves
+    correctly across windows. Zone decisions are per-window (the standard
+    long-document windowing tradeoff; the reference simply REJECTS >300k-
+    block documents, MedicalReportSegmenterParser.java:250-253 — this path
+    goes beyond it). Results land under `bucket=quarantine` next to the
+    regular buckets.
+    """
+    from .io import read_documents, write_spans
+
+    q = spark.read.parquet(
+        os.path.join(output_path, "_quarantine", "bucket=*")
+    ).select("doc_id")
+    docs = read_documents(spark, input_path).select("doc_id", "spans")
+    heavy = docs.join(F.broadcast(q), "doc_id")  # quarantine set is small
+
+    chunked = heavy.selectExpr(
+        "doc_id",
+        f"""posexplode(transform(
+              sequence(0, cast(ceil(size(spans) / {max_spans}.0) as int) - 1),
+              i -> slice(spans, i * {max_spans} + 1, {max_spans})
+            )) as (chunk_id, spans)""",
+    ).withColumn(
+        "doc_id", F.concat_ws("#", "doc_id", F.col("chunk_id").cast("string"))
+    ).drop("chunk_id")
+
+    extracted = run_mode(chunked, mode)
+    merged = (
+        extracted.withColumn(
+            "doc_id", F.expr("substring_index(doc_id, '#', 1)")
+        )
+        .groupBy("doc_id")
+        .agg(F.flatten(F.collect_list("spans")).alias("spans"))
+        .selectExpr(
+            "doc_id",
+            # offsets are original char positions → a single sort restores
+            # the cross-window order
+            "array_sort(spans, (a, b) -> case when a.offset < b.offset"
+            " then -1 when a.offset > b.offset then 1 else 0 end) as spans",
+        )
+    )
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    merged = merged.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.size("spans")), F.lit(0)).alias("n_spans"),
+    )
+    write_spans(
+        merged, os.path.join(output_path, "bucket=quarantine"),
+        mode="overwrite",
+    )
+    return {"docs": obs.get["n_docs"], "spans": int(obs.get["n_spans"])}

@@ -138,3 +138,26 @@ def test_quarantine_cleared_on_recompute(spark, input_path, tmp_path):
     assert m2["quarantined"] == 0
     q = spark.read.parquet(os.path.join(out, "_quarantine", "bucket=*"))
     assert q.count() == 0
+
+
+def test_quarantine_reprocessing_chunks_whales(spark, input_path, tmp_path):
+    """Second-pass whale path: the quarantined doc is windowed, extracted,
+    and re-merged with offsets in order — quarantine doesn't lose data."""
+    out = str(tmp_path / "out5")
+    m = runner.run_extraction_job(
+        spark, input_path, out, n_buckets=2, max_spans=500
+    )
+    assert m["quarantined"] == 1
+    q = runner.process_quarantined(
+        spark, input_path, out, max_spans=500
+    )
+    assert q["docs"] == 1 and q["spans"] > 0
+    rows = spark.read.parquet(os.path.join(out, "bucket=quarantine")).collect()
+    spans = rows[0]["spans"]
+    offs = [s["offset"] for s in spans]
+    assert offs == sorted(offs)
+    # the unified bucket=* view now covers ALL docs (whales included —
+    # bucket=quarantine sits next to the regular buckets)
+    total = runner.read_extracted(spark, out).count()
+    docs_in = spark.read.parquet(input_path).count()
+    assert total == docs_in
