@@ -37,6 +37,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--generate", type=int, default=0,
                    help="generate N synthetic docs into --input first")
     p.add_argument("--cpus", type=int, default=None)
+    p.add_argument(
+        "--process-quarantine", action="store_true",
+        help="after the main pass, window+extract quarantined whales into "
+             "bucket=quarantine (second-pass long-document path)",
+    )
     args = p.parse_args(argv)
 
     if args.generate:
@@ -46,7 +51,7 @@ def main(argv: list[str] | None = None) -> int:
             args.input, n_docs=args.generate, shards=max(args.buckets * 4, 16)
         )
 
-    from .runner import run_extraction_job
+    from .runner import process_quarantined, run_extraction_job
     from .session import get_spark
 
     spark = get_spark(app=f"extract-{args.mode}", cpus=args.cpus)
@@ -60,6 +65,11 @@ def main(argv: list[str] | None = None) -> int:
             max_spans=args.max_spans,
             resume=not args.no_resume,
         )
+        if args.process_quarantine and metrics["quarantined"]:
+            metrics["quarantine_pass"] = process_quarantined(
+                spark, args.input, args.output,
+                mode=args.mode, max_spans=args.max_spans,
+            )
     finally:
         spark.stop()
     print(json.dumps(metrics))
