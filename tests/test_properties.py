@@ -69,3 +69,61 @@ def test_generator_is_deterministic():
     b = _synth(20, seed=3)
     assert a.doc_id.tolist() == b.doc_id.tolist()
     assert all(x == y for x, y in zip(a.spans, b.spans))
+
+
+def test_tokenizer_roundtrip_property():
+    """Property (hypothesis): for ANY text, gap-prefixed token concatenation
+    reconstructs the exact source prefix up to the last token — the
+    invariant tokens_to_spans relies on for verbatim span text."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from grobid_clinical_report_spark.kernels.tokenize import (
+        TOKEN_RE,
+        explode_tokens,
+    )
+
+    # the engine's tokenizer is RE2 (Arrow); Python's \s additionally counts
+    # \x1c-\x1f as whitespace, so the reference mirror pins RE2's ASCII \s
+    py_token_re = TOKEN_RE.replace(r"\s", r" \t\n\r\f\v")
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), blacklist_characters="\x00"
+                ),
+                max_size=60,
+            ),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    def check(texts):
+        lines = pd.DataFrame(
+            {
+                "doc_id": [0] * len(texts),
+                "seq": range(len(texts)),
+                "text": texts,
+            }
+        )
+        out = explode_tokens(lines)
+        for i, t in enumerate(texts):
+            rows = out[out["seq"] == i]
+            rebuilt = "".join(
+                (g or "") + tok for g, tok in zip(rows["gap"], rows["tok"])
+            )
+            matches = re.findall(py_token_re, t)
+            if not matches:
+                assert len(rows) == 0
+                continue
+            # rebuilt must be an exact prefix of the source ending at the
+            # last token
+            assert t.startswith(rebuilt)
+            assert rebuilt.endswith(matches[-1])
+            assert rows["tok"].tolist() == matches
+
+    check()
