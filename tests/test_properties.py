@@ -85,9 +85,10 @@ def test_tokenizer_roundtrip_property():
         explode_tokens,
     )
 
-    # the engine's tokenizer is RE2 (Arrow); Python's \s additionally counts
-    # \x1c-\x1f as whitespace, so the reference mirror pins RE2's ASCII \s
-    py_token_re = TOKEN_RE.replace(r"\s", r" \t\n\r\f\v")
+    # the engine's tokenizer is RE2 (Arrow); RE2's \s is exactly
+    # [\t\n\f\r ] while Python's additionally covers \x0b and \x1c-\x1f,
+    # so the reference mirror pins RE2's class
+    py_token_re = TOKEN_RE.replace(r"\s", r" \t\n\f\r")
 
     @settings(max_examples=200, deadline=None)
     @given(
