@@ -309,3 +309,47 @@ def test_service_endpoint_dispatch(spark, fixture_docs_pdf):
     assert service.is_alive() and isinstance(service.version(), str)
     with _pytest.raises(ValueError, match="annotatePDF"):
         service.process("annotatePDF", docs)
+
+
+def test_streaming_watermarked_window_counts(spark, tmp_path):
+    """Watermark + windowed agg: append-mode windows finalize once the
+    watermark passes; late events beyond the horizon are dropped."""
+    import glob
+    import shutil
+
+    from grobid_clinical_report_spark.streaming import (
+        stream_windowed_event_counts,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = os.path.join(in_dir, "b")
+    src.coalesce(1).write.parquet(d)
+    for i, f in enumerate(glob.glob(os.path.join(d, "*.parquet"))):
+        shutil.move(f, os.path.join(in_dir, f"ev-{i}.parquet"))
+    shutil.rmtree(d)
+
+    q = stream_windowed_event_counts(spark, in_dir, out_dir)
+    q.awaitTermination(180)
+    got = spark.read.parquet(os.path.join(out_dir, "windows"))
+    assert got.count() > 0
+    # emitted windows are the finalized ones: all strictly older than
+    # max(ts) - watermark
+    import pyspark.sql.functions as F
+
+    max_ts = src.agg(F.max("ts")).collect()[0][0]
+    late_edge = got.agg(F.max("win_start")).collect()[0][0]
+    assert late_edge < max_ts
+    # counts match the batch computation for the emitted windows
+    batch = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .selectExpr("w.start as win_start", "event_type", "n_events")
+    )
+    j = got.alias("s").join(
+        batch.alias("b"), ["win_start", "event_type"], "left"
+    )
+    mism = j.filter("s.n_events <> b.n_events").count()
+    assert mism == 0
