@@ -124,15 +124,19 @@ def headline() -> dict:
     extraction = {"n_docs": n_docs, "docs_per_sec": round(n_docs / sec, 1)}
 
     from grobid_clinical_report_spark.pipeline import run_mode
-    from grobid_clinical_report_spark.runner import salt_partition
+    from grobid_clinical_report_spark.runner import split_guardrail
 
     def _corpus_mode(mode):
         # corpus-scale extraction per mode (the driver queries() entries run
         # fixture-parity inputs for the oracle gate; the bench measures the
-        # same run_mode path over the full seeded corpus)
+        # same run_mode path over the full seeded corpus).
+        # Map-only over file splits, the same shape as run_extraction — the
+        # round-2 salt_partition here injected a full-corpus shuffle that
+        # run_extraction never pays (VERDICT r2 'what's wrong #2')
         def q(spark, _sf_dir):
-            docs = salt_partition(spark.read.parquet(corpus), CPUS * 4)
-            return run_mode(docs, mode)
+            docs = spark.read.parquet(corpus).select("doc_id", "spans")
+            ok, _bad = split_guardrail(docs)
+            return run_mode(ok, mode)
 
         return q
 

@@ -94,13 +94,17 @@ def featurize_lines(
     f["ends_colon"] = at.contains(stripped, r":$")
     f["ends_period"] = at.contains(stripped, r"\.$")
     f["is_bullet"] = at.match(txt, _BULLET_RE)
-    # token count via plain-substring space count (count_substring_regex on
-    # \S+ costs ~7× more and the consumers are coarse thresholds)
+    # token count via separator-RUN count: a run of internal spaces/tabs is
+    # one separator (plain count_substring(' ') inflated column-aligned
+    # table lines, shifting heading_shaped / doctype cues — ADVICE r2)
     stripped_len = at.length(stripped)
     f["n_tokens"] = np.where(
         stripped_len == 0,
         0,
-        pc.count_substring(stripped, " ").to_numpy(zero_copy_only=False) + 1,
+        pc.count_substring_regex(stripped, "[ \t]+").to_numpy(
+            zero_copy_only=False
+        )
+        + 1,
     )
     f["single_token"] = f["n_tokens"] == 1
     f["starts_lower"] = at.match(txt, r"[a-zà-öø-ÿ]")
@@ -111,21 +115,7 @@ def featurize_lines(
     f["has_postcode"] = at.contains(txt, lx.RE_POSTCODE.pattern)
     f["has_ipp"] = at.contains(txt, at.word_bounded(r"IPP|NIP|N°\s*dossier"))
     if profile == "all":
-        length = np.maximum(raw_len, 1)
-        f["len_bin"] = np.minimum(
-            (raw_len / 80.0 * LINESCALE).astype(np.int64), LINESCALE
-        )
-        f["digit_ratio"] = at.count(txt, r"\d") / length
-        f["punct_ratio"] = at.count(txt, r"[^\w\s]") / length
-        f["has_time"] = at.contains(txt, lx.RE_TIME.pattern)
-        f["has_email"] = at.contains(txt, lx.RE_EMAIL.pattern)
-        f["has_web"] = at.contains(txt, lx.RE_WEB.pattern)
-        f["has_year"] = at.contains(txt, lx.RE_YEAR.pattern)
-        f["has_dose"] = at.contains(
-            low, at.word_bounded(r"\d+(?:[.,]\d+)?\s*(?:mg|g|ml|ui|µg|mcg)")
-        )
-        f["has_month_word"] = at.contains(low, _any_re(set(lx.MONTHS_FR)))
-        f["has_city_word"] = at.contains(low, _any_re(lx.CITIES_FR))
+        f.update(_extra_features(txt, low, raw_len))
     f["has_medic_title"] = at.contains(
         low, at.word_bounded(r"dr|pr|docteur|professeur")
     )
@@ -207,6 +197,43 @@ def featurize_lines(
     # F1 boilerplate (needs page structure already attached)
     out["repeated_pattern"] = repeated_pattern_flags(out).to_numpy()
     return out
+
+
+def _extra_features(txt, low, raw_len) -> dict[str, np.ndarray]:
+    """The header/left-note-only feature block ('all' minus 'body'): the
+    expensive full-column RE2 passes (the CITIES_FR / month alternations,
+    time/email/web/dose) plus the ratio profiles. Never consumed by the
+    segmenter or body models."""
+    length = np.maximum(raw_len, 1)
+    f: dict[str, np.ndarray] = {}
+    f["len_bin"] = np.minimum(
+        (raw_len / 80.0 * LINESCALE).astype(np.int64), LINESCALE
+    )
+    f["digit_ratio"] = at.count(txt, r"\d") / length
+    f["punct_ratio"] = at.count(txt, r"[^\w\s]") / length
+    f["has_time"] = at.contains(txt, lx.RE_TIME.pattern)
+    f["has_email"] = at.contains(txt, lx.RE_EMAIL.pattern)
+    f["has_web"] = at.contains(txt, lx.RE_WEB.pattern)
+    f["has_year"] = at.contains(txt, lx.RE_YEAR.pattern)
+    f["has_dose"] = at.contains(
+        low, at.word_bounded(r"\d+(?:[.,]\d+)?\s*(?:mg|g|ml|ui|µg|mcg)")
+    )
+    f["has_month_word"] = at.contains(low, _any_re(set(lx.MONTHS_FR)))
+    f["has_city_word"] = at.contains(low, _any_re(lx.CITIES_FR))
+    return f
+
+
+def featurize_extras(lines: pd.DataFrame) -> pd.DataFrame:
+    """Two-pass featurization, pass 2 (VERDICT r2 'what's wrong #1'):
+    segmentation runs on the cheap 'body' profile over EVERY line; this
+    computes the 'all'-only extras on a SUBSET frame — the ~10 header/
+    left-note-zone lines per ~150-line document — instead of burning the big
+    gazetteer scans on the whole corpus. Same columns as profile='all'."""
+    txt = at.arr_of(lines["text"])
+    f = _extra_features(txt, at.lower(txt), at.length(txt))
+    return pd.concat(
+        [lines, pd.DataFrame(f, index=lines.index)], axis=1, copy=False
+    )
 
 
 def feature_matrix(df: pd.DataFrame, cols: list[str]) -> np.ndarray:

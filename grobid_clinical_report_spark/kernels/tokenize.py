@@ -63,6 +63,12 @@ def explode_tokens(lines: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
 
     arr = at.arr_of(lines[text_col])
     arr = pc.coalesce(arr, "")
+    # \x00 is the bracketing sentinel below, but NULs are also legal input
+    # (dirty PDF text — JUNK_TOKENS lists '\x00'). Map them to U+FFFD first:
+    # '�' matches TOKEN_RE's punctuation alternative and is junk-filtered,
+    # which is exactly what the old findall path did with the NUL token —
+    # adjacent tokens stay separate and the sentinel is guaranteed absent.
+    arr = pc.replace_substring(arr, pattern="\x00", replacement="�")
     marked = pc.replace_substring_regex(
         arr, f"({TOKEN_RE})", "\x00\\1\x00"
     )

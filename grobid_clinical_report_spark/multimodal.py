@@ -30,7 +30,7 @@ MEDIA_DDL = (
 
 FEATURE_DDL = (
     "doc_id string, media_ref string, n_bytes long, media_type string, "
-    "thumb_w int, thumb_h int, feature array<float>"
+    "thumb_w int, thumb_h int, feature array<double>"
 )
 
 _FEATURE_DIM = 8
@@ -57,18 +57,33 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fake_decode(payload: pd.Series) -> np.ndarray:
     """STUB decode: a real implementation would decode pixels/samples here
     (PIL.Image.open / soundfile.read). This deterministic fake derives an
-    8-dim feature from byte statistics so downstream plumbing is exercised
-    with stable values. Raises NotImplementedError for non-bytes payloads,
-    like a real decoder would on corrupt data."""
+    8-dim feature (per-chunk byte means, np.array_split chunking) so
+    downstream plumbing is exercised with stable values. Raises
+    NotImplementedError for non-bytes payloads, like a real decoder would
+    on corrupt data.
+
+    Fully vectorized across the Arrow batch: one buffer concat + one float64
+    cumsum gives every chunk sum as a difference of exact integer prefix
+    sums — bit-identical to per-blob float64 chunk means (sums are exact
+    integers < 2^53), and oracle-checkable in DuckDB (ORACLE_MEDIA_FEATURES
+    mirrors the same chunking arithmetic)."""
     if not payload.map(lambda b: isinstance(b, (bytes, bytearray))).all():
         raise NotImplementedError("real media decode requires image/audio libs")
-    arrs = payload.map(lambda b: np.frombuffer(b, dtype=np.uint8))
-    feats = np.zeros((len(payload), _FEATURE_DIM), dtype=np.float32)
-    for i, a in enumerate(arrs.to_numpy()):  # per-blob, not per-pixel
-        if len(a) == 0:
-            continue
-        chunks = np.array_split(a.astype(np.float32), _FEATURE_DIM)
-        feats[i] = [c.mean() if len(c) else 0.0 for c in chunks]
+    n = len(payload)
+    lens = payload.map(len).to_numpy().astype(np.int64)
+    buf = np.frombuffer(b"".join(payload), dtype=np.uint8)
+    # np.array_split sizes: first (len % DIM) chunks get len//DIM + 1
+    k = np.arange(_FEATURE_DIM)
+    sizes = (lens // _FEATURE_DIM)[:, None] + (
+        k[None, :] < (lens % _FEATURE_DIM)[:, None]
+    )
+    csum = np.cumsum(sizes, axis=1)
+    blob_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    ends = blob_starts[:, None] + csum
+    starts = ends - sizes
+    prefix = np.concatenate(([0.0], np.cumsum(buf, dtype=np.float64)))
+    sums = prefix[ends] - prefix[starts]
+    feats = np.where(sizes > 0, sums / np.maximum(sizes, 1), 0.0)
     return feats
 
 
@@ -198,17 +213,69 @@ FROM vid ORDER BY doc_id, frame_idx
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full decode path (rows-only check: feature extraction is not
-    SQL-expressible). Returns scalar projections of the feature vector."""
+    """Full decode path, oracle-verified: every one of the 8 feature values
+    is projected as floor(mean × 4096) — ×4096 is a pure exponent shift
+    (exact) and the float64 chunk means are bit-identical between the
+    vectorized decode and DuckDB's AVG over unnested payload bytes, so the
+    quantized ints match exactly."""
     feats = extract_media_features(media_table(spark, sf_dir))
+    proj = [
+        f"cast(floor(element_at(feature, {i + 1}) * 4096) as bigint)"
+        f" as f{i}_q12"
+        for i in range(_FEATURE_DIM)
+    ]
     return feats.selectExpr(
-        "doc_id",
-        "media_ref",
-        "n_bytes",
-        "thumb_w",
-        "thumb_h",
-        "cast(floor(element_at(feature, 1)) as bigint) as f0_floor",
+        "doc_id", "media_ref", "n_bytes", "media_type",
+        "thumb_w", "thumb_h", *proj,
     )
+
+
+_F_COLS = ", ".join(
+    f"COALESCE(CAST(FLOOR(AVG(CASE WHEN chunk={k} THEN b END)*4096)"
+    f" AS BIGINT), 0) AS f{k}_q12"
+    for k in range(_FEATURE_DIM)
+)
+_F_OUT = ", ".join(
+    f"COALESCE(f{k}_q12, 0) AS f{k}_q12" for k in range(_FEATURE_DIM)
+)
+
+# byte extraction: hex(payload) → per-byte substring → strpos nibble decode;
+# chunk assignment mirrors np.array_split (first n%DIM chunks one byte
+# longer). AVG over int bytes is an exact-integer float64 sum → identical
+# IEEE division to the decode kernel.
+ORACLE_MEDIA_FEATURES = f"""
+WITH media AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+    CONCAT('img/', doc_id, '/0.png') AS media_ref,
+    hex(ENCODE(text)) AS h,
+    OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+    CASE WHEN doc_id % 4 = 0 THEN 'image/png'
+         WHEN doc_id % 4 = 1 THEN 'image/jpeg'
+         WHEN doc_id % 4 = 2 THEN 'audio/wav' ELSE 'video/mp4' END
+      AS media_type,
+    LEAST(CAST(64 + doc_id % 512 AS INT), {_THUMB}) AS thumb_w,
+    LEAST(CAST(64 + (doc_id * 7) % 512 AS INT), {_THUMB}) AS thumb_h
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, i,
+    (strpos('0123456789ABCDEF', substr(h, 2*i+1, 1))-1)*16
+      + (strpos('0123456789ABCDEF', substr(h, 2*i+2, 1))-1) AS b,
+    n_bytes // {_FEATURE_DIM} AS l, n_bytes % {_FEATURE_DIM} AS r
+  FROM media, UNNEST(generate_series(0, CAST(n_bytes AS INT)-1)) AS t(i)
+),
+chunked AS (
+  SELECT doc_id,
+    CASE WHEN i < r*(l+1) THEN i // (l+1)
+         ELSE r + (i - r*(l+1)) // (CASE WHEN l=0 THEN 1 ELSE l END)
+    END AS chunk, b
+  FROM bytes
+),
+feats AS (SELECT doc_id, {_F_COLS} FROM chunked GROUP BY doc_id)
+SELECT m.doc_id, m.media_ref, CAST(m.n_bytes AS BIGINT) AS n_bytes,
+  m.media_type, m.thumb_w, m.thumb_h, {_F_OUT}
+FROM media m LEFT JOIN feats USING (doc_id)
+"""
 
 
 OPS = {
@@ -218,6 +285,6 @@ OPS = {
 }
 ORACLES = {
     "media_metadata": ORACLE_MEDIA_METADATA,
+    "media_decode_features": ORACLE_MEDIA_FEATURES,
     "media_frame_sample": ORACLE_MEDIA_FRAMES,
-    # media_decode_features: no oracle (mapInPandas decode) → rows-only check
 }

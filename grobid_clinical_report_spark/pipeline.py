@@ -34,7 +34,7 @@ from .kernels import leftnote as leftnote_k
 from .kernels import ner as ner_k
 from .kernels import subparsers as sub_k
 from .kernels.cluster import dedup_notes
-from .kernels.features import featurize_lines
+from .kernels.features import featurize_extras, featurize_lines
 from .kernels.normalize import normalize_text
 from .kernels.segmenter import segment_lines
 from .kernels.tokenize import assign_blocks_pages, explode_tokens, sanitize_lines
@@ -47,11 +47,14 @@ _LINE_COLS = ["doc_id", "seq", "kind", "text", "media_ref", "offset"]
 
 
 # which feature passes each mode needs: token modes only need structure,
-# extract_full skips the header-only lexicon scans
+# extract_full skips the header-only lexicon scans. Header/leftnote modes
+# are TWO-PASS: segmentation on the 'body' profile over every line, the
+# 'all'-only extras (featurize_extras) computed on the zone subset only —
+# ~10 lines per ~150-line document instead of the whole corpus
 _MODE_PROFILE = {
     "extract_full": "body",
-    "extract_header": "all",
-    "extract_leftnote": "all",
+    "extract_header": "body",
+    "extract_leftnote": "body",
     # token-level modes need only block/page structure, no line features
     "ner": "minimal",
     "parse_dateline": "minimal",
@@ -147,6 +150,7 @@ def flat_extract_header(lines: pd.DataFrame) -> pd.DataFrame:
     hdr = lines[lines["zone"].eq("header")].copy()
     if hdr.empty:
         return _EMPTY_SPANS
+    hdr = featurize_extras(hdr)  # pass 2: zone subset only
     hdr["label"] = header_k.label_header_lines(hdr)
     spans = header_k.merge_header_fields(hdr)
     # C2 enrichment: dateline fallback, medic/patient sub-models, langid,
@@ -159,6 +163,7 @@ def flat_extract_leftnote(lines: pd.DataFrame) -> pd.DataFrame:
     ln = lines[lines["zone"].eq("leftnote")].copy()
     if ln.empty:
         return _EMPTY_SPANS
+    ln = featurize_extras(ln)  # pass 2: zone subset only
     ln["label"] = leftnote_k.label_leftnote_lines(ln)
     spans = leftnote_k.merge_leftnote_fields(ln)
     if spans.empty:
@@ -398,7 +403,8 @@ def run_training(df, model: str = "segmenter"):
             if batch.num_rows == 0:
                 continue
             doc_ids, raw = _lines_from_batch(batch)
-            lines = prepare_lines(raw, profile="all")
+            # segmentation consumes only the 'body' feature profile
+            lines = prepare_lines(raw, profile="body")
             if lines.empty:
                 continue
             lines = lines.assign(zone=segment_lines(lines))

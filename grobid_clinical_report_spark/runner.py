@@ -205,13 +205,18 @@ def process_quarantined(
               i -> slice(spans, i * {max_spans} + 1, {max_spans})
             )) as (chunk_id, spans)""",
     ).withColumn(
-        "doc_id", F.concat_ws("#", "doc_id", F.col("chunk_id").cast("string"))
+        # chunk ids ride inside doc_id so the cascade sees independent docs;
+        # the delimiter is \x1f (unit separator) — '#' was truncatable by a
+        # source doc_id containing '#' (ADVICE r2), a control char is not a
+        # plausible member of a free-form document id
+        "doc_id",
+        F.concat_ws("\x1f", "doc_id", F.col("chunk_id").cast("string")),
     ).drop("chunk_id")
 
     extracted = run_mode(chunked, mode)
     merged = (
         extracted.withColumn(
-            "doc_id", F.expr("substring_index(doc_id, '#', 1)")
+            "doc_id", F.substring_index(F.col("doc_id"), "\x1f", 1)
         )
         .groupBy("doc_id")
         .agg(F.flatten(F.collect_list("spans")).alias("spans"))

@@ -44,12 +44,10 @@ def test_entry_smoke(spark):
 def test_queries_have_oracles_or_are_documented():
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     assert set(os_) <= set(qs)
-    # every non-oracle query is one of the known non-SQL-expressible ops;
-    # since round 2 the extraction family is oracle-visible via
-    # fixture_oracle.py literal VALUES tables — only the stubbed media
-    # decode remains rows-only
-    rows_only = set(qs) - set(os_)
-    assert rows_only == {"media_decode_features"}
+    # since round 3 EVERY query is oracle-visible: the extraction family via
+    # fixture_oracle.py literal VALUES tables, and the media decode via the
+    # byte-chunk-mean DuckDB mirror (multimodal.ORACLE_MEDIA_FEATURES)
+    assert set(qs) == set(os_)
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))
@@ -60,6 +58,26 @@ def test_query_matches_oracle(spark, con, name):
     assert got.equals(want), f"{name}: value mismatch"
 
 
-@pytest.mark.parametrize("name", ["media_decode_features"])
-def test_rows_only_queries_nonempty(spark, name):
-    assert entrymod.queries()[name](spark, SF).count() > 0
+def test_media_decode_feature_values_exact(spark):
+    """The quantized feature ints rest on bit-identical float64 means between
+    the vectorized decode and the DuckDB AVG mirror — pin the raw doubles too
+    (a stronger check than the ×4096 floor)."""
+    import numpy as np
+
+    from grobid_clinical_report_spark import multimodal
+
+    feats = (
+        multimodal.extract_media_features(multimodal.media_table(spark, SF))
+        .select("doc_id", "feature")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).toPandas()
+    for _, row in docs.head(50).iterrows():
+        a = np.frombuffer(row["text"].encode(), dtype=np.uint8)
+        chunks = np.array_split(a.astype(np.float64), 8)
+        want = [c.mean() if len(c) else 0.0 for c in chunks]
+        got = list(feats.loc[str(row["doc_id"])]["feature"])
+        assert got == want, row["doc_id"]

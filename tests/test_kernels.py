@@ -113,6 +113,37 @@ def test_explode_tokens_exact_reconstruction():
     assert rebuilt == "Pr. Abagael ZOSIMA, 14/03/2017 10h30"
 
 
+def test_explode_tokens_nul_in_text():
+    """A NUL in dirty PDF text must not collide with the bracketing sentinel:
+    adjacent tokens stay separate and following tokens survive (ADVICE r2 —
+    'Dr\\x00MARTIN 12/05/2019' used to lose MARTIN and the date)."""
+    lines = pd.DataFrame(
+        {"doc_id": ["d"], "seq": [0], "text": ["Dr\x00MARTIN 12/05/2019"]}
+    )
+    t = explode_tokens(lines)
+    assert t["tok"].tolist() == ["Dr", "MARTIN", "12/05/2019"]
+
+
+def test_n_tokens_counts_separator_runs():
+    """Column-aligned table lines (multi-space / tab separators) count one
+    token per field, not one per space (ADVICE r2)."""
+    from grobid_clinical_report_spark.kernels.features import featurize_lines
+    from grobid_clinical_report_spark.kernels.tokenize import (
+        assign_blocks_pages,
+    )
+
+    lines = pd.DataFrame(
+        {
+            "doc_id": ["d"] * 3,
+            "seq": range(3),
+            "kind": ["text"] * 3,
+            "text": ["Na  140", "K\t4.1\tmmol", "one two"],
+        }
+    )
+    out = featurize_lines(assign_blocks_pages(lines))
+    assert out["n_tokens"].tolist() == [2, 3, 2]
+
+
 def test_contiguous_pieces():
     off = np.array([0, 5, 11, 40, 46])
     assert contiguous_pieces(off, max_gap=10).tolist() == [0, 0, 0, 1, 1]
