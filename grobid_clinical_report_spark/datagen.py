@@ -405,6 +405,28 @@ FX_ORG_EXPECTED = [
 # 0014 family — full label-vocabulary breadth for the string sub-models
 # (suffix, country, time, idno/sex — vocabulary the 0005/0007 fixtures
 # leave unexercised)
+# fx-hdr-0015 — keyword-free header fields (F3 token-shape depth): the
+# affiliation has no ORG_WORDS hit (specialty suffix only) and the medic has
+# no Dr/Pr title (bare ALLCAPS-surname + Capitalized-forename shape) — the
+# round-2 keyword cue set mislabelled both as <title>
+FX_HDR4_LINES = [
+    ("text", "COMPTE RENDU DE CONSULTATION", None),
+    ("text", "Le 10.11.2021", None),
+    ("text", "", None),
+    ("text", "Hématologie Adulte", None),
+    ("text", "ZOSIMA Abagael", None),
+]
+
+FX_HDR4_EXPECTED = [
+    ("doctype", "COMPTE RENDU DE CONSULTATION", None),
+    ("date", "2021-11-10", None),
+    ("affiliation", "Hématologie Adulte", None),
+    ("medic", "ZOSIMA Abagael", None),
+    ("medic_persname", "ZOSIMA Abagael", None),
+    ("lang", "fr", None),
+    ("page_count", "1", None),
+]
+
 FX_NAME2_TEXT = "Pr. Abagael Marie ZOSIMA Jr"
 FX_NAME2_EXPECTED = [
     ("title", "Pr.", None),
@@ -456,6 +478,7 @@ FIXTURE_DOCS = {
     "fx-patient-0014": [("text", FX_PATIENT2_TEXT, None)],
     "fx-reorder-0012": FX_REORDER_LINES,
     "fx-plain-0013": FX_PLAIN_LINES,
+    "fx-hdr-0015": FX_HDR4_LINES,
 }
 
 # pipeline mode → (fixture doc_id, expected span list)
@@ -471,6 +494,7 @@ FIXTURE_EXPECTED = {
         "fx-hdr-0009": FX_HDR2_EXPECTED,
         "fx-hdr-0010": FX_HDR3_EXPECTED,
         "fx-reorder-0012": FX_REORDER_HDR_EXPECTED,
+        "fx-hdr-0015": FX_HDR4_EXPECTED,
     },
     "extract_leftnote": {
         "fx-note-0003": FX_NOTE_EXPECTED,

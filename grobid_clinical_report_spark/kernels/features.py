@@ -135,6 +135,23 @@ def featurize_lines(
         low, r"\s*(?:page\s+)?\d+\s*(?:/\s*\d+)?\s*$"
     )
 
+    # token-shape classes (F3/F4 depth: HeaderMedicalParser.java:410-813
+    # per-token 1-4-char prefix/suffix + case-shape features, rebuilt as
+    # line-level classes the way the NER model got suf_drug/suf_patho):
+    # a medical-specialty suffix marks out-of-gazetteer service names
+    # ('Hématologie Adulte' has no ORG_WORDS hit), and the ALLCAPS-surname +
+    # Capitalized-forename shape marks bare person names without titles
+    f["has_specialty_word"] = at.contains(
+        low, r"[a-zà-öø-ÿ]{3,}(?:logie|iatrie|urgie|érapie|erapie)\b"
+    )
+    _name_tok = r"[A-ZÀ-ÖØ][A-Za-zÀ-ÖØ-öø-ÿ'’.-]*"
+    f["name_shaped"] = (
+        at.match(txt, rf"\s*{_name_tok}(?: +{_name_tok}){{1,3}}\s*$")
+        & at.contains(txt, r"[A-ZÀ-ÖØ]{3,}")   # an ALLCAPS surname token
+        & at.contains(txt, r"[A-ZÀ-ÖØ][a-zà-öø-ÿ]")  # a Mixed-Cap token
+        & ~at.contains(txt, r"\d")
+    )
+
     # zone-cue vocabularies for the geometry-free rightnote/marginnote
     # surrogates (the reference separates these zones by x-coordinates,
     # MedicalReportSegmenterParser.java; the span model has none, so

@@ -51,6 +51,19 @@ def header_emissions(df: pd.DataFrame) -> np.ndarray:
         df["has_patient_title"] | df["has_ipp"] | df["has_birth"]
     ).to_numpy()
     em[:, _IX["affiliation"]] += 4.0 * df["has_org_word"].to_numpy()
+    # token-shape classes (F3 depth, HeaderMedicalParser.java:410-813):
+    # out-of-gazetteer specialty names are affiliations; bare
+    # ALLCAPS-surname lines without any title/birth cue are medics (the
+    # signing physician — patients in headers virtually always carry a
+    # civility title or birth line)
+    em[:, _IX["affiliation"]] += 3.5 * df["has_specialty_word"].to_numpy()
+    em[:, _IX["medic"]] += 3.0 * (
+        df["name_shaped"]
+        & ~df["has_patient_title"]
+        & ~df["has_birth"]
+        & ~df["has_specialty_word"]
+        & ~df["has_org_word"]
+    ).to_numpy()
     em[:, _IX["address"]] += 3.0 * df["has_street_word"].to_numpy()
     em[:, _IX["address"]] += 2.0 * df["has_postcode"].to_numpy()
     em[:, _IX["address"]] += 1.0 * df["has_city_word"].to_numpy()

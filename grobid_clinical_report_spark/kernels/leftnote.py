@@ -28,6 +28,9 @@ def leftnote_emissions(df: pd.DataFrame) -> np.ndarray:
         df["all_caps"] & df["has_org_word"]
     ).to_numpy()
     em[:, _IX["organization"]] += 1.0 * df["has_org_word"].to_numpy()
+    # specialty-suffix service names without an ORG_WORDS hit (F5 depth —
+    # same token-shape class the header model uses)
+    em[:, _IX["organization"]] += 3.5 * df["has_specialty_word"].to_numpy()
     em[:, _IX["medic"]] += 4.0 * df["has_medic_title"].to_numpy()
     em[:, _IX["phone"]] += 4.0 * (df["has_phone"] & ~df["has_fax_word"]).to_numpy()
     em[:, _IX["fax"]] += 5.0 * df["has_fax_word"].to_numpy()

@@ -110,6 +110,14 @@ def segment_emissions(df: pd.DataFrame) -> np.ndarray:
     em[:, _IX["header"]] += 1.5 * (
         df["has_doctype_word"] & ~df["all_caps"] & (df["n_tokens"] <= 6)
     ).to_numpy() * hdr_line * ~prose_shaped
+    # keyword-free letterhead lines (token-shape classes, F3 depth):
+    # specialty-suffix service names ('Hématologie Adulte') and bare
+    # ALLCAPS-surname person names ('ZOSIMA Abagael') are header evidence
+    # strong enough (1.5 + 3.5) to beat the structural heading-shaped body
+    # cue (4.5) on the header page
+    em[:, _IX["header"]] += 3.5 * (
+        df["has_specialty_word"] | df["name_shaped"]
+    ).to_numpy() * hdr_line * ~prose_shaped
 
     # leftnote: contact block (phone/fax + role/org words)
     em[:, _IX["leftnote"]] += 4.0 * (block_contact & hdr_page)
