@@ -189,12 +189,25 @@ FX_DATELINE_EXPECTED = [
     ("place", "Paris", None),
     ("date", "20.9.2018", None),
 ]
+# processMedic fills ONE Medic POJO per input string: repeated field
+# clusters concatenate — '\t' for roles, '; ' elsewhere (MedicParser.java:
+# 103-228) — instead of emitting per-cluster spans (the header-enrichment
+# path keeps per-cluster medic_* spans because there the reference splits
+# on ';' into a LIST of POJOs, HeaderMedicalParser.java:184-190)
 FX_MEDIC_TEXT = "Chef de Service Pr. Abagael ZOSIMA. Assistant Dr Woody WOOD."
 FX_MEDIC_EXPECTED = [
-    ("rolename", "Chef de Service", None),
-    ("persname", "Pr. Abagael ZOSIMA", None),
-    ("rolename", "Assistant", None),
-    ("persname", "Dr Woody WOOD", None),
+    ("rolename", "Chef de Service\tAssistant", None),
+    ("persname", "Pr. Abagael ZOSIMA; Dr Woody WOOD", None),
+]
+# fx-medic-0016 — org-type merge + isDifferentContent repeat dedup: two org
+# mentions join into one organisation field, the repeated one is dropped
+FX_MEDIC2_TEXT = (
+    "Dr Jean ROUX. Service de Cardiologie. Hôpital Bichat."
+    " Service de Cardiologie."
+)
+FX_MEDIC2_EXPECTED = [
+    ("persname", "Dr Jean ROUX", None),
+    ("orgname", "Service de Cardiologie; Hôpital Bichat", None),
 ]
 FX_PATIENT_TEXT = "Madame Eva GOODRICH 666, RUE DU MARRANT 92290 CHATENAY MALABRY"
 FX_PATIENT_EXPECTED = [
@@ -479,6 +492,7 @@ FIXTURE_DOCS = {
     "fx-reorder-0012": FX_REORDER_LINES,
     "fx-plain-0013": FX_PLAIN_LINES,
     "fx-hdr-0015": FX_HDR4_LINES,
+    "fx-medic-0016": [("text", FX_MEDIC2_TEXT, None)],
 }
 
 # pipeline mode → (fixture doc_id, expected span list)
@@ -505,7 +519,10 @@ FIXTURE_EXPECTED = {
         "fx-dateline-0005": FX_DATELINE_EXPECTED,
         "fx-dateline-0014": FX_DATELINE2_EXPECTED,
     },
-    "parse_medic": {"fx-medic-0005": FX_MEDIC_EXPECTED},
+    "parse_medic": {
+        "fx-medic-0005": FX_MEDIC_EXPECTED,
+        "fx-medic-0016": FX_MEDIC2_EXPECTED,
+    },
     "parse_patient": {
         "fx-patient-0005": FX_PATIENT_EXPECTED,
         "fx-patient-0014": FX_PATIENT2_EXPECTED,

@@ -75,6 +75,7 @@ def token_features(toks: pd.DataFrame) -> pd.DataFrame:
     t["is_medic_title"] = ISIN(_MEDIC_TITLES)
     t["is_patient_title"] = ISIN(_PATIENT_TITLES)
     t["is_role"] = ISIN(lx.ROLE_WORDS)
+    t["is_org"] = ISIN(lx.ORG_WORDS)
     t["is_city"] = ISIN(lx.CITIES_FR)
     t["is_street"] = ISIN(lx.STREET_WORDS)
     t["is_postcode"] = M(r"\d{5}")
@@ -85,6 +86,7 @@ def token_features(toks: pd.DataFrame) -> pd.DataFrame:
     same_line = t["line_key"].eq(t["line_key"].shift())
     t["prev_abbrev"] = (low.shift().isin(_ABBREVS) & same_line).fillna(False)
     t["prev_is_num"] = (t["is_num"].shift() & same_line).fillna(False)
+    t["prev_is_org"] = (t["is_org"].shift() & same_line).fillna(False)
     # sentence-final period: a hard cluster boundary (vs. 'Pr.' abbreviation
     # periods which continue the name)
     t["is_sent_period"] = t["is_period"] & ~t["prev_abbrev"]
@@ -168,6 +170,48 @@ def tokens_to_spans(
     return agg[cols].reset_index(drop=True)
 
 
+# POJO-fill field separators (MedicParser.java:103-228): roles concatenate
+# with '\t' (:126), notes with ' ' (:221), every other field with '; '
+_POJO_JOIN = {"rolename": "\t", "note": " "}
+
+
+def pojo_merge_spans(spans: pd.DataFrame) -> pd.DataFrame:
+    """L6 POJO-fill semantics for the medic/patient STRING endpoints: the
+    reference's processMedic/processPatient fill ONE Medic/Patient POJO per
+    input string, so repeated clusters of a field concatenate into one value
+    (MedicParser.java:103-228 — '; ' joins, '\\t' for roles, ' ' for notes;
+    org-type clusters all land in the same organisation field :147-155),
+    with case/whitespace-insensitive repeat dedup (the header's
+    isDifferentContent, HeaderMedicalParser.java:1355-1370, applied to the
+    fill). Output: one span per populated field, offset = first cluster.
+
+    The header-enrichment path keeps per-cluster spans: there the reference
+    splits medics on ';' and builds a LIST of POJOs (HeaderMedicalParser.
+    java:184-190), each rendered separately."""
+    if spans.empty:
+        return spans
+    d = spans.copy()
+    # cluster emission rank: spans within one line share its offset, so the
+    # positional index is the first-occurrence tiebreak for field order
+    d["_ord"] = np.arange(len(d))
+    d["_canon"] = d["text"].str.lower().str.replace(r"\s+", "", regex=True)
+    d = d[~d.duplicated(subset=["doc_id", "kind", "_canon"], keep="first")]
+    d = d.sort_values(["doc_id", "kind", "offset", "_ord"], kind="stable")
+    from .cluster import group_join
+
+    grp = pd.factorize(
+        d["doc_id"].astype(str) + "\x1f" + d["kind"].astype(str)
+    )[0]
+    first = ~d.duplicated(subset=["doc_id", "kind"])
+    sep = d["kind"].map(_POJO_JOIN).fillna("; ")
+    piece = np.where(first, d["text"], sep + d["text"])
+    agg = d[first][["doc_id", "kind", "media_ref", "offset", "_ord"]].copy()
+    agg["text"] = group_join(piece, grp, sep="")
+    return agg.sort_values(["doc_id", "offset", "_ord"], kind="stable")[
+        ["doc_id", "kind", "text", "media_ref", "offset"]
+    ].reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # dateline (DatelineParser.java:124-199)
 # ---------------------------------------------------------------------------
@@ -206,7 +250,17 @@ def parse_medic_tokens(t: pd.DataFrame) -> pd.Series:
         (t["is_cap"] | t["is_allcaps"]) & ~t["is_role"]
     ).to_numpy()
     em[:, _MD_IX["persname"]] += 4.0 * (t["is_period"] & t["prev_abbrev"]).to_numpy()
-    em[:, _MD_IX["orgname"]] += 3.0 * t["low"].isin(lx.ORG_WORDS).to_numpy()
+    em[:, _MD_IX["orgname"]] += 3.0 * t["is_org"].to_numpy()
+    # org continuation: a capitalized token right after an org head stays in
+    # the org chunk ('Hôpital BICHAT' — the name must not ride the persname
+    # capitalization cue; MedicParser org-type clusters, MedicParser.java:
+    # 147-155, keep head + proper name together)
+    em[:, _MD_IX["orgname"]] += 2.5 * (
+        (t["is_cap"] | t["is_allcaps"])
+        & t["prev_is_org"]
+        & ~t["is_role"]
+        & ~t["is_medic_title"]
+    ).to_numpy()
     em[:, _MD_IX["email"]] += 6.0 * t["tok"].str.contains("@", na=False).to_numpy()
     em[:, _MD_IX["address"]] += 3.0 * (
         t["is_street"] | t["is_postcode"]

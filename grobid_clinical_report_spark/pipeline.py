@@ -194,16 +194,22 @@ def flat_ner(lines: pd.DataFrame) -> pd.DataFrame:
     return ner_k.ner_spans(toks)
 
 
-def _flat_token_mode(labeler: Callable) -> Callable:
+def _flat_token_mode(labeler: Callable, pojo: bool = False) -> Callable:
     def fn(lines: pd.DataFrame) -> pd.DataFrame:
         toks = _content_tokens(lines)
         if toks.empty:
             return _EMPTY_SPANS
         toks["label"] = labeler(toks)
-        return sub_k.tokens_to_spans(toks)
+        spans = sub_k.tokens_to_spans(toks)
+        # medic/patient string endpoints fill ONE POJO per input string —
+        # repeated field clusters merge (MedicParser.java:103-228)
+        return sub_k.pojo_merge_spans(spans) if pojo else spans
 
     return fn
 
+
+# string endpoints whose reference parser fills a single POJO per input
+_POJO_MODES = {"parse_medic", "parse_patient"}
 
 FLAT_MODES: dict[str, Callable[[pd.DataFrame], pd.DataFrame]] = {
     "extract_full": flat_extract_full,
@@ -212,7 +218,7 @@ FLAT_MODES: dict[str, Callable[[pd.DataFrame], pd.DataFrame]] = {
     "ner": flat_ner,
 }
 for _name, _labeler in sub_k.SUBPARSERS.items():
-    FLAT_MODES[_name] = _flat_token_mode(_labeler)
+    FLAT_MODES[_name] = _flat_token_mode(_labeler, pojo=_name in _POJO_MODES)
 
 
 # ---------------------------------------------------------------------------
