@@ -95,14 +95,27 @@ def run_extraction_job(
     tasks_per_bucket: int | None = None,
     max_spans: int = DEFAULT_MAX_SPANS,
     resume: bool = True,
+    max_concurrent: int = 4,
 ) -> dict:
     """End-to-end batch job with per-bucket checkpointing.
 
-    Returns a metrics dict: {buckets_run, docs, spans, quarantined, wall_sec}.
+    Buckets run through a driver-side thread pool (``max_concurrent`` Spark
+    jobs in flight): Spark schedules concurrent jobs from multiple driver
+    threads, so the cluster never idles between per-bucket jobs the way the
+    round-2 sequential loop did (scheduling gaps + per-job overhead at 256
+    buckets). Manifest appends are serialized under a lock — two jobs
+    sharing one parquet append path would race in the output-committer
+    temporary directory; the append itself is milliseconds.
+
+    Returns a metrics dict: {buckets_run, docs, spans, quarantined,
+    wall_sec, peak_concurrency}.
     """
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import Observation
 
-    from .io import read_documents
+    from .io import read_documents, write_spans
 
     run_id = mf.new_run_id()
     tasks = tasks_per_bucket or spark.sparkContext.defaultParallelism
@@ -123,47 +136,65 @@ def run_extraction_job(
         # over stale bucket/quarantine dirs — each bucket below overwrites)
         mf.reset(spark, output_path)
         pending = list(range(n_buckets))
+
+    lock = threading.Lock()
+    state = {"active": 0, "peak": 0}
+
+    def run_bucket(b: int) -> tuple[int, int, int]:
+        with lock:
+            state["active"] += 1
+            state["peak"] = max(state["peak"], state["active"])
+        try:
+            t0 = time.monotonic()
+            chunk = docs.filter(F.col("bucket") == b).drop("bucket")
+            ok, bad = split_guardrail(chunk, max_spans)
+            ok = salt_partition(ok, tasks)
+
+            extracted = run_mode(ok, mode)
+            out_dir = os.path.join(output_path, f"bucket={b}")
+            # metrics ride the write itself via observe() — no post-write
+            # re-read of the output, no second scan of the input
+            obs = Observation()
+            extracted = extracted.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(F.sum(F.size("spans")), F.lit(0)).alias("n_spans"),
+            )
+            write_spans(extracted, out_dir, mode="overwrite")
+            n_docs, n_spans = obs.get["n_docs"], obs.get["n_spans"]
+
+            # quarantine is ALWAYS (over)written — an empty dataset when
+            # clean — so a re-run with a raised max_spans can't leave stale
+            # whale rows
+            q_dir = os.path.join(output_path, "_quarantine", f"bucket={b}")
+            q_obs = Observation()
+            bad.select("doc_id", F.size("spans").alias("n_spans")).observe(
+                q_obs, F.count(F.lit(1)).alias("n")
+            ).write.mode("overwrite").parquet(q_dir)
+            n_quarantined = q_obs.get["n"]
+
+            with lock:  # serialize the tiny manifest append
+                mf.commit_bucket(
+                    spark, output_path, b, n_docs, n_spans, n_quarantined,
+                    time.monotonic() - t0, input_path, run_id, config,
+                )
+            return int(n_docs), int(n_spans), int(n_quarantined)
+        finally:
+            with lock:
+                state["active"] -= 1
+
     totals = {"buckets_run": 0, "docs": 0, "spans": 0, "quarantined": 0}
     t_all = time.monotonic()
-    for b in pending:
-        t0 = time.monotonic()
-        chunk = docs.filter(F.col("bucket") == b).drop("bucket")
-        ok, bad = split_guardrail(chunk, max_spans)
-        ok = salt_partition(ok, tasks)
-
-        extracted = run_mode(ok, mode)
-        out_dir = os.path.join(output_path, f"bucket={b}")
-        from .io import write_spans
-
-        # metrics ride the write itself via observe() — no post-write
-        # re-read of the output, no second scan of the input
-        obs = Observation()
-        extracted = extracted.observe(
-            obs,
-            F.count(F.lit(1)).alias("n_docs"),
-            F.coalesce(F.sum(F.size("spans")), F.lit(0)).alias("n_spans"),
-        )
-        write_spans(extracted, out_dir, mode="overwrite")
-        n_docs, n_spans = obs.get["n_docs"], obs.get["n_spans"]
-
-        # quarantine is ALWAYS (over)written — an empty dataset when clean —
-        # so a re-run with a raised max_spans can't leave stale whale rows
-        q_dir = os.path.join(output_path, "_quarantine", f"bucket={b}")
-        q_obs = Observation()
-        bad.select("doc_id", F.size("spans").alias("n_spans")).observe(
-            q_obs, F.count(F.lit(1)).alias("n")
-        ).write.mode("overwrite").parquet(q_dir)
-        n_quarantined = q_obs.get["n"]
-
-        mf.commit_bucket(
-            spark, output_path, b, n_docs, n_spans, n_quarantined,
-            time.monotonic() - t0, input_path, run_id, config,
-        )
-        totals["buckets_run"] += 1
-        totals["docs"] += n_docs
-        totals["spans"] += int(n_spans)
-        totals["quarantined"] += n_quarantined
+    if pending:
+        workers = max(1, min(max_concurrent, len(pending)))
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            for n_docs, n_spans, n_q in ex.map(run_bucket, pending):
+                totals["buckets_run"] += 1
+                totals["docs"] += n_docs
+                totals["spans"] += n_spans
+                totals["quarantined"] += n_q
     totals["wall_sec"] = time.monotonic() - t_all
+    totals["peak_concurrency"] = state["peak"]
     return totals
 
 

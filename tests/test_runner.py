@@ -52,6 +52,9 @@ def test_job_runs_and_resumes_idempotently(spark, input_path, tmp_path):
     )
     assert m1["buckets_run"] == 4
     assert m1["quarantined"] == 1
+    # the bucket jobs actually overlapped (driver-side thread pool): the
+    # cluster is never idle between per-bucket jobs
+    assert m1["peak_concurrency"] >= 2
     first = {
         r["doc_id"]: r["spans"]
         for r in runner.read_extracted(spark, out).collect()
