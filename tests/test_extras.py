@@ -67,19 +67,27 @@ def test_anonymize_oracle(spark):
     assert not got["anon_text"].str.contains(r"@[\w-]+\.", regex=True).any()
 
 
+def _anonymize_one(spark, doc_id, text):
+    from grobid_clinical_report_spark import anonymize
+
+    df = spark.createDataFrame([(doc_id, text)], "doc_id long, text string")
+    return (
+        df.selectExpr("doc_id", f"{anonymize._spark_stage1()} as t2")
+        .selectExpr("doc_id", f"{anonymize._spark_stage2()} as t3")
+        .selectExpr("doc_id", f"{anonymize._spark_stage3()} as anon_text")
+        .collect()[0]["anon_text"]
+    )
+
+
 def test_anonymize_name_and_rotation_semantics(spark):
     """Unit semantics on a controlled doc: honorific names → pseudonyms,
     cities → pseudonym city, digits rotated by the doc-stable amount."""
-    from grobid_clinical_report_spark import anonymize
-
-    df = spark.createDataFrame(
-        [(7, "Dr Mathieu MERLIN opère Madame Eva GOODRICH à Paris le "
-             "12/05/2019, tél 01 42 16 10 00, mail eva@exemple.fr")],
-        "doc_id long, text string",
+    out = _anonymize_one(
+        spark,
+        7,
+        "Dr Mathieu MERLIN opère Madame Eva GOODRICH à Paris le "
+        "12/05/2019, tél 01 42 16 10 00, mail eva@exemple.fr",
     )
-    out = df.selectExpr(
-        "doc_id", f"{anonymize._spark_expr()} as anon_text"
-    ).collect()[0]["anon_text"]
     assert "MERLIN" not in out and "GOODRICH" not in out
     assert "Dr " in out and "Madame " in out  # honorifics preserved
     assert "Paris" not in out
@@ -88,6 +96,27 @@ def test_anonymize_name_and_rotation_semantics(spark):
     import re
 
     assert re.search(r"\d{2}/\d{2}/\d{4}", out)  # shape preserved
+
+
+def test_anonymize_per_person_pseudonyms(spark):
+    """Two distinct medics in ONE document map to DISTINCT pseudonyms
+    (pseudonym keyed on the name hash, not the doc id —
+    AnonymizeData.java:34-61 draws per name), repeated mentions of the same
+    person co-refer, and the same name keeps its pseudonym across title
+    variants (hash ignores the honorific)."""
+    import re
+
+    out = _anonymize_one(
+        spark,
+        3,
+        "Dr Jean ROUX et Dr Anne CLAIRE opèrent. Dr Jean ROUX signe. "
+        "Monsieur Jean ROUX est remercié.",
+    )
+    names = re.findall(r"(?:Dr|Monsieur) (\w+ \w+)", out)
+    assert len(names) == 4
+    roux1, claire, roux2, roux3 = names
+    assert roux1 == roux2 == roux3  # co-reference, incl. across titles
+    assert claire != roux1  # distinct people, distinct pseudonyms
 
 
 def test_streaming_incremental_extract(spark, tmp_path):
