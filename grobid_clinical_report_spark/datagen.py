@@ -418,6 +418,35 @@ FX_ORG_EXPECTED = [
 # 0014 family — full label-vocabulary breadth for the string sub-models
 # (suffix, country, time, idno/sex — vocabulary the 0005/0007 fixtures
 # leave unexercised)
+# fx-caption-0017 — multi-line caption re-labeling (processShort analog,
+# FullMedicalTextParser.java:270-317): the caption continuation line (open
+# sentence) fuses into the figure span; the SHORT trailing sentence after
+# the caption sentence closes splits off as a paragraph (round-2 stickiness
+# swallowed it into the figure)
+FX_CAPTION_LINES = [
+    ("text", "COMPTE RENDU D'IMAGERIE", None),
+    ("text", "Le 02.03.2023", None),
+    ("text", "", None),
+    ("text", "IRM CÉRÉBRALE", None),
+    ("text", "", None),
+    ("text", "RÉSULTATS :", None),
+    ("media", "", "img/fx-caption-0017/0.png"),
+    ("text", "Figure 1 : coupe sagittale", None),
+    ("text", "avec produit de contraste.", None),
+    ("text", "Voir annexe.", None),
+]
+
+FX_CAPTION_EXPECTED = [
+    ("title", "IRM CÉRÉBRALE", None),
+    ("section", "RÉSULTATS :", None),
+    (
+        "figure",
+        "Figure 1 : coupe sagittale avec produit de contraste.",
+        "img/fx-caption-0017/0.png",
+    ),
+    ("paragraph", "Voir annexe.", None),
+]
+
 # fx-hdr-0015 — keyword-free header fields (F3 token-shape depth): the
 # affiliation has no ORG_WORDS hit (specialty suffix only) and the medic has
 # no Dr/Pr title (bare ALLCAPS-surname + Capitalized-forename shape) — the
@@ -493,6 +522,7 @@ FIXTURE_DOCS = {
     "fx-plain-0013": FX_PLAIN_LINES,
     "fx-hdr-0015": FX_HDR4_LINES,
     "fx-medic-0016": [("text", FX_MEDIC2_TEXT, None)],
+    "fx-caption-0017": FX_CAPTION_LINES,
 }
 
 # pipeline mode → (fixture doc_id, expected span list)
@@ -502,6 +532,7 @@ FIXTURE_EXPECTED = {
         "fx-full-0008": FX_FULL2_EXPECTED,
         "fx-cover-0011": FX_COVER_EXPECTED,
         "fx-plain-0013": FX_PLAIN_EXPECTED,
+        "fx-caption-0017": FX_CAPTION_EXPECTED,
     },
     "extract_header": {
         "fx-hdr-0002": FX_HDR_EXPECTED,

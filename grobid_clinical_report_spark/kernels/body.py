@@ -107,6 +107,79 @@ def label_body_lines(df: pd.DataFrame) -> pd.Series:
     )
 
 
+def relabel_caption_tails(df: pd.DataFrame) -> pd.Series:
+    """processShort analog (FullMedicalTextParser.java:270-317): the
+    reference re-runs the full-text model over each figure/table cluster's
+    text, which both keeps a multi-line caption together and keeps trailing
+    prose out of the figure. At this engine's line granularity, a caption is
+    ONE sentence starting at the caption line:
+      * PULL — while a figure/table run's sentence is still open (no line
+        ends with '.'), following paragraph lines in the same block join the
+        run (Viterbi's prose evidence would otherwise split an open caption
+        continuation off),
+      * PUSH — once the caption sentence has closed, later non-media,
+        non-caption lines stickiness kept in the run become paragraphs.
+
+    Input: labeled body lines (label column). Returns the adjusted labels.
+    """
+    from . import arrowtext as at
+
+    lab = df["label"].to_numpy().copy()
+    if not (((lab == "figure") | (lab == "table")).any()):
+        return pd.Series(lab, index=df.index, name="label")
+    low = at.lower(at.arr_of(df["text"]))
+    caption = at.match(low, r"(?:figure|fig\.)\s*\d*")
+    table_line = at.match(low, r"(?:tableau|table)\b")
+    from .segments import seg_any_transform, seg_cumsum, seg_starts
+
+    is_media = df["is_media"].to_numpy()
+    ends = df["ends_period"].to_numpy()
+    n = len(df)
+    doc = df["doc_id"].to_numpy()
+    block = df["block_id"].to_numpy()
+    same_block_prev = np.zeros(n, dtype=bool)
+    if n > 1:
+        same_block_prev[1:] = (doc[1:] == doc[:-1]) & (block[1:] == block[:-1])
+
+    def runs():
+        # mirror body_spans clustering (incl. the media break) so each media
+        # span's caption is evaluated within its own run
+        return np.asarray(
+            rle_cluster_ids(
+                df["doc_id"], pd.Series(lab, index=df.index),
+                aux=block.astype(np.int64), break_before=is_media,
+            )
+        )
+
+    # PULL (bounded: captions beyond 4 lines don't occur in practice; each
+    # round either extends every open run by one line or stops)
+    for _ in range(4):
+        run = runs()
+        rstarts = seg_starts(run)
+        run_closed = seg_any_transform(ends & ~is_media, rstarts)
+        figtab = (lab == "figure") | (lab == "table")
+        last_of_run = np.ones(n, dtype=bool)
+        if n > 1:
+            last_of_run[:-1] = run[1:] != run[:-1]
+        open_last = figtab & last_of_run & ~run_closed
+        prev_open = np.zeros(n, dtype=bool)
+        if n > 1:
+            prev_open[1:] = open_last[:-1]
+        pull = prev_open & same_block_prev & (lab == "paragraph") & ~is_media
+        if not pull.any():
+            break
+        lab[pull] = np.roll(lab, 1)[pull]  # previous run's kind
+
+    # PUSH
+    run = runs()
+    e = ends.astype(np.int64)
+    closed_before = seg_cumsum(e, seg_starts(run)) - e
+    figtab = (lab == "figure") | (lab == "table")
+    tail = figtab & (closed_before > 0) & ~is_media & ~caption & ~table_line
+    lab[tail] = "paragraph"
+    return pd.Series(lab, index=df.index, name="label")
+
+
 def zone_block_spans(df: pd.DataFrame) -> pd.DataFrame:
     """Merge consecutive same-label lines into one span per block — used for
     trailing zones (annex / acknowledgement back-matter divs)."""

@@ -137,6 +137,14 @@ def segment_emissions(df: pd.DataFrame) -> np.ndarray:
     # marginnote: NB-/asterisk-style annotations
     em[:, _IX["marginnote"]] += 6.0 * df["is_margin_note"].to_numpy()
 
+    # figures live in the body: a 'Figure N :'/'Tableau N' caption line is
+    # unambiguous body evidence and an embedded media span is mild evidence
+    # (the reference's bitmapAround/vectorAround features feed its body
+    # zone the same way, MedicalReportSegmenterParser.java:342-351)
+    caption_line = at.match(low, r"(?:figure|fig\.|tableau)\b")
+    em[:, _IX["body"]] += 4.0 * caption_line
+    em[:, _IX["body"]] += 2.0 * df["is_media"].to_numpy()
+
     # body: strong structural cues open the body zone
     body_title = (all_caps & ~ends_colon
                   & ~df["has_doctype_word"].to_numpy()

@@ -106,6 +106,8 @@ def flat_extract_full(lines: pd.DataFrame) -> pd.DataFrame:
     body_lines = lines[lines["zone"].eq("body")].copy()
     if not body_lines.empty:
         body_lines["label"] = body_k.label_body_lines(body_lines)
+        # processShort analog: split trailing prose out of caption clusters
+        body_lines["label"] = body_k.relabel_caption_tails(body_lines)
         spans_body = body_k.body_spans(body_lines)
         spans_body = callouts_k.reconcile_markers(spans_body)  # C4
     else:
