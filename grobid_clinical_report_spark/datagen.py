@@ -418,6 +418,28 @@ FX_ORG_EXPECTED = [
 # 0014 family — full label-vocabulary breadth for the string sub-models
 # (suffix, country, time, idno/sex — vocabulary the 0005/0007 fixtures
 # leave unexercised)
+# fx-ner-0018 — adversarial NER: BOTH drugs and the pathology are
+# out-of-gazetteer (suffix morphology only), the dose attaches to the
+# suffix-detected drug exactly as to a gazetteer one, and the stopword
+# chain 'puis relais par' / 'et' must split the three drugs into three
+# entities instead of one fused span
+FX_NER2_LINES = [
+    (
+        "text",
+        "Perfusion de Pristinamycine 2 g puis relais par Oxacilline"
+        " et Lévofloxacine.",
+        None,
+    ),
+    ("text", "Suspicion de bronchiolite.", None),
+]
+
+FX_NER2_EXPECTED = [
+    ("medicament", "Pristinamycine 2 g", None),
+    ("medicament", "Oxacilline", None),
+    ("medicament", "Lévofloxacine", None),
+    ("pathology", "bronchiolite", None),
+]
+
 # fx-caption-0017 — multi-line caption re-labeling (processShort analog,
 # FullMedicalTextParser.java:270-317): the caption continuation line (open
 # sentence) fuses into the figure span; the SHORT trailing sentence after
@@ -523,6 +545,7 @@ FIXTURE_DOCS = {
     "fx-hdr-0015": FX_HDR4_LINES,
     "fx-medic-0016": [("text", FX_MEDIC2_TEXT, None)],
     "fx-caption-0017": FX_CAPTION_LINES,
+    "fx-ner-0018": FX_NER2_LINES,
 }
 
 # pipeline mode → (fixture doc_id, expected span list)
@@ -545,7 +568,10 @@ FIXTURE_EXPECTED = {
         "fx-note-0003": FX_NOTE_EXPECTED,
         "fx-reorder-0012": FX_REORDER_NOTE_EXPECTED,
     },
-    "ner": {"fx-ner-0004": FX_NER_EXPECTED},
+    "ner": {
+        "fx-ner-0004": FX_NER_EXPECTED,
+        "fx-ner-0018": FX_NER2_EXPECTED,
+    },
     "parse_dateline": {
         "fx-dateline-0005": FX_DATELINE_EXPECTED,
         "fx-dateline-0014": FX_DATELINE2_EXPECTED,
