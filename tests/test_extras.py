@@ -403,7 +403,8 @@ def test_service_endpoint_dispatch(spark, fixture_docs_pdf):
     )
     rows = service.process("processMedic", docs).collect()
     kinds = [s["kind"] for s in rows[0]["spans"]]
-    assert kinds == ["rolename", "persname", "rolename", "persname"]
+    # POJO-fill merge (round 3): one field per kind per input string
+    assert kinds == ["rolename", "persname"]
     assert service.is_alive() and isinstance(service.version(), str)
     with _pytest.raises(ValueError, match="annotatePDF"):
         service.process("annotatePDF", docs)
