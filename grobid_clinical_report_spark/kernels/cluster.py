@@ -57,7 +57,17 @@ def rle_cluster_ids(
     GROBID's IOB scheme)."""
     lab = np.asarray(labels)
     doc = np.asarray(doc_ids)
-    opens = np.char.startswith(lab.astype(str), "I-")
+    # label/doc columns are massively repetitive: factorize to int codes so
+    # the change detection and the I- scan run on ints / the tiny dictionary
+    # instead of per-row object-string compares (profiled hotspot)
+    if lab.dtype.kind not in "iu":
+        codes, uniq = pd.factorize(lab)
+        opens = np.char.startswith(uniq.astype(str), "I-")[codes]
+        lab = codes
+    else:
+        opens = np.zeros(len(lab), dtype=bool)
+    if doc.dtype.kind not in "iu":
+        doc = pd.factorize(doc)[0]
     change = (lab != np.roll(lab, 1)) | (doc != np.roll(doc, 1)) | opens
     if aux is not None:
         aux = np.asarray(aux)

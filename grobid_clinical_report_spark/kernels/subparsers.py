@@ -37,87 +37,96 @@ _ABBREVS = {"dr", "pr", "m", "mme", "mlle"}
 
 def token_features(toks: pd.DataFrame) -> pd.DataFrame:
     """Shared token-level features. Input from tokenize.explode_tokens
-    (columns doc_id, seq, tok, gap, tok_idx). All column-wise; the regex
-    features run on Arrow RE2 over the whole token column (pandas
-    .str.match is a per-row Python re loop — the former NER hot spot)."""
+    (columns doc_id, seq, tok, gap, tok_idx). All column-wise.
+
+    Every per-token-FORM feature (regex match, set membership, suffix
+    morphology) is computed over the batch's DICTIONARY of unique forms and
+    expanded by fancy indexing: natural-language token columns are massively
+    repetitive (measured ~1.9k unique forms in 518k tokens, a 270× ratio),
+    so the ~25 RE2/hash passes run over thousands of strings instead of
+    hundreds of thousands. Positional context features (shifts, windows)
+    stay per-row numpy. Features accumulate in a dict and attach with ONE
+    concat — incremental column inserts re-consolidate the pandas block
+    manager each time (profiled at ~60% of this kernel's wall)."""
     from . import arrowtext as at
 
-    t = toks.copy()
-    tok_arr = at.arr_of(toks["tok"])
-    low_arr = at.lower(tok_arr)
-    tok = t["tok"].astype(str)
-    low = pd.Series(
-        low_arr.to_numpy(zero_copy_only=False), index=t.index
-    )
-    t["low"] = low
-
-    def M(pattern: str) -> np.ndarray:
-        return at.match(tok_arr, pattern + "$")
+    n = len(toks)
+    codes, uniq = pd.factorize(toks["tok"], sort=False)
 
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    def ISIN(vocab) -> np.ndarray:
-        # Arrow hash-set membership over the whole column — the pandas
-        # object-array isin was ~20ms per set, ×20 sets
-        return pc.is_in(
-            low_arr, value_set=pa.array(sorted(vocab), type=pa.string())
-        ).to_numpy(zero_copy_only=False)
+    tok_u = pa.array(uniq, type=pa.string())
+    low_u = pc.utf8_lower(tok_u)
+    low_u_np = low_u.to_numpy(zero_copy_only=False)
+    f: dict[str, np.ndarray] = {"low": low_u_np[codes]}
 
-    t["is_date"] = M(r"\d{1,2}[./-]\d{1,2}[./-]\d{2,4}")
-    t["is_time"] = M(r"\d{1,2}[hH:]\d{2}")
-    t["is_num"] = M(r"\d+(?:[.,]\d+)?")
-    t["is_punct"] = M(r"[^\wÀ-ÖØ-öø-ÿ]")
-    t["is_period"] = tok.eq(".").to_numpy()
-    t["is_cap"] = at.match(tok_arr, r"[A-ZÀ-ÖØ][a-zà-öø-ÿ]")
-    t["is_allcaps"] = M(r"[A-ZÀ-ÖØ]{2,}")
-    t["is_stop"] = ISIN(lx.STOPWORDS_FR)
-    t["is_medic_title"] = ISIN(_MEDIC_TITLES)
-    t["is_patient_title"] = ISIN(_PATIENT_TITLES)
-    t["is_role"] = ISIN(lx.ROLE_WORDS)
-    t["is_org"] = ISIN(lx.ORG_WORDS)
-    t["is_city"] = ISIN(lx.CITIES_FR)
-    t["is_street"] = ISIN(lx.STREET_WORDS)
-    t["is_postcode"] = M(r"\d{5}")
-    t["is_unit"] = ISIN(lx.DOSE_UNITS)
-    t["is_side"] = ISIN(lx.SIDE_WORDS)
-    t["is_month"] = ISIN(lx.MONTHS_FR)
-    # previous-token context (within the same line), vectorized via shift
-    same_line = t["line_key"].eq(t["line_key"].shift())
-    t["prev_abbrev"] = (low.shift().isin(_ABBREVS) & same_line).fillna(False)
-    t["prev_is_num"] = (t["is_num"].shift() & same_line).fillna(False)
-    t["prev_is_org"] = (t["is_org"].shift() & same_line).fillna(False)
+    def M(pattern: str) -> np.ndarray:
+        return at.match(tok_u, pattern + "$")[codes]
+
+    def ISIN(vocab) -> np.ndarray:
+        return pc.is_in(
+            low_u, value_set=pa.array(sorted(vocab), type=pa.string())
+        ).to_numpy(zero_copy_only=False)[codes]
+
+    f["is_date"] = M(r"\d{1,2}[./-]\d{1,2}[./-]\d{2,4}")
+    f["is_time"] = M(r"\d{1,2}[hH:]\d{2}")
+    f["is_num"] = M(r"\d+(?:[.,]\d+)?")
+    f["is_punct"] = M(r"[^\wÀ-ÖØ-öø-ÿ]")
+    f["is_period"] = (uniq == ".")[codes]
+    f["is_cap"] = at.match(tok_u, r"[A-ZÀ-ÖØ][a-zà-öø-ÿ]")[codes]
+    f["is_allcaps"] = M(r"[A-ZÀ-ÖØ]{2,}")
+    f["is_stop"] = ISIN(lx.STOPWORDS_FR)
+    f["is_medic_title"] = ISIN(_MEDIC_TITLES)
+    f["is_patient_title"] = ISIN(_PATIENT_TITLES)
+    f["is_role"] = ISIN(lx.ROLE_WORDS)
+    f["is_org"] = ISIN(lx.ORG_WORDS)
+    f["is_city"] = ISIN(lx.CITIES_FR)
+    f["is_street"] = ISIN(lx.STREET_WORDS)
+    f["is_postcode"] = M(r"\d{5}")
+    f["is_unit"] = ISIN(lx.DOSE_UNITS)
+    f["is_side"] = ISIN(lx.SIDE_WORDS)
+    f["is_month"] = ISIN(lx.MONTHS_FR)
+
+    # previous-token context (within the same line), vectorized via roll
+    lk = toks["line_key"].to_numpy()
+    same_line = np.zeros(n, dtype=bool)
+    if n > 1:
+        same_line[1:] = lk[1:] == lk[:-1]
+    abbrev = ISIN(_ABBREVS)
+    f["prev_abbrev"] = np.roll(abbrev, 1) & same_line
+    f["prev_is_num"] = np.roll(f["is_num"], 1) & same_line
+    f["prev_is_org"] = np.roll(f["is_org"], 1) & same_line
     # sentence-final period: a hard cluster boundary (vs. 'Pr.' abbreviation
     # periods which continue the name)
-    t["is_sent_period"] = t["is_period"] & ~t["prev_abbrev"]
+    f["is_sent_period"] = f["is_period"] & ~f["prev_abbrev"]
     for lex_name, lex_set in lx.MEDICAL_SETS.items():
-        t[f"lex_{lex_name}"] = ISIN(lex_set)
+        f[f"lex_{lex_name}"] = ISIN(lex_set)
     # suffix-class features (FeaturesVectorMedicalNER's 1-4 char prefix/
     # suffix features, rebuilt as morphology classes): French drug and
     # pathology suffixes catch out-of-gazetteer entities
-    t["suf_drug"] = at.match(
-        low_arr,
+    f["suf_drug"] = at.match(
+        low_u,
         r".{3,}(?:cilline|mycine|micine|cycline|oxacine|prazole|azole"
         r"|pril|sartan|statine|azépam|azepam|tidine|caïne|caine)$",
-    )
-    t["suf_patho"] = (
-        at.match(low_arr, r".{4,}(?:ite|émie|algie|pathie)s?$")
+    )[codes]
+    f["suf_patho"] = (
+        at.match(low_u, r".{4,}(?:ite|émie|algie|pathie)s?$")[codes]
         & ~ISIN(lx.SUF_PATHO_EXCLUDE)
-        & ~t["is_stop"].to_numpy()
+        & ~f["is_stop"]
     )
     # drug hit within the previous 2 tokens (dose attachment window) —
     # suffix-detected drugs attach doses exactly like gazetteer ones
-    med = (
-        t["lex_medicament"].fillna(False) | t["suf_drug"].fillna(False)
-    ).to_numpy()
-    sl = same_line.fillna(False).to_numpy()
-    prev1 = np.roll(med, 1) & sl
-    prev2 = np.roll(med, 2) & sl & np.roll(sl, 1)
-    if len(med):
+    med = f["lex_medicament"] | f["suf_drug"]
+    prev1 = np.roll(med, 1) & same_line
+    prev2 = np.roll(med, 2) & same_line & np.roll(same_line, 1)
+    if n:
         prev1[0] = False
-        prev2[: min(2, len(med))] = False
-    t["near_medicament"] = prev1 | prev2
-    return t
+        prev2[: min(2, n)] = False
+    f["near_medicament"] = prev1 | prev2
+    return pd.concat(
+        [toks, pd.DataFrame(f, index=toks.index)], axis=1, copy=False
+    )
 
 
 def _decode(
