@@ -106,3 +106,71 @@ def spans_to_tei(flat: pd.DataFrame) -> pd.DataFrame:
             ],
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# A3: TEI training-corpus reader (the trainer/sax TEI*SaxParser analog —
+# TEIFullMedicalTextSaxParser.java parses annotated TEI training files back
+# to labeled sequences; here the engine's own TEI dialect parses back to
+# labeled spans). Round-trip contract: tei_to_spans(spans_to_tei(spans))
+# reproduces (kind, text, media_ref, order) exactly, except tabular table
+# spans whose cell structure was rendered — those come back as
+# tab-joined cell text (documented lossiness; the reference's table
+# training data is likewise re-tokenized from the rendered form).
+# Offline training-corpus utility: ElementTree per document, mirroring the
+# reference's per-file SAX pass — NOT on the extraction hot path.
+# ---------------------------------------------------------------------------
+
+_TAG_TO_KIND = {
+    "title": "title",
+    "p": "paragraph",
+    "item": "item",
+    "medic": "medic",
+    "patient": "patient",
+}
+
+
+def _kind_of_elem(el) -> str:
+    tag = el.tag
+    if tag == "head":
+        return "section" if el.get("n") == "1" else "subsection"
+    if tag == "figure":
+        return "table" if el.get("type") == "table" else "figure"
+    if tag == "ref":
+        return f"{el.get('type')}_marker"
+    if tag == "note":
+        place = el.get("place")
+        if place:
+            return place
+        return el.get("type") or "note"
+    return _TAG_TO_KIND.get(tag, tag)
+
+
+def tei_to_spans(tei: pd.DataFrame) -> pd.DataFrame:
+    """TEI corpus table [doc_id, tei] → flat labeled spans
+    [doc_id, kind, text, media_ref, offset] (offset = element order)."""
+    import xml.etree.ElementTree as ET
+
+    rows: list[tuple] = []
+    for doc_id, xml in zip(tei["doc_id"], tei["tei"]):
+        root = ET.fromstring(xml)
+        body = root.find("./text/body")
+        if body is None:
+            continue
+        for i, el in enumerate(body):
+            kind = _kind_of_elem(el)
+            media_ref = None
+            g = el.find("graphic")
+            if g is not None:
+                media_ref = g.get("url")
+            tbl = el.find("table")
+            if tbl is not None:
+                text = "\t".join(
+                    (c.text or "") for c in tbl.iter("cell")
+                )
+            else:
+                text = (el.text or "").strip()
+            rows.append((doc_id, kind, text, media_ref, i))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "kind", "text", "media_ref", "offset"]
+    )

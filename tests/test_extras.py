@@ -40,6 +40,48 @@ def test_tei_serialization(fixture_docs_pdf):
     ET.fromstring(body)
 
 
+def test_tei_roundtrip_reader(fixture_docs_pdf):
+    """A3 TEI corpus reader (trainer/sax TEI*SaxParser analog): parsing the
+    engine's own TEI back reproduces (kind, text, media_ref, order) exactly
+    for every extract_full fixture; tabular table cells come back
+    tab-joined (documented lossiness of the rendered form)."""
+    from grobid_clinical_report_spark import datagen
+    from grobid_clinical_report_spark.kernels import tei as tei_k
+    from grobid_clinical_report_spark.pipeline import extract_full_pdf
+
+    keep = sorted(datagen.FIXTURE_EXPECTED["extract_full"])
+    pdf = fixture_docs_pdf[fixture_docs_pdf.doc_id.isin(keep)].reset_index(
+        drop=True
+    )
+    out = extract_full_pdf(pdf)
+    flat = out.explode("spans").dropna(subset=["spans"])
+    flat = pd.concat(
+        [
+            flat[["doc_id"]].reset_index(drop=True),
+            pd.DataFrame(flat["spans"].tolist()),
+        ],
+        axis=1,
+    )
+    back = tei_k.tei_to_spans(tei_k.spans_to_tei(flat))
+    cols = ["doc_id", "kind", "text", "media_ref"]
+    a = flat.sort_values(["doc_id", "offset"])[cols].reset_index(drop=True)
+    b = back.sort_values(["doc_id", "offset"])[cols].reset_index(drop=True)
+    assert a.fillna("␀").eq(b.fillna("␀")).all().all()
+
+    # tabular table: cells survive as tab-joined text
+    tbl = pd.DataFrame(
+        {
+            "doc_id": ["d"],
+            "kind": ["table"],
+            "text": ["Na  140  mmol"],
+            "media_ref": [None],
+            "offset": [0],
+        }
+    )
+    got = tei_k.tei_to_spans(tei_k.spans_to_tei(tbl))
+    assert got.iloc[0]["text"] == "Na\t140\tmmol"
+
+
 def test_anonymize_oracle(spark):
     import duckdb
 
