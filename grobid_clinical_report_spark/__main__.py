@@ -42,6 +42,12 @@ def main(argv: list[str] | None = None) -> int:
         help="after the main pass, window+extract quarantined whales into "
              "bucket=quarantine (second-pass long-document path)",
     )
+    p.add_argument(
+        "--stage-buckets", action="store_true",
+        help="materialize a bucket-partitioned copy of the input first so "
+             "each bucket job scans 1/N via directory pruning (use when the "
+             "source is NOT already bucket-partitioned)",
+    )
     args = p.parse_args(argv)
 
     if args.generate:
@@ -64,6 +70,7 @@ def main(argv: list[str] | None = None) -> int:
             n_buckets=args.buckets,
             max_spans=args.max_spans,
             resume=not args.no_resume,
+            stage_buckets=args.stage_buckets,
         )
         if args.process_quarantine and metrics["quarantined"]:
             metrics["quarantine_pass"] = process_quarantined(

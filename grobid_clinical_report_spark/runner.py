@@ -86,6 +86,43 @@ def salt_partition(df: DataFrame, tasks: int) -> DataFrame:
     return salted.repartition(tasks, "_salt").drop("_salt", "_heavy_salt")
 
 
+def stage_bucketed_input(
+    spark: SparkSession,
+    input_path: str,
+    staged_path: str,
+    n_buckets: int,
+    force: bool = False,
+) -> None:
+    """ONE-pass bucket staging: materialize the input partitioned BY bucket
+    so per-bucket jobs read only their own directory (true partition
+    pruning). The production source is an Iceberg table already
+    bucket-partitioned by doc_id — there the scan prunes natively and this
+    step is a no-op. On a flat parquet stand-in, `filter(bucket == b)` is a
+    predicate on a COMPUTED hash column: no file can be pruned, so N bucket
+    jobs would re-scan the whole input N times — the dominant IO cost at
+    100 TB × 256 buckets. Staging costs one extra read+write and makes
+    total input IO 2 passes instead of N.
+
+    Idempotent: skipped when a committed staging (_SUCCESS marker) already
+    exists for the same bucket count, unless ``force`` (a full recompute
+    must not trust a staging of a possibly-changed input)."""
+    import glob
+
+    from .io import read_documents
+
+    marker = os.path.join(staged_path, "_SUCCESS")
+    if (
+        not force
+        and os.path.exists(marker)
+        and glob.glob(os.path.join(staged_path, f"bucket={n_buckets - 1}"))
+    ):
+        return
+    docs = read_documents(spark, input_path).select("doc_id", "spans")
+    with_bucket(docs, n_buckets).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(staged_path)
+
+
 def run_extraction_job(
     spark: SparkSession,
     input_path: str,
@@ -96,6 +133,7 @@ def run_extraction_job(
     max_spans: int = DEFAULT_MAX_SPANS,
     resume: bool = True,
     max_concurrent: int = 4,
+    stage_buckets: bool = False,
 ) -> dict:
     """End-to-end batch job with per-bucket checkpointing.
 
@@ -106,6 +144,12 @@ def run_extraction_job(
     buckets). Manifest appends are serialized under a lock — two jobs
     sharing one parquet append path would race in the output-committer
     temporary directory; the append itself is milliseconds.
+
+    ``stage_buckets=True`` materializes a bucket-partitioned copy of the
+    input first (stage_bucketed_input) so each bucket job scans 1/N of the
+    data via directory pruning instead of re-scanning the flat input —
+    use it whenever the source is NOT already bucket-partitioned (an
+    Iceberg bucket(doc_id) table needs no staging).
 
     Returns a metrics dict: {buckets_run, docs, spans, quarantined,
     wall_sec, peak_concurrency}.
@@ -119,8 +163,16 @@ def run_extraction_job(
 
     run_id = mf.new_run_id()
     tasks = tasks_per_bucket or spark.sparkContext.defaultParallelism
-    docs = read_documents(spark, input_path).select("doc_id", "spans")
-    docs = with_bucket(docs, n_buckets)
+    if stage_buckets:
+        staged = os.path.join(output_path, "_staged_input")
+        stage_bucketed_input(
+            spark, input_path, staged, n_buckets, force=not resume
+        )
+        # partition column `bucket` prunes directories at the scan
+        docs = spark.read.parquet(staged).select("doc_id", "spans", "bucket")
+    else:
+        docs = read_documents(spark, input_path).select("doc_id", "spans")
+        docs = with_bucket(docs, n_buckets)
 
     config = {
         "mode": mode, "n_buckets": n_buckets, "max_spans": max_spans,

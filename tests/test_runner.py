@@ -93,6 +93,38 @@ def test_job_runs_and_resumes_idempotently(spark, input_path, tmp_path):
     assert m3["buckets_run"] == 0
 
 
+def test_staged_buckets_match_unstaged(spark, input_path, tmp_path):
+    """stage_buckets=True (one-pass bucket-partitioned staging, directory
+    pruning per bucket job) must produce byte-identical output to the
+    unstaged path, and the staged copy must actually exist partitioned."""
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    ma = runner.run_extraction_job(
+        spark, input_path, out_a, n_buckets=4, max_spans=500
+    )
+    mb = runner.run_extraction_job(
+        spark, input_path, out_b, n_buckets=4, max_spans=500,
+        stage_buckets=True,
+    )
+    assert (ma["docs"], ma["spans"]) == (mb["docs"], mb["spans"])
+    a = {
+        r["doc_id"]: r["spans"]
+        for r in runner.read_extracted(spark, out_a).collect()
+    }
+    b = {
+        r["doc_id"]: r["spans"]
+        for r in runner.read_extracted(spark, out_b).collect()
+    }
+    assert a == b
+    assert os.path.isdir(os.path.join(out_b, "_staged_input", "bucket=3"))
+    # resume over a staged run is still a no-op (staging reused, 0 buckets)
+    m3 = runner.run_extraction_job(
+        spark, input_path, out_b, n_buckets=4, max_spans=500,
+        stage_buckets=True,
+    )
+    assert m3["buckets_run"] == 0
+
+
 def test_fixtures_survive_inside_scale_run(spark, input_path, tmp_path):
     """Fixture docs embedded in the corpus extract identically inside a
     bucketed scale run (FIXTURES.md §4)."""
