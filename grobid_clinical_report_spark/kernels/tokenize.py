@@ -81,12 +81,16 @@ def explode_tokens(lines: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
 
     tok_idx_flat = np.flatnonzero(is_tok)
     flat_np = flat.to_numpy(zero_copy_only=False)
+    # codepoint lengths in Arrow (pandas .str.len over object arrays is a
+    # per-row Python map — profiled at ~1/3 of this kernel)
+    flat_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
     toks = flat_np[tok_idx_flat]
     gaps = flat_np[tok_idx_flat - 1]  # element before = preceding gap
     parents = parent[tok_idx_flat]
 
     keep = ~np.isin(toks, list(JUNK_TOKENS))
     toks, gaps, parents = toks[keep], gaps[keep], parents[keep]
+    kept_idx = tok_idx_flat[keep]
 
     out = lines.reset_index(drop=True).take(parents).reset_index(drop=True)
     out["tok"] = toks
@@ -102,8 +106,8 @@ def explode_tokens(lines: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     out["tok_idx"] = seg_position(lstarts, len(out))
     # char offsets within the line (entity spans report start/end,
     # FrenchMedicalNERParser.java:560-797)
-    tok_len = out["tok"].str.len().to_numpy()
-    gap_len = out["gap"].fillna("").str.len().to_numpy()
+    tok_len = flat_lens[kept_idx]
+    gap_len = flat_lens[kept_idx - 1]
     ends = seg_cumsum(tok_len + gap_len, lstarts)
     out["tok_end"] = ends
     out["tok_start"] = ends - tok_len
