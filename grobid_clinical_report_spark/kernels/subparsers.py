@@ -154,15 +154,35 @@ def tokens_to_spans(
     (FrenchMedicalNERParser.java:560-797)."""
     d = t.copy(deep=False)
     d["_cl"] = rle_cluster_ids(d["line_key"], d["label"])
-    from .cluster import group_join
 
     first_of_cl = ~d.duplicated("_cl")
     last_of_cl = ~d.duplicated("_cl", keep="last")
-    piece = np.where(first_of_cl, d["tok"], d["gap"].fillna("") + d["tok"])
+    # span text = first token verbatim + Σ(gap+tok): built entirely in
+    # Arrow (binary_join over a ListArray sliced at cluster starts) — the
+    # former np.where object-concat + reduceat join was per-row Python
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from . import arrowtext as at
+    from .segments import seg_starts
+
+    tok_arr = at.arr_of(d["tok"])
+    gap_arr = pc.coalesce(at.arr_of(d["gap"]), "")
+    withgap = pc.binary_join_element_wise(gap_arr, tok_arr, "")
+    piece = pc.if_else(
+        pa.array(first_of_cl.to_numpy()), tok_arr, withgap
+    )
+    starts = seg_starts(d["_cl"].to_numpy())
+    offsets = pa.array(
+        np.append(starts, len(d)).astype(np.int32), type=pa.int32()
+    )
+    texts = pc.utf8_trim_whitespace(
+        pc.binary_join(pa.ListArray.from_arrays(offsets, piece), "")
+    )
     agg = d.loc[first_of_cl, ["_cl", "doc_id", "label", "offset"]].rename(
         columns={"label": "kind"}
     )
-    agg["text"] = group_join(piece, d["_cl"].to_numpy(), sep="")
+    agg["text"] = texts.to_numpy(zero_copy_only=False)
     if with_char_offsets:
         base = d.loc[first_of_cl, "offset"].to_numpy()
         agg["start"] = base + d.loc[first_of_cl, "tok_start"].to_numpy()
@@ -172,7 +192,6 @@ def tokens_to_spans(
         )
     agg = agg[~agg["kind"].isin(drop)]
     agg["media_ref"] = None
-    agg["text"] = agg["text"].str.strip()
     cols = ["doc_id", "kind", "text", "media_ref", "offset"]
     if with_char_offsets:
         cols += ["start", "end"]
