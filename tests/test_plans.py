@@ -39,6 +39,32 @@ def test_extraction_plan_is_shuffle_free(spark, tmp_path):
     assert "MapInArrow" in plan or "ArrowEvalPython" in plan
 
 
+def test_staged_bucket_scan_prunes_partitions(spark, tmp_path):
+    """stage_bucketed_input writes partitionBy(bucket); a per-bucket job's
+    filter must become a PartitionFilter at the scan (directory pruning —
+    1/N of the data read), not a post-scan predicate over everything."""
+    docs = spark.createDataFrame(
+        [
+            (f"d{i}", [{"kind": "text", "text": "x", "media_ref": None,
+                        "offset": 0}])
+            for i in range(20)
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    src = str(tmp_path / "src.parquet")
+    docs.write.parquet(src)
+    staged = str(tmp_path / "staged")
+    runner.stage_bucketed_input(spark, src, staged, n_buckets=4)
+    chunk = spark.read.parquet(staged).filter(F.col("bucket") == 2)
+    plan = _plan(chunk)
+    part = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "bucket" in part  # pruned at the directory level
+    if "PushedFilters:" in plan:  # no data-filter fallback for the bucket
+        pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+        assert "bucket" not in pushed
+
+
 def test_scan_pushdown_and_pruning(spark):
     df = (
         spark.read.parquet(f"{SF}/lineitem.parquet")
