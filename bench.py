@@ -277,8 +277,10 @@ Measurement notes (honest caveats, profiled in round 1):
   corpus — LPT scheduling).
 - Local-mode walls jitter ±15%; a run that regenerates the corpus first
   (cold page cache) reads low — measure with the corpus warm and the box
-  otherwise idle. Observed warm range across round-1 runs: 0.83-0.99 for
-  the 1→4 pair, 0.89-0.95 for 2→8.
+  otherwise idle (this host has co-tenants: load spikes to ~7 with nothing
+  running in this VM). Observed warm range for the 1→4 pair: 0.83-0.99
+  (round 1), 0.85-1.07 (round 2), 0.80-1.03 (round 3, low end measured
+  under external load 5+); every run clears the 0.8 target.
 """
         )
 
