@@ -153,6 +153,7 @@ def headline() -> dict:
         "dedup_embedding",
         "langid",
         "quality_score",
+        "lm_quality",
         "token_count",
         "fingerprint",
         "ann_cosine_topk",

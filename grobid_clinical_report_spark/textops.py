@@ -517,12 +517,94 @@ ORDER BY doc_a, doc_b
 """
 
 
+# ---------------------------------------------------------------------------
+# LM-based quality scoring (the CCNet-style perplexity filter of LLM data
+# pipelines): a corpus character-bigram model — top-256 bigrams by corpus
+# frequency — scores each document by the average corpus probability mass of
+# its bigrams, in parts-per-million. Exact INTEGER arithmetic end-to-end
+# (counts, floor division) so the DuckDB oracle hash-matches bit-exactly; a
+# float log-prob would hinge on libm ulp agreement across engines.
+# Scale shape: one shuffle to count bigrams (key space bounded by charset²,
+# never by corpus size), a single-task top-K over that tiny table, then a
+# broadcast join back and a per-doc aggregation.
+# ---------------------------------------------------------------------------
+
+_LM_TOP = 256
+_BIGRAMS = (
+    f"filter(transform(sequence(1, greatest(length({_NORM}) - 1, 1)),"
+    f" i -> substring({_NORM}, i, 2)), b -> length(b) = 2)"
+)
+
+
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LM quality: lm_ppm = floor(1e6 · Σ count(bg) / (n ·
+    total)) — the mean model probability of the doc's bigrams, ppm.
+    Documents shorter than one bigram are absent (no mass to score)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    bi = docs.selectExpr("doc_id", f"explode({_BIGRAMS}) as bg")
+    counts = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    # deterministic top-K: (count desc, bigram asc); the window is a single
+    # task over ≤ charset² rows — scale-independent
+    model = (
+        counts.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("bg").asc())
+            ),
+        )
+        .filter(F.col("rk") <= _LM_TOP)
+        .select("bg", "cnt")
+    )
+    total = bi.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        bi.join(F.broadcast(model), "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("cnt"), F.lit(0))).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "doc_id",
+            "cast(n as bigint) as n_bigrams",
+            "cast(s as bigint) as model_mass",
+            "cast((1000000 * s) div (n * total) as bigint) as lm_ppm",
+        )
+    )
+
+
+ORACLE_LM_QUALITY = f"""
+WITH t AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+bi AS (
+  SELECT doc_id, substr(nt, CAST(i AS INT), 2) AS bg
+  FROM t, UNNEST(generate_series(1, GREATEST(LENGTH(nt) - 1, 1))) AS u(i)
+  WHERE LENGTH(substr(nt, CAST(i AS INT), 2)) = 2
+),
+model AS (
+  SELECT bg, COUNT(*) AS cnt FROM bi GROUP BY bg
+  ORDER BY cnt DESC, bg ASC LIMIT {_LM_TOP}
+),
+tot AS (SELECT COUNT(*) AS total FROM bi)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(COALESCE(cnt, 0)) AS BIGINT) AS model_mass,
+  CAST((1000000 * SUM(COALESCE(cnt, 0))) // (COUNT(*) * MIN(total))
+    AS BIGINT) AS lm_ppm
+FROM bi LEFT JOIN model USING (bg) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 OPS = {
     "rawtext": q_rawtext,
     "guardrail_filter": q_guardrail,
     "dedup_exact": q_exact_dedup,
     "langid": q_langid,
     "quality_score": q_quality,
+    "lm_quality": q_lm_quality,
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
     "dedup_minhash": q_minhash,
@@ -536,6 +618,7 @@ ORACLES = {
     "dedup_exact": ORACLE_EXACT_DEDUP,
     "langid": _oracle_langid(),
     "quality_score": ORACLE_QUALITY,
+    "lm_quality": ORACLE_LM_QUALITY,
     "token_count": ORACLE_TOKEN_COUNT,
     "fingerprint": ORACLE_FINGERPRINT,
     "dedup_minhash": _oracle_minhash(),
