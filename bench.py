@@ -154,6 +154,8 @@ def headline() -> dict:
         "langid",
         "quality_score",
         "lm_quality",
+        "gopher_repetition",
+        "decontaminate",
         "token_count",
         "fingerprint",
         "ann_cosine_topk",

@@ -598,6 +598,131 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filter (Rae et al. 2021 quality rules): fraction
+# of duplicated word 5-grams + top-word dominance, per document. Pure array
+# functions + one word-count aggregation; integer milli-scores for exact
+# oracle equality.
+# ---------------------------------------------------------------------------
+
+_GRAM5 = (
+    f"transform(sequence(0, greatest(size({_WORDS}) - 5, 0)),"
+    f" i -> concat_ws(' ', slice({_WORDS}, i + 1, 5)))"
+)
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    grams = docs.selectExpr(
+        "doc_id",
+        f"size({_WORDS}) as n_words",
+        f"case when size({_WORDS}) >= 5 then size({_GRAM5})"
+        " else 0 end as n_grams",
+        f"case when size({_WORDS}) >= 5 then"
+        f" size(array_distinct({_GRAM5})) else 0 end as n_distinct",
+    ).selectExpr(
+        "doc_id", "n_words", "cast(n_grams as bigint) as n_grams",
+        "case when n_grams > 0 then"
+        " cast((1000 * (n_grams - n_distinct)) div n_grams as bigint)"
+        " else cast(0 as bigint) end as dup_gram_milli",
+    )
+    top = (
+        docs.selectExpr("doc_id", f"explode({_WORDS}) as w")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max(F.struct("cnt", "w")).alias("m"))
+        .selectExpr("doc_id", "m.cnt as top_cnt")
+    )
+    return grams.join(top, "doc_id").selectExpr(
+        "doc_id", "n_grams", "dup_gram_milli",
+        "cast((1000 * top_cnt) div n_words as bigint) as top_word_milli",
+    )
+
+
+ORACLE_GOPHER = f"""
+WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS words
+           FROM documents),
+g AS (
+  SELECT doc_id, LENGTH(words) AS n_words,
+    CASE WHEN LENGTH(words) >= 5 THEN LENGTH(words) - 4 ELSE 0 END AS n_grams,
+    CASE WHEN LENGTH(words) >= 5 THEN (
+      SELECT COUNT(DISTINCT array_to_string(list_slice(words, i, i + 4), ' '))
+      FROM UNNEST(generate_series(1, LENGTH(words) - 4)) AS u(i)
+    ) ELSE 0 END AS n_distinct
+  FROM t
+),
+wc AS (
+  SELECT doc_id, UNNEST(words) AS w FROM t
+),
+top AS (
+  SELECT doc_id, cnt AS top_cnt FROM (
+    SELECT doc_id, COUNT(*) AS cnt,
+      ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY COUNT(*) DESC, w DESC) AS rk
+    FROM wc GROUP BY doc_id, w
+  ) WHERE rk = 1
+)
+SELECT g.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+  CASE WHEN n_grams > 0
+    THEN CAST((1000 * (n_grams - n_distinct)) // n_grams AS BIGINT)
+    ELSE CAST(0 AS BIGINT) END AS dup_gram_milli,
+  CAST((1000 * top_cnt) // n_words AS BIGINT) AS top_word_milli
+FROM g JOIN top ON g.doc_id = top.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (the eval-overlap scrub every LLM data pipeline
+# runs before training): documents sharing any word 8-gram with the eval
+# split are flagged with their overlap count. The eval split here is the
+# deterministic doc_id % 100 == 0 slice; in production it is the benchmark
+# table. Eval grams are tiny → broadcast; train grams never shuffle.
+# ---------------------------------------------------------------------------
+
+_GRAM8 = (
+    f"transform(sequence(0, greatest(size({_WORDS}) - 8, 0)),"
+    f" i -> concat_ws(' ', slice({_WORDS}, i + 1, 8)))"
+)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    grams = (
+        docs.filter("length(text) > 0")
+        .filter(f"size({_WORDS}) >= 8")
+        .selectExpr("doc_id", f"explode(array_distinct({_GRAM8})) as g")
+    )
+    ev = grams.filter("doc_id % 100 = 0").select("g").distinct()
+    return (
+        grams.filter("doc_id % 100 != 0")
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_8grams"))
+    )
+
+
+ORACLE_DECONTAM = f"""
+WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS words
+           FROM documents WHERE LENGTH(text) > 0),
+g AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(list_slice(words, i, i + 7), ' ') AS g
+  FROM t, UNNEST(generate_series(1, GREATEST(LENGTH(words) - 7, 1))) AS u(i)
+  WHERE LENGTH(words) >= 8
+),
+ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 100 = 0)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_8grams
+FROM g JOIN ev USING (g)
+WHERE doc_id % 100 != 0
+GROUP BY doc_id
+"""
+
+
 OPS = {
     "rawtext": q_rawtext,
     "guardrail_filter": q_guardrail,
@@ -605,6 +730,8 @@ OPS = {
     "langid": q_langid,
     "quality_score": q_quality,
     "lm_quality": q_lm_quality,
+    "gopher_repetition": q_gopher_repetition,
+    "decontaminate": q_decontaminate,
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
     "dedup_minhash": q_minhash,
@@ -619,6 +746,8 @@ ORACLES = {
     "langid": _oracle_langid(),
     "quality_score": ORACLE_QUALITY,
     "lm_quality": ORACLE_LM_QUALITY,
+    "gopher_repetition": ORACLE_GOPHER,
+    "decontaminate": ORACLE_DECONTAM,
     "token_count": ORACLE_TOKEN_COUNT,
     "fingerprint": ORACLE_FINGERPRINT,
     "dedup_minhash": _oracle_minhash(),
