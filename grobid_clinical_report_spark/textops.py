@@ -682,9 +682,13 @@ FROM g JOIN top ON g.doc_id = top.doc_id
 # table. Eval grams are tiny → broadcast; train grams never shuffle.
 # ---------------------------------------------------------------------------
 
-_GRAM8 = (
-    f"transform(sequence(0, greatest(size({_WORDS}) - 8, 0)),"
-    f" i -> concat_ws(' ', slice({_WORDS}, i + 1, 8)))"
+# production decontamination uses 8-13-gram overlap; the synthetic corpus
+# draws from a ~30-word vocabulary where 8-grams never collide, so the
+# demonstrative scale here is 4-grams (same plan shape, non-trivial output)
+_DECONTAM_N = 4
+_GRAMD = (
+    f"transform(sequence(0, greatest(size({_WORDS}) - {_DECONTAM_N}, 0)),"
+    f" i -> concat_ws(' ', slice({_WORDS}, i + 1, {_DECONTAM_N})))"
 )
 
 
@@ -694,15 +698,15 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load_wide(spark, sf_dir, "documents")
     grams = (
         docs.filter("length(text) > 0")
-        .filter(f"size({_WORDS}) >= 8")
-        .selectExpr("doc_id", f"explode(array_distinct({_GRAM8})) as g")
+        .filter(f"size({_WORDS}) >= {_DECONTAM_N}")
+        .selectExpr("doc_id", f"explode(array_distinct({_GRAMD})) as g")
     )
     ev = grams.filter("doc_id % 100 = 0").select("g").distinct()
     return (
         grams.filter("doc_id % 100 != 0")
         .join(F.broadcast(ev), "g")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared_8grams"))
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )
 
 
@@ -711,12 +715,13 @@ WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS words
            FROM documents WHERE LENGTH(text) > 0),
 g AS (
   SELECT DISTINCT doc_id,
-    array_to_string(list_slice(words, i, i + 7), ' ') AS g
-  FROM t, UNNEST(generate_series(1, GREATEST(LENGTH(words) - 7, 1))) AS u(i)
-  WHERE LENGTH(words) >= 8
+    array_to_string(list_slice(words, i, i + {_DECONTAM_N} - 1), ' ') AS g
+  FROM t, UNNEST(generate_series(1, GREATEST(LENGTH(words) - {_DECONTAM_N} + 1, 1)))
+    AS u(i)
+  WHERE LENGTH(words) >= {_DECONTAM_N}
 ),
 ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 100 = 0)
-SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_8grams
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
 FROM g JOIN ev USING (g)
 WHERE doc_id % 100 != 0
 GROUP BY doc_id
