@@ -544,7 +544,10 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = _load_wide(spark, sf_dir, "documents")
-    bi = docs.selectExpr("doc_id", f"explode({_BIGRAMS}) as bg")
+    # cached: consumed by both the model build and the scoring join; at real
+    # scale this is a materialized intermediate table written once (same
+    # stand-in convention as similarity.py's signature cache)
+    bi = docs.selectExpr("doc_id", f"explode({_BIGRAMS}) as bg").cache()
     counts = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
     # deterministic top-K: (count desc, bigram asc); the window is a single
     # task over ≤ charset² rows — scale-independent
@@ -558,7 +561,8 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _LM_TOP)
         .select("bg", "cnt")
     )
-    total = bi.agg(F.count(F.lit(1)).alias("total"))
+    # corpus total from the (tiny) counts table — not a second corpus pass
+    total = counts.agg(F.sum("cnt").alias("total"))
     return (
         bi.join(F.broadcast(model), "bg", "left")
         .groupBy("doc_id")
