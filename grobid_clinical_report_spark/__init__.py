@@ -29,9 +29,10 @@ Capability map to the reference (SURVEY.md §2):
   kernels.subparsers  — medic/patient/dateline string parsers (MedicParser et al.)
   kernels.ner         — French medical NER (FrenchMedicalNERParser)
   pipeline            — C1 cascade as one vectorized pass
-  textops             — training-data ops (dedup/langid/quality/tokens/fingerprint)
+  textops             — training-data ops (dedup/langid/quality/LM-perplexity/
+                        Gopher repetition/decontamination/tokens/fingerprint)
   similarity          — embedding ANN (brute-force + LSH-bucketed)
   multimodal          — opaque media columns + stubbed decode plumbing
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
