@@ -128,3 +128,101 @@ def test_tokenizer_roundtrip_property():
             assert rows["tok"].tolist() == matches
 
     check()
+
+
+def test_media_ref_conservation_property():
+    """Property (hypothesis): for ANY document shape, extract_full never
+    loses or duplicates a media reference that sits in the body zone, spans
+    come out offset-ordered, and the caption pull/push relabeling keeps
+    every media_ref attached to exactly one figure span."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from grobid_clinical_report_spark.pipeline import extract_full_pdf
+
+    line_kinds = st.sampled_from(
+        [
+            ("text", "SYNTHÈSE MÉDICALE", None),
+            ("text", "EXAMEN :", None),
+            ("text", "Le patient se porte bien et poursuit son traitement.", None),
+            ("text", "Figure 1 : coupe sagittale", None),
+            ("text", "avec produit de contraste.", None),
+            ("text", "Voir annexe.", None),
+            ("text", "- tension stable", None),
+            ("text", "", None),
+            ("media", "", "REF"),
+        ]
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(line_kinds, min_size=3, max_size=25))
+    def check(lines):
+        # make media refs unique per position
+        spans, off, n_media = [], 0, 0
+        for kind, text, ref in lines:
+            if ref:
+                ref = f"img/{n_media}.png"
+                n_media += 1
+            spans.append(
+                {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+            )
+            off += max(len(text), 1) + 1
+        pdf = pd.DataFrame({"doc_id": ["d"], "spans": [spans]})
+        out = extract_full_pdf(pdf)
+        assert len(out) == 1
+        got = out.iloc[0]["spans"]
+        offs = [s["offset"] for s in got]
+        assert offs == sorted(offs)
+        refs = [s["media_ref"] for s in got if s["media_ref"]]
+        assert len(refs) == len(set(refs))  # never duplicated
+        assert set(refs) <= {s["media_ref"] for s in spans if s["media_ref"]}
+        for s in got:
+            if s["media_ref"]:
+                assert s["kind"] == "figure"
+
+    check()
+
+
+def test_pojo_merge_property():
+    """Property (hypothesis): pojo_merge_spans emits exactly one span per
+    (doc, kind); every distinct (case/space-insensitive) input value appears
+    in its field's joined text; repeats are dropped; offset is the field's
+    first occurrence."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from grobid_clinical_report_spark.kernels.subparsers import (
+        pojo_merge_spans,
+    )
+
+    kinds = st.sampled_from(["persname", "rolename", "orgname", "address"])
+    vals = st.sampled_from(["Dr A", "dr a", "Ward B", "CHU X", "9 rue Y"])
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.tuples(kinds, vals), min_size=1, max_size=10))
+    def check(rows):
+        spans = pd.DataFrame(
+            {
+                "doc_id": ["d"] * len(rows),
+                "kind": [k for k, _ in rows],
+                "text": [v for _, v in rows],
+                "media_ref": [None] * len(rows),
+                "offset": [0] * len(rows),
+            }
+        )
+        out = pojo_merge_spans(spans)
+        assert list(out["kind"]) == list(dict.fromkeys(out["kind"]))
+        assert set(out["kind"]) == {k for k, _ in rows}
+        for kind in set(out["kind"]):
+            joined = out[out["kind"] == kind]["text"].iloc[0]
+            seen = set()
+            for k, v in rows:
+                if k != kind:
+                    continue
+                canon = v.lower().replace(" ", "")
+                if canon in seen:
+                    continue
+                seen.add(canon)
+                assert v in joined
+
+    check()
