@@ -164,6 +164,7 @@ def headline() -> dict:
         "rel_topk_per_group",
         "rel_sessionization",
         "rel_event_windows",
+        "rel_asof_join",
         "media_decode_features",
         "media_frame_sample",
     ]:

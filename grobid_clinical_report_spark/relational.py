@@ -238,6 +238,66 @@ FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# as-of join (temporal point lookup) — the task brief's canonical example of
+# an operator Spark LACKS: for each event, the customer's latest order at or
+# before the event time. Rebuilt as the scalable union+window pattern: tag
+# both sides, sort within customer by (time, tag), forward-fill the last
+# order key — ONE shuffle on the join key, never a range cross-product.
+# DuckDB has a native ASOF JOIN, which is exactly the oracle.
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    # one order per (cust, date) — max orderkey — so the as-of pick is
+    # deterministic in both engines even on date ties
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    a = orders.selectExpr(
+        "o_custkey as k", "cast(o_orderdate as timestamp) as t",
+        "o_orderkey", "cast(null as bigint) as event_id", "0 as tag",
+    )
+    b = events.selectExpr(
+        "user_id as k", "ts as t",
+        "cast(null as bigint) as o_orderkey", "event_id", "1 as tag",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        a.unionByName(b)
+        .withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .filter("tag = 1")
+        .selectExpr(
+            "event_id", "k as user_id",
+            "cast(asof_orderkey as bigint) as asof_orderkey",
+        )
+    )
+
+
+ORACLE_ASOF = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+),
+e AS (SELECT event_id, user_id, ts FROM events)
+SELECT e.event_id, e.user_id,
+  CAST(o.o_orderkey AS BIGINT) AS asof_orderkey
+FROM e ASOF LEFT JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP)
+"""
+
+
 OPS = {
     "rel_pricing_summary": q_pricing_summary,
     "rel_topk_per_group": q_top_orders_per_cust,
@@ -246,6 +306,7 @@ OPS = {
     "rel_rollup_counts": q_rollup_counts,
     "rel_corpus_stats": q_corpus_stats,
     "rel_event_windows": q_event_windows,
+    "rel_asof_join": q_asof_join,
 }
 ORACLES = {
     "rel_pricing_summary": ORACLE_PRICING,
@@ -255,4 +316,5 @@ ORACLES = {
     "rel_rollup_counts": ORACLE_ROLLUP,
     "rel_corpus_stats": ORACLE_CORPUS_STATS,
     "rel_event_windows": ORACLE_EVENT_WINDOWS,
+    "rel_asof_join": ORACLE_ASOF,
 }
