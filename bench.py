@@ -156,6 +156,7 @@ def headline() -> dict:
         "lm_quality",
         "gopher_repetition",
         "decontaminate",
+        "kmv_distinct",
         "token_count",
         "fingerprint",
         "ann_cosine_topk",

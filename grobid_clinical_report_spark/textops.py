@@ -732,6 +732,68 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch (k-minimum-values, Bar-Yossef et al.): estimate
+# distinct documents per source from the k-th smallest md5-derived hash —
+# the deterministic, ENGINE-PORTABLE sketch (unlike HLL, whose register
+# layouts differ across engines, KMV over a shared hash function yields
+# bit-identical estimates, so the oracle can check the sketch itself).
+# Production shape: a typed partial aggregator keeping a k-bounded heap per
+# group (merges associatively); the window form here is its oracle-checkable
+# twin on the same math.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 16
+_HASH32 = f"cast(conv(substring(md5({_NORM}), 1, 8), 16, 10) as bigint)"
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    vals = (
+        _load(spark, sf_dir, "documents")
+        .selectExpr("source", f"{_HASH32} as v")
+        .distinct()
+    )
+    ranked = vals.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("source").orderBy("v"))
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_hashes"),
+            F.max(F.when(F.col("rk") == _KMV_K, F.col("v"))).alias("vk"),
+        )
+        .selectExpr(
+            "source",
+            "cast(n_distinct_hashes as bigint) as n_distinct_hashes",
+            f"cast(case when vk is not null then"
+            f" ({_KMV_K} - 1) * 4294967296 div vk"
+            " else n_distinct_hashes end as bigint) as kmv_estimate",
+        )
+    )
+
+
+ORACLE_KMV = f"""
+WITH v AS (
+  SELECT DISTINCT source,
+    CAST(CONCAT('0x', substr(md5({_NORM}), 1, 8)) AS BIGINT) AS v
+  FROM documents
+),
+r AS (
+  SELECT source, v,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rk
+  FROM v
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct_hashes,
+  CAST(CASE WHEN MAX(CASE WHEN rk = {_KMV_K} THEN v END) IS NOT NULL
+    THEN ({_KMV_K} - 1) * 4294967296
+      // MAX(CASE WHEN rk = {_KMV_K} THEN v END)
+    ELSE COUNT(*) END AS BIGINT) AS kmv_estimate
+FROM r GROUP BY source
+"""
+
+
 OPS = {
     "rawtext": q_rawtext,
     "guardrail_filter": q_guardrail,
@@ -741,6 +803,7 @@ OPS = {
     "lm_quality": q_lm_quality,
     "gopher_repetition": q_gopher_repetition,
     "decontaminate": q_decontaminate,
+    "kmv_distinct": q_kmv_distinct,
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
     "dedup_minhash": q_minhash,
@@ -757,6 +820,7 @@ ORACLES = {
     "lm_quality": ORACLE_LM_QUALITY,
     "gopher_repetition": ORACLE_GOPHER,
     "decontaminate": ORACLE_DECONTAM,
+    "kmv_distinct": ORACLE_KMV,
     "token_count": ORACLE_TOKEN_COUNT,
     "fingerprint": ORACLE_FINGERPRINT,
     "dedup_minhash": _oracle_minhash(),
