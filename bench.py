@@ -166,6 +166,7 @@ def headline() -> dict:
         "rel_sessionization",
         "rel_event_windows",
         "rel_asof_join",
+        "rel_range_join",
         "media_decode_features",
         "media_frame_sample",
     ]:

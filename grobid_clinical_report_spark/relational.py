@@ -298,6 +298,72 @@ FROM e ASOF LEFT JOIN o
 """
 
 
+# ---------------------------------------------------------------------------
+# range join (the task brief's other named operator Spark lacks a native
+# strategy for): for each click, count the same user's views within the
+# following hour. A naive theta-join is quadratic; the scalable rebuild
+# joins on (user, coarse time bucket) with each probe hitting exactly two
+# buckets (its own and the next) and filters the exact range — the same
+# band-bucket technique the near-dup LSH join uses, candidate set bounded
+# by bucket occupancy, never by row count.
+# ---------------------------------------------------------------------------
+
+_RANGE_SEC = 3600
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "ts",
+        (F.unix_timestamp("ts")).alias("sec"),
+    )
+    clicks = ev.filter("event_type = 'click'").select(
+        "event_id", "user_id", F.col("sec").alias("c_sec")
+    )
+    views = ev.filter("event_type = 'view'").select(
+        F.col("user_id").alias("v_user"), F.col("sec").alias("v_sec")
+    )
+    # each click probes its bucket and the next; views live in one bucket
+    probe = clicks.selectExpr(
+        "event_id", "user_id", "c_sec",
+        f"explode(array(c_sec div {_RANGE_SEC},"
+        f" c_sec div {_RANGE_SEC} + 1)) as b",
+    )
+    build = views.selectExpr(
+        "v_user", "v_sec", f"v_sec div {_RANGE_SEC} as b"
+    )
+    # inner-join the candidates, filter the exact range, count — then left
+    # join back so zero-match clicks keep their row (a view lives in ONE
+    # bucket, so the two probe buckets never double-count it)
+    matches = (
+        probe.join(
+            build,
+            (probe.user_id == build.v_user) & (probe.b == build.b),
+        )
+        .filter(f"v_sec > c_sec and v_sec <= c_sec + {_RANGE_SEC}")
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return clicks.join(matches, "event_id", "left").selectExpr(
+        "event_id", "user_id",
+        "cast(coalesce(n, 0) as bigint) as n_views_1h",
+    )
+
+
+ORACLE_RANGE = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch(ts) AS sec FROM events
+),
+c AS (SELECT event_id, user_id, sec FROM e WHERE event_type = 'click'),
+v AS (SELECT user_id, sec FROM e WHERE event_type = 'view')
+SELECT c.event_id, c.user_id,
+  CAST(COUNT(v.sec) AS BIGINT) AS n_views_1h
+FROM c LEFT JOIN v
+  ON v.user_id = c.user_id
+ AND v.sec > c.sec AND v.sec <= c.sec + {_RANGE_SEC}
+GROUP BY c.event_id, c.user_id
+"""
+
+
 OPS = {
     "rel_pricing_summary": q_pricing_summary,
     "rel_topk_per_group": q_top_orders_per_cust,
@@ -307,6 +373,7 @@ OPS = {
     "rel_corpus_stats": q_corpus_stats,
     "rel_event_windows": q_event_windows,
     "rel_asof_join": q_asof_join,
+    "rel_range_join": q_range_join,
 }
 ORACLES = {
     "rel_pricing_summary": ORACLE_PRICING,
@@ -317,4 +384,5 @@ ORACLES = {
     "rel_corpus_stats": ORACLE_CORPUS_STATS,
     "rel_event_windows": ORACLE_EVENT_WINDOWS,
     "rel_asof_join": ORACLE_ASOF,
+    "rel_range_join": ORACLE_RANGE,
 }
