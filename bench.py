@@ -150,6 +150,7 @@ def headline() -> dict:
         "dedup_minhash",
         "dedup_simhash",
         "dedup_neardup_pairs",
+        "dedup_substring",
         "dedup_embedding",
         "langid",
         "quality_score",

@@ -518,6 +518,89 @@ ORDER BY doc_a, doc_b
 
 
 # ---------------------------------------------------------------------------
+# Cross-document exact-substring duplication (the window-hash approximation
+# of suffix-array substring dedup, Lee et al. 2022 "Deduplicating Training
+# Data Makes Language Models Better"; the Bloom-filter n-gram pass of
+# Dolma-style pipelines): every 12-word window of every document is hashed;
+# a window whose hash occurs in >= 2 distinct documents is "duplicated
+# text"; each document reports how much of it is made of such windows.
+# Complements dedup_neardup_pairs (whole-doc similarity) by catching the
+# long-verbatim-quote case: two otherwise-different documents sharing one
+# boilerplate paragraph score ~0 Jaccard but light up here.
+# Scale shape: explode to (doc, h) -> one shuffle on a 128-bit uniform hash
+# (partial-agg combines duplicates map-side), a semi-join back on the same
+# hash key (same partitioning, AQE reuses the exchange), one per-doc agg.
+# The shared-hash side is one row per hash, so boilerplate shared by 10^6
+# docs fans out join-side only to rows that actually contain it — no skew
+# amplification. No pairs are materialized, so a c-sized duplication
+# cluster costs O(c), never O(c^2).
+# ---------------------------------------------------------------------------
+
+_SUBSTR_W = 12
+_SUBWINS_OF_W = (
+    f"transform(sequence(1, greatest(size(w) - {_SUBSTR_W - 1}, 1)),"
+    f" i -> md5(concat_ws(' ', slice(w, i, {_SUBSTR_W}))))"
+)
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _load_wide(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"split({_NORM}, ' ') as w"
+    )
+    # distinct within doc: a window repeated INSIDE one document is
+    # gopher_repetition's business, not cross-doc duplication
+    sh = base.selectExpr(
+        "doc_id", f"array_distinct({_SUBWINS_OF_W}) as hs"
+    ).cache()  # three consumers (flat x2, sizes); materialized table at scale
+    flat = sh.selectExpr("doc_id", "explode(hs) as h")
+    shared = (
+        flat.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    dup = flat.join(shared, "h").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_windows")
+    )
+    return (
+        sh.selectExpr("doc_id", "size(hs) as n_windows")
+        .join(dup, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "cast(n_windows as bigint) as n_windows",
+            "cast(coalesce(dup_windows, 0) as bigint) as dup_windows",
+            "cast(floor(1000 * coalesce(dup_windows, 0) / n_windows)"
+            " as bigint) as dup_frac_milli",
+        )
+    )
+
+
+_D_SPLIT = f"string_split({_NORM}, ' ')"
+_D_SUBWINS = (
+    f"list_transform(generate_series(1, GREATEST(LENGTH({_D_SPLIT}) - {_SUBSTR_W - 1}, 1)),"
+    f" i -> md5(array_to_string(list_slice({_D_SPLIT}, i, i + {_SUBSTR_W - 1}), ' ')))"
+)
+
+ORACLE_SUBSTRING_DEDUP = f"""
+WITH s AS (
+  SELECT doc_id, list_distinct({_D_SUBWINS}) AS hs FROM documents
+), flat AS (
+  SELECT doc_id, UNNEST(hs) AS h FROM s
+), shared AS (
+  SELECT h FROM flat GROUP BY h HAVING COUNT(*) >= 2
+), dup AS (
+  SELECT doc_id, COUNT(*) AS dup_windows
+  FROM flat JOIN shared USING (h) GROUP BY doc_id
+)
+SELECT s.doc_id, CAST(LENGTH(hs) AS BIGINT) AS n_windows,
+  CAST(COALESCE(dup_windows, 0) AS BIGINT) AS dup_windows,
+  CAST(FLOOR(1000 * COALESCE(dup_windows, 0) / LENGTH(hs)) AS BIGINT)
+    AS dup_frac_milli
+FROM s LEFT JOIN dup ON s.doc_id = dup.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # LM-based quality scoring (the CCNet-style perplexity filter of LLM data
 # pipelines): a corpus character-bigram model — top-256 bigrams by corpus
 # frequency — scores each document by the average corpus probability mass of
@@ -809,6 +892,7 @@ OPS = {
     "dedup_minhash": q_minhash,
     "dedup_simhash": q_simhash,
     "dedup_neardup_pairs": q_neardup_pairs,
+    "dedup_substring": q_substring_dedup,
 }
 
 ORACLES = {
@@ -826,4 +910,5 @@ ORACLES = {
     "dedup_minhash": _oracle_minhash(),
     "dedup_simhash": _oracle_simhash(),
     "dedup_neardup_pairs": _oracle_neardup(),
+    "dedup_substring": ORACLE_SUBSTRING_DEDUP,
 }

@@ -386,6 +386,35 @@ def test_neardup_skew_exact_dup_collapse(spark):
     assert (2000, 2001) in pairs  # the true near-dup survives banding
 
 
+def test_substring_dedup_boilerplate_paragraph(spark, tmp_path):
+    """Two documents that differ everywhere EXCEPT one shared verbatim
+    paragraph score ~0 whole-doc Jaccard (invisible to neardup) but must
+    light up in dedup_substring — the Lee-et-al substring case."""
+    from grobid_clinical_report_spark.textops import q_substring_dedup
+
+    boiler = ("ce compte rendu est strictement confidentiel et destine au "
+              "seul usage du medecin traitant conformement au reglement "
+              "interieur de l etablissement hospitalier")
+    rows = [
+        (0, boiler + " le patient presente une fracture du radius gauche "
+            "reduite sous anesthesie locale sans complication immediate"),
+        (1, "consultation de suivi oncologique la chimiotherapie est bien "
+            "toleree pas de signe de recidive a l imagerie " + boiler),
+        (2, "examen ophtalmologique de routine acuite visuelle conservee "
+            "tension oculaire normale fond d oeil sans anomalie decelable"),
+    ]
+    import pandas as pd
+    pd.DataFrame(rows, columns=["doc_id", "text"]).assign(
+        lang="fr", source="s", n_chars=0
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = {r.doc_id: r for r in
+           q_substring_dedup(spark, str(tmp_path)).collect()}
+    assert out[0].dup_windows > 0 and out[1].dup_windows > 0
+    assert out[2].dup_windows == 0
+    # the shared paragraph is ~18 words => ~7 shared 12-gram windows each
+    assert out[0].dup_frac_milli > 100
+
+
 def test_ann_lsh_recall(spark):
     """LSH top-k must recover >= 0.9 of the brute-force top-10 per query
     (round-1 verdict #4: real hyperplane LSH, not axis sign bits)."""
