@@ -162,6 +162,7 @@ def headline() -> dict:
         "fingerprint",
         "ann_cosine_topk",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "rel_pricing_summary",
         "rel_topk_per_group",
         "rel_sessionization",

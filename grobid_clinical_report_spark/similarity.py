@@ -412,13 +412,234 @@ WHERE cos_milli >= {EMB_DUP_MILLI} ORDER BY vec_a, vec_b
 
 ORACLE_DEDUP_EMBEDDING = _oracle_dedup_embedding()
 
+# --- IVF ANN (inverted-file index with a k-means coarse quantizer) -----------
+#
+# The second scale path the task brief names ("IVF or LSH-bucketed"): train
+# C centroids with a fixed number of distributed spherical-k-means
+# iterations, assign every vector to its nearest centroid (its inverted
+# list), probe the IVF_NPROBE nearest lists per query, re-score candidates
+# exactly. Unlike the LSH tables (data-independent hyperplanes), the
+# quantizer ADAPTS to the corpus — and the training loop itself is the
+# interesting Spark artifact: each iteration is one map-only assignment
+# (centroids are broadcast state inside a vectorized Pandas-UDF matmul) plus
+# one groupBy(cell) with exact int64 partial sums (map-side combine reduces
+# the shuffle to C×DIM rows per partition), so an iteration costs one small
+# exchange at any corpus size. Fixed iteration count + integer arithmetic
+# (floor(Σv / n) centroid means — floored DOUBLE division, NOT `div`/`//`,
+# whose negative-operand semantics differ between engines) keep the whole
+# index build DETERMINISTIC and DuckDB-mirrorable, so the driver oracle
+# checks the trained index, not a toy.
+#
+# Honest tuning note (same situation as the LSH variant above): this
+# synthetic tier is weakly clustered — true top-10 neighbors sit at
+# cos≈0.35 — so pruning is mild: measured recall@10 = 0.70 while scanning
+# ~51% of the corpus (tests/test_extras.py::test_ann_ivf_recall asserts
+# >=0.6 / <=0.7). On real embedding corpora (clustered by construction)
+# the same shape scans ~nprobe/C. At 10^12 rows C grows to 2^16+ and
+# training runs on a sample table; the query plan is unchanged.
+
+IVF_CELLS = 8
+IVF_ITERS = 2
+IVF_NPROBE = 4
+# centroid seeds: the quantized vectors of vec_id ∈ [N_QUERIES, N_QUERIES+C)
+# — data vectors, deterministic, disjoint from the query set
+
+
+def _ivf_cos_milli(Q: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """floor(1000·cos) between int64 row sets — bit-identical to the SQL
+    form: int64 dots are exact, norms²·products < 2^53 stay exact in
+    DOUBLE, and FLOOR of an IEEE division matches across engines."""
+    qn = np.sqrt(np.maximum((Q * Q).sum(1), 1).astype(float))
+    cn = np.sqrt(np.maximum((C * C).sum(1), 1).astype(float))
+    return np.floor(1000.0 * (Q @ C.T) / np.outer(qn, cn))
+
+
+def _ivf_train(spark: SparkSession, sf_dir: str) -> "np.ndarray":
+    """Distributed k-means: returns the (C, DIM) int64 centroid matrix.
+    The centroids are the only driver-side state (C·DIM ints — exactly the
+    broadcast 'coarse quantizer' every production IVF ships to executors).
+    Assignment never shuffles; the mean update shuffles C×DIM partial rows
+    per partition after map-side combine."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+        "vec_id", f"{_QVEC} as qv"
+    )
+    seed_rows = (
+        emb.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + IVF_CELLS)
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    cent = np.array([r.qv for r in seed_rows], dtype=np.int64)
+    for _ in range(IVF_ITERS):
+        assigned = emb.withColumn("cell", _ivf_cell_udf(cent)("qv"))
+        sums = (
+            assigned.selectExpr("cell", "posexplode(qv) as (d, v)")
+            .groupBy("cell", "d")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        new = cent.copy()  # empty cells keep their previous centroid
+        by_cell: dict[int, list] = {}
+        for r in sums:
+            by_cell.setdefault(r.cell, []).append(r)
+        for c, rows in by_cell.items():
+            rows.sort(key=lambda r: r.d)
+            s = np.array([r.s for r in rows], dtype=np.int64)
+            cnt = rows[0].cnt
+            new[c] = np.floor(s.astype(float) / cnt).astype(np.int64)
+        cent = new
+    return cent
+
+
+def _ivf_cell_udf(cent: "np.ndarray"):
+    H = cent
+
+    @F.pandas_udf("int")
+    def cell(qv: pd.Series) -> pd.Series:
+        Q = np.stack(qv.to_numpy()).astype(np.int64)
+        cm = _ivf_cos_milli(Q, H)
+        # argmax, tie -> lowest cell id (matches ORDER BY cosm DESC, c_id)
+        return pd.Series(np.argmax(cm, axis=1).astype(np.int32))
+
+    return cell
+
+
+def _ivf_probe_udf(cent: "np.ndarray"):
+    H = cent
+    C = len(cent)
+
+    @F.pandas_udf("array<int>")
+    def probes(qv: pd.Series) -> pd.Series:
+        Q = np.stack(qv.to_numpy()).astype(np.int64)
+        cm = _ivf_cos_milli(Q, H)
+        out = []
+        for row in cm:
+            order = np.lexsort((np.arange(C), -row))[:IVF_NPROBE]
+            out.append(order.astype(np.int32))
+        return pd.Series(out)
+
+    return probes
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cent = _ivf_train(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+        "vec_id", f"{_QVEC} as qv"
+    )
+    lists = emb.withColumn("cell", _ivf_cell_udf(cent)("qv"))
+    # probe rows carry qa along the broadcast, so rescore needs no 2nd join
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("pc", _ivf_probe_udf(cent)("qv"))
+        .selectExpr("vec_id as q_id", "qv as qa", "explode(pc) as cell")
+    )
+    scored = (
+        lists.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .selectExpr(
+            "q_id",
+            "vec_id",
+            f"cast(floor(1000.0 * {_DOT.replace('qb', 'qv')} /"
+            f" sqrt(cast(greatest({_NORM2.format(v='qa')}, 1) as double)"
+            f" * cast(greatest({_NORM2.format(v='qv')}, 1) as double)))"
+            " as bigint) as cos_milli",
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_milli"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "cos_milli", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+def _d_cosm(a: str, b: str) -> str:
+    dot = (
+        f"list_aggregate(list_transform(generate_series(1, LEN({a})),"
+        f" i -> {a}[i] * {b}[i]), 'sum')"
+    )
+    n2 = "GREATEST(list_aggregate(list_transform({v}, x -> x * x), 'sum'), 1)"
+    return (
+        f"FLOOR(1000.0 * {dot} / SQRT(CAST({n2.format(v=a)} AS DOUBLE)"
+        f" * CAST({n2.format(v=b)} AS DOUBLE)))"
+    )
+
+
+def _oracle_ann_ivf() -> str:
+    # k-means iterations unrolled: a_i assigns against c_i, m_i averages,
+    # c_{i+1} = means plus carried-over empty cells
+    steps = []
+    prev = "c0"
+    for i in range(IVF_ITERS):
+        steps.append(f"""a{i} AS (
+  SELECT vec_id, qv, c_id,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosm DESC, c_id) AS rn
+  FROM (SELECT e.vec_id, e.qv, c.c_id, {_d_cosm('e.qv', 'c.cv')} AS cosm
+        FROM e CROSS JOIN {prev} c)
+), m{i} AS (
+  SELECT c_id, d, SUM(v) AS s, COUNT(*) AS cnt FROM
+    (SELECT c_id, UNNEST(qv) AS v,
+            UNNEST(generate_series(1, LEN(qv))) AS d
+     FROM a{i} WHERE rn = 1)
+  GROUP BY c_id, d
+), c{i + 1} AS (
+  SELECT c_id, LIST(CAST(FLOOR(CAST(s AS DOUBLE) / cnt) AS BIGINT)
+                    ORDER BY d) AS cv
+  FROM m{i} GROUP BY c_id
+  UNION ALL
+  SELECT c_id, cv FROM {prev}
+  WHERE c_id NOT IN (SELECT DISTINCT c_id FROM m{i})
+)""")
+        prev = f"c{i + 1}"
+    unrolled = ", ".join(steps)
+    return f"""
+WITH e AS (
+  SELECT vec_id, {_D_QVEC} AS qv FROM embeddings
+), c0 AS (
+  SELECT vec_id - {N_QUERIES} AS c_id, qv AS cv FROM e
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + IVF_CELLS}
+), {unrolled}, af AS (
+  SELECT vec_id, qv, c_id,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosm DESC, c_id) AS rn
+  FROM (SELECT e.vec_id, e.qv, c.c_id, {_d_cosm('e.qv', 'c.cv')} AS cosm
+        FROM e CROSS JOIN {prev} c)
+), lists AS (
+  SELECT vec_id, qv, c_id AS cell FROM af WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS q_id, qv AS qa, c_id AS cell FROM af
+  WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
+), scored AS (
+  SELECT q_id, l.vec_id,
+    CAST({_d_cosm('p.qa', 'l.qv')} AS BIGINT) AS cos_milli
+  FROM lists l JOIN probes p USING (cell)
+  WHERE l.vec_id <> p.q_id
+), ranked AS (
+  SELECT q_id, vec_id, cos_milli,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_milli DESC, vec_id ASC)
+      AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cos_milli, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K} ORDER BY q_id, rank
+"""
+
+
+ORACLE_ANN_IVF = _oracle_ann_ivf()
+
 OPS = {
     "ann_cosine_topk": q_ann_bruteforce,
     "ann_lsh_topk": q_ann_lsh,
+    "ann_ivf_topk": q_ann_ivf,
     "dedup_embedding": q_dedup_embedding,
 }
 ORACLES = {
     "ann_cosine_topk": ORACLE_ANN_BRUTEFORCE,
     "ann_lsh_topk": ORACLE_ANN_LSH,
+    "ann_ivf_topk": ORACLE_ANN_IVF,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
 }

@@ -429,6 +429,42 @@ def test_ann_lsh_recall(spark):
     assert recall >= 0.9, f"recall@10 = {recall}"
 
 
+def test_ann_ivf_recall_and_pruning(spark):
+    """IVF top-k: the trained quantizer must (a) recover >= 0.6 of the
+    brute-force top-10 on this weakly-clustered tier (measured 0.70 — see
+    similarity.py tuning note) and (b) actually prune — the probed
+    inverted lists must cover < 70% of the corpus per query."""
+    from pyspark.sql import functions as F
+
+    from grobid_clinical_report_spark import similarity as sim
+
+    sf = "/root/testdata/sf0.01"
+    truth = {
+        (r.q_id, r.vec_id) for r in sim.q_ann_bruteforce(spark, sf).collect()
+    }
+    got = {(r.q_id, r.vec_id) for r in sim.q_ann_ivf(spark, sf).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, f"recall@10 = {recall}"
+
+    cent = sim._ivf_train(spark, sf)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").selectExpr(
+        "vec_id", f"{sim._QVEC} as qv"
+    )
+    n = emb.count()
+    cells = emb.withColumn("cell", sim._ivf_cell_udf(cent)("qv"))
+    sizes = {r.cell: r.c for r in
+             cells.groupBy("cell").agg(F.count("*").alias("c")).collect()}
+    probes = (
+        emb.filter(F.col("vec_id") < sim.N_QUERIES)
+        .withColumn("pc", sim._ivf_probe_udf(cent)("qv"))
+        .selectExpr("vec_id as q_id", "pc")
+        .collect()
+    )
+    for r in probes:
+        frac = sum(sizes.get(c, 0) for c in r.pc) / n
+        assert frac < 0.7, f"query {r.q_id} scans {frac:.2f} of the corpus"
+
+
 def test_tei_media_ref_escaped():
     """media_ref with XML-hostile chars must produce well-formed TEI."""
     import xml.etree.ElementTree as ET
