@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from grobid_clinical_report_spark import (
     anonymize,
     fixture_oracle,
+    mixing,
     multimodal,
     relational,
     similarity,
@@ -112,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(relational.OPS)
     q.update(multimodal.OPS)
     q.update(anonymize.OPS)
+    q.update(mixing.OPS)
     return q
 
 
@@ -123,4 +125,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(relational.ORACLES)
     o.update(multimodal.ORACLES)
     o.update(anonymize.ORACLES)
+    o.update(mixing.ORACLES)
     return o

@@ -158,6 +158,7 @@ def headline() -> dict:
         "gopher_repetition",
         "decontaminate",
         "kmv_distinct",
+        "sample_mix",
         "token_count",
         "fingerprint",
         "ann_cosine_topk",

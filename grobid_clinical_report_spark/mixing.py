@@ -1,0 +1,106 @@
+"""Training-mix construction over the `documents` table: temperature-based
+source resampling (the multilingual-pretraining mixing rule — sample source
+s with probability ∝ share_s^τ, τ=0.5, so low-resource sources are
+up-weighted relative to their natural share) realized as DETERMINISTIC
+hash-gated sampling, so the mix is reproducible, resumable, and
+oracle-checkable.
+
+Pipeline shape (all JVM-side, two tiny broadcast joins):
+  1. per-doc token counts — a map-only scan,
+  2. per-source token totals — one shuffle whose key space is the source
+     vocabulary (bounded, never corpus-sized; partial agg combines
+     map-side),
+  3. the mixing table (source, rate_ppm) — derived from the totals with
+     integer arithmetic: budget_s = TARGET ppm of corpus tokens, split
+     across sources ∝ floor(sqrt(tokens_s)); rate capped at 1e6 ppm,
+  4. the gate — keep a document iff its md5-derived 32-bit hash falls
+     below rate_ppm · 2^32 / 1e6. The hash is a pure function of doc_id,
+     so re-running the mix (or running it on two engines) selects the SAME
+     documents — unlike rand()-based sampling, which is neither resumable
+     nor auditable.
+
+At 100 TB steps 1-2 are one pass; step 3 is a driver-sized table (one row
+per source) broadcast back, so the plan is scan → tiny-join → filter with
+no corpus-wide shuffle. All arithmetic is integer (or FLOOR of exact-double
+sqrt/division), so the DuckDB oracle hash-matches bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .textops import _load_wide
+
+# mirror token_count's whitespace tokens (textops._N_TOKS) so "tokens" means
+# the same thing across the pipeline
+_NORM = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+_N_TOKS = f"size(split({_NORM}, ' '))"
+_DN_TOKS = f"LENGTH(string_split({_NORM}, ' '))"
+
+MIX_TARGET_PPM = 300_000  # sample ~30% of corpus tokens into the mix
+MIX_TAU_SQRT = True  # τ = 0.5 (sqrt temperature)
+
+# md5-derived 32-bit gate hash of the doc id (salted so it is independent
+# of every other md5-of-doc hash in the repo)
+_GATE = "cast(conv(substring(md5(concat('mix|', cast(doc_id as string))), 1, 8), 16, 10) as bigint)"
+_D_GATE = "CAST(CONCAT('0x', substr(md5(CONCAT('mix|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)"
+
+
+def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load_wide(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "source", f"cast({_N_TOKS} as bigint) as n_tokens"
+    )
+    per_src = docs.groupBy("source").agg(
+        F.sum("n_tokens").alias("src_tokens")
+    )
+    # weights: w_s = floor(sqrt(src_tokens)) — exact in double below 2^53
+    weighted = per_src.selectExpr(
+        "source",
+        "src_tokens",
+        "cast(floor(sqrt(cast(src_tokens as double))) as bigint) as w",
+    )
+    totals = weighted.selectExpr(
+        "sum(src_tokens) as total_tokens", "sum(w) as total_w"
+    )
+    rates = weighted.crossJoin(F.broadcast(totals)).selectExpr(
+        "source",
+        # budget_s = (total · TARGET_PPM div 1e6) · w_s div Σw
+        f"least(cast(1000000 as bigint),"
+        f" ((total_tokens * {MIX_TARGET_PPM} div 1000000) * w div total_w)"
+        " * 1000000 div src_tokens) as rate_ppm",
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(F.expr(f"{_GATE} * 1000000 < rate_ppm * 4294967296"))
+        .selectExpr("doc_id", "source", "n_tokens", "rate_ppm")
+    )
+
+
+ORACLE_SAMPLE_MIX = f"""
+WITH docs AS (
+  SELECT doc_id, source, CAST({_DN_TOKS} AS BIGINT) AS n_tokens
+  FROM documents
+), per_src AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens,
+    CAST(FLOOR(SQRT(CAST(SUM(n_tokens) AS DOUBLE))) AS BIGINT) AS w
+  FROM docs GROUP BY source
+), totals AS (
+  SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM(w) AS BIGINT) AS total_w
+  FROM per_src
+), rates AS (
+  SELECT source,
+    CAST(LEAST(CAST(1000000 AS BIGINT),
+      ((total_tokens * {MIX_TARGET_PPM} // 1000000) * w // total_w)
+      * 1000000 // src_tokens) AS BIGINT) AS rate_ppm
+  FROM per_src CROSS JOIN totals
+)
+SELECT doc_id, docs.source AS source, n_tokens, rate_ppm
+FROM docs JOIN rates ON docs.source = rates.source
+WHERE {_D_GATE} * 1000000 < rate_ppm * 4294967296
+"""
+
+
+OPS = {"sample_mix": q_sample_mix}
+ORACLES = {"sample_mix": ORACLE_SAMPLE_MIX}

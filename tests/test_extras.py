@@ -429,6 +429,27 @@ def test_ann_lsh_recall(spark):
     assert recall >= 0.9, f"recall@10 = {recall}"
 
 
+def test_sample_mix_temperature_upweights_small_sources(spark, tmp_path):
+    """τ=0.5 mixing must give a token-poor source a HIGHER sampling rate
+    than a token-rich one, both capped at 1e6 ppm, and the selection must
+    be a pure function of doc_id (re-run → identical rows)."""
+    from grobid_clinical_report_spark.mixing import q_sample_mix
+
+    rows = [(i, "grand corpus " + " ".join(f"w{j}" for j in range(200)),
+             "fr", "big", 0) for i in range(40)]
+    rows += [(100 + i, "petit corpus " + " ".join(f"v{j}" for j in range(20)),
+              "fr", "small", 0) for i in range(10)]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = q_sample_mix(spark, str(tmp_path)).toPandas()
+    rates = out.groupby("source").rate_ppm.first()
+    assert rates["small"] > rates["big"]
+    assert rates.max() <= 1_000_000
+    out2 = q_sample_mix(spark, str(tmp_path)).toPandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
+
+
 def test_ann_ivf_recall_and_pruning(spark):
     """IVF top-k: the trained quantizer must (a) recover >= 0.6 of the
     brute-force top-10 on this weakly-clustered tier (measured 0.70 — see
