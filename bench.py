@@ -164,6 +164,7 @@ def headline() -> dict:
         "ann_cosine_topk",
         "ann_lsh_topk",
         "ann_ivf_topk",
+        "embedding_clusters",
         "rel_pricing_summary",
         "rel_topk_per_group",
         "rel_sessionization",

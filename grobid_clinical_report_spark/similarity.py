@@ -558,6 +558,39 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment as a first-class curation operator: every vector's
+    trained k-means cell plus its cosine to that centroid — the input to
+    cluster-balanced sampling / per-topic quality cuts (SemDeDup-style
+    curation keeps the most-central or prunes the most-redundant members of
+    each semantic cluster). Same trained quantizer as ann_ivf_topk; the
+    oracle re-derives the trained index in SQL, so assignment is verified
+    end-to-end. Map-only at any scale: centroids are broadcast state."""
+    cent = _ivf_train(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+        "vec_id", f"{_QVEC} as qv"
+    )
+    H = cent
+
+    @F.pandas_udf("struct<cluster:int, cos_milli:bigint>")
+    def assign(qv: pd.Series) -> pd.DataFrame:
+        Q = np.stack(qv.to_numpy()).astype(np.int64)
+        cm = _ivf_cos_milli(Q, H)
+        cell = np.argmax(cm, axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": cell.astype(np.int32),
+                "cos_milli": cm[np.arange(len(Q)), cell].astype(np.int64),
+            }
+        )
+
+    return (
+        emb.withColumn("a", assign("qv"))
+        .selectExpr("vec_id", "a.cluster as cluster", "a.cos_milli as cos_milli")
+        .orderBy("vec_id")
+    )
+
+
 def _d_cosm(a: str, b: str) -> str:
     dot = (
         f"list_aggregate(list_transform(generate_series(1, LEN({a})),"
@@ -570,7 +603,10 @@ def _d_cosm(a: str, b: str) -> str:
     )
 
 
-def _oracle_ann_ivf() -> str:
+def _ivf_oracle_cte() -> str:
+    """Shared WITH-chain: quantize → seed centroids → IVF_ITERS unrolled
+    k-means steps → final assignment (`af`, one row per vector × centroid
+    with rank rn). Used by both the top-k oracle and the clusters oracle."""
     # k-means iterations unrolled: a_i assigns against c_i, m_i averages,
     # c_{i+1} = means plus carried-over empty cells
     steps = []
@@ -604,11 +640,15 @@ WITH e AS (
   SELECT vec_id - {N_QUERIES} AS c_id, qv AS cv FROM e
   WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + IVF_CELLS}
 ), {unrolled}, af AS (
-  SELECT vec_id, qv, c_id,
+  SELECT vec_id, qv, c_id, cosm,
     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosm DESC, c_id) AS rn
   FROM (SELECT e.vec_id, e.qv, c.c_id, {_d_cosm('e.qv', 'c.cv')} AS cosm
         FROM e CROSS JOIN {prev} c)
-), lists AS (
+)"""
+
+
+def _oracle_ann_ivf() -> str:
+    return f"""{_ivf_oracle_cte()}, lists AS (
   SELECT vec_id, qv, c_id AS cell FROM af WHERE rn = 1
 ), probes AS (
   SELECT vec_id AS q_id, qv AS qa, c_id AS cell FROM af
@@ -631,15 +671,22 @@ FROM ranked WHERE rank <= {TOP_K} ORDER BY q_id, rank
 
 ORACLE_ANN_IVF = _oracle_ann_ivf()
 
+ORACLE_EMBEDDING_CLUSTERS = f"""{_ivf_oracle_cte()}
+SELECT vec_id, CAST(c_id AS INT) AS cluster, CAST(cosm AS BIGINT) AS cos_milli
+FROM af WHERE rn = 1 ORDER BY vec_id
+"""
+
 OPS = {
     "ann_cosine_topk": q_ann_bruteforce,
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
+    "embedding_clusters": q_embedding_clusters,
     "dedup_embedding": q_dedup_embedding,
 }
 ORACLES = {
     "ann_cosine_topk": ORACLE_ANN_BRUTEFORCE,
     "ann_lsh_topk": ORACLE_ANN_LSH,
     "ann_ivf_topk": ORACLE_ANN_IVF,
+    "embedding_clusters": ORACLE_EMBEDDING_CLUSTERS,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
 }
