@@ -5,7 +5,11 @@ up-weighted relative to their natural share) realized as DETERMINISTIC
 hash-gated sampling, so the mix is reproducible, resumable, and
 oracle-checkable.
 
-Pipeline shape (all JVM-side, two tiny broadcast joins):
+Pipeline shape (all JVM-side, one tiny broadcast join; the corpus is
+scanned twice — once to aggregate source totals, once as the gate's probe
+side — which beats the alternative corpus-wide shuffle on the skewed
+source key; a production pipeline persists per-doc token counts and pays
+neither):
   1. per-doc token counts — a map-only scan,
   2. per-source token totals — one shuffle whose key space is the source
      vocabulary (bounded, never corpus-sized; partial agg combines
@@ -54,16 +58,23 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_src = docs.groupBy("source").agg(
         F.sum("n_tokens").alias("src_tokens")
     )
-    # weights: w_s = floor(sqrt(src_tokens)) — exact in double below 2^53
-    weighted = per_src.selectExpr(
+    # weights: w_s = floor(sqrt(src_tokens)) — exact in double below 2^53.
+    # Corpus totals come from an UNPARTITIONED window over the per-source
+    # table (n_sources rows — single-partition is free), NOT a separate
+    # aggregation branch: Catalyst does not reuse DataFrame subplans, so a
+    # totals branch re-scans and re-tokenizes the whole corpus a third time
+    # (visible as a duplicate parquet scan in .explain).
+    rates = per_src.selectExpr(
         "source",
         "src_tokens",
         "cast(floor(sqrt(cast(src_tokens as double))) as bigint) as w",
-    )
-    totals = weighted.selectExpr(
-        "sum(src_tokens) as total_tokens", "sum(w) as total_w"
-    )
-    rates = weighted.crossJoin(F.broadcast(totals)).selectExpr(
+    ).selectExpr(
+        "source",
+        "src_tokens",
+        "w",
+        "sum(src_tokens) over () as total_tokens",
+        "sum(w) over () as total_w",
+    ).selectExpr(
         "source",
         # budget_s = (total · TARGET_PPM div 1e6) · w_s div Σw
         f"least(cast(1000000 as bigint),"

@@ -150,3 +150,19 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {left}")
         spark.sql(f"DROP TABLE IF EXISTS {right}")
     _ = wh
+
+
+def test_sample_mix_plan_broadcasts_rates_and_scans_twice(spark):
+    """The mixing gate must be a broadcast join (rates table is one row per
+    source), and the corpus must be scanned at most twice (probe side +
+    source-totals agg) — a third scan means the totals were computed in a
+    separate branch Catalyst can't reuse (the bug this test pins)."""
+    from grobid_clinical_report_spark import mixing
+
+    import re
+
+    plan = _plan(mixing.q_sample_mix(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # formatted explain prints each node twice (tree + detail) — count the
+    # numbered detail headers
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
