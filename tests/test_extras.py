@@ -402,6 +402,11 @@ def test_substring_dedup_boilerplate_paragraph(spark, tmp_path):
             "toleree pas de signe de recidive a l imagerie " + boiler),
         (2, "examen ophtalmologique de routine acuite visuelle conservee "
             "tension oculaire normale fond d oeil sans anomalie decelable"),
+        # identical pair: every window shared -> dup_frac exactly 1000
+        (3, "protocole de surveillance post operatoire standard avec "
+            "controle biologique quotidien et mobilisation precoce adaptee"),
+        (4, "protocole de surveillance post operatoire standard avec "
+            "controle biologique quotidien et mobilisation precoce adaptee"),
     ]
     import pandas as pd
     pd.DataFrame(rows, columns=["doc_id", "text"]).assign(
@@ -413,6 +418,10 @@ def test_substring_dedup_boilerplate_paragraph(spark, tmp_path):
     assert out[2].dup_windows == 0
     # the shared paragraph is ~18 words => ~7 shared 12-gram windows each
     assert out[0].dup_frac_milli > 100
+    # identical docs: fully duplicated, and the invariants hold everywhere
+    assert out[3].dup_frac_milli == 1000 and out[4].dup_frac_milli == 1000
+    for r in out.values():
+        assert 0 <= r.dup_windows <= r.n_windows
 
 
 def test_ann_lsh_recall(spark):
