@@ -622,6 +622,33 @@ FX_SEG_TRAINING = {
 }
 
 
+# pinned header-model training labels (createTrainingHeaderMedical analog):
+# header-zone line seq → field label, audited against the header vocabulary
+# (docnum/doctype/date/title/medic/patient/affiliation/address/email/web/
+# phone/fax — HeaderMedicalParser field semantics); includes the
+# keyword-free fx-hdr-0015 lines labeled by token-shape alone
+FX_HDR_TRAINING = {
+    "fx-full-0001": [
+        (0, "docnum"), (1, "doctype"), (2, "date"),
+        (4, "affiliation"), (5, "address"),
+        (7, "medic"), (8, "patient"), (9, "patient"), (10, "address"),
+    ],
+    "fx-hdr-0002": [
+        (0, "doctype"), (1, "title"), (2, "date"), (3, "date"),
+        (5, "medic"), (6, "patient"), (7, "patient"),
+        (9, "affiliation"), (10, "address"),
+    ],
+    "fx-hdr-0009": [
+        (0, "docnum"), (1, "doctype"), (2, "date"),
+        (4, "medic"), (5, "patient"),
+        (6, "email"), (7, "web"), (9, "phone"), (10, "fax"),
+    ],
+    "fx-hdr-0015": [
+        (0, "doctype"), (1, "date"), (3, "affiliation"), (4, "medic"),
+    ],
+}
+
+
 def _with_offsets(lines: list[tuple]) -> list[dict]:
     """Assign strictly-increasing char offsets (flattened-document positions)."""
     spans, off = [], 0

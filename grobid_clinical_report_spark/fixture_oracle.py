@@ -148,3 +148,33 @@ def _training_oracle_sql() -> str:
 
 OPS["training_segmenter"] = q_training_segmenter
 ORACLES["training_segmenter"] = _training_oracle_sql()
+
+
+def q_training_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import run_training
+
+    pdf = datagen.fixture_documents_pdf()
+    keep = sorted(datagen.FX_HDR_TRAINING)
+    pdf = pdf[pdf.doc_id.isin(keep)].reset_index(drop=True)
+    docs = spark.createDataFrame(pdf, schema=DOCUMENTS_SCHEMA)
+    return run_training(docs, model="header").select(
+        "doc_id", "seq", "label"
+    )
+
+
+def _training_header_oracle_sql() -> str:
+    rows = []
+    for doc_id, pairs in sorted(datagen.FX_HDR_TRAINING.items()):
+        for seq, label in pairs:
+            rows.append(
+                f"({_sql_str(doc_id)}, CAST({seq} AS INT), {_sql_str(label)})"
+            )
+    return (
+        "SELECT * FROM (VALUES\n "
+        + ",\n ".join(rows)
+        + "\n) AS t(doc_id, seq, label)"
+    )
+
+
+OPS["training_header"] = q_training_header
+ORACLES["training_header"] = _training_header_oracle_sql()

@@ -396,12 +396,14 @@ TRAINING_DDL = "doc_id string, seq int, text string, label string"
 
 def run_training(df, model: str = "segmenter"):
     """A2 training-data generation (SURVEY.md §2.7; the reference's
-    createTraining* family, e.g. FullMedicalTextParser.createTraining):
-    emit the per-line labeled table a model refit consumes — every content
-    line with its decoded zone label. Same single mapInArrow shape as
-    run_mode; the output is the (features → label) supervision pairs, with
-    features recomputable from `text` by featurize_lines."""
-    if model != "segmenter":
+    createTraining* family — FullMedicalTextParser.createTraining,
+    HeaderMedicalParser.createTrainingHeaderMedical): emit the per-line
+    labeled table a model refit consumes. `segmenter` yields every content
+    line with its decoded zone; `header` yields the header-zone lines with
+    their decoded field label (the header model's supervision pairs). Same
+    single mapInArrow shape as run_mode; features are recomputable from
+    `text` by featurize_lines."""
+    if model not in ("segmenter", "header"):
         raise ValueError(f"unknown training model: {model}")
 
     def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -416,6 +418,14 @@ def run_training(df, model: str = "segmenter"):
             if lines.empty:
                 continue
             lines = lines.assign(zone=segment_lines(lines))
+            if model == "header":
+                hdr = lines[lines["zone"].eq("header")].copy()
+                if hdr.empty:
+                    continue
+                hdr = featurize_extras(hdr)
+                hdr = hdr.rename(columns={"zone": "_zone"})
+                hdr["zone"] = header_k.label_header_lines(hdr)
+                lines = hdr
             content = lines[
                 ~(lines["is_blank"] | lines["is_page_break"])
             ]
