@@ -858,3 +858,92 @@ def write_documents_parquet(
         pq.write_table(
             table.slice(lo, step), os.path.join(path, f"part-{s:05d}.parquet")
         )
+
+
+# pinned NER training tokens (createTrainingFrenchMedicalNER analog):
+# every content token of the NER fixtures with its decoded label,
+# 'other' negatives included (the CRF refit consumes full sequences);
+# audited against the pinned ner_entities span oracle
+FX_NER_TRAINING = {
+    "fx-ner-0004": [
+        (0, 0, "Madame", "persname"),
+        (0, 1, "Belle", "persname"),
+        (0, 2, "Joseline", "persname"),
+        (0, 3, "DUPONT", "persname"),
+        (0, 4, ",", "other"),
+        (0, 5, "âgée", "other"),
+        (0, 6, "de", "other"),
+        (0, 7, "50", "age"),
+        (0, 8, "ans", "age"),
+        (0, 9, ",", "other"),
+        (0, 10, "née", "other"),
+        (0, 11, "le", "other"),
+        (0, 12, "07/08/1970", "date"),
+        (0, 13, ".", "other"),
+        (1, 0, "Arthrite", "pathology"),
+        (1, 1, "septique", "pathology"),
+        (1, 2, "du", "other"),
+        (1, 3, "genou", "anatomy"),
+        (1, 4, "droit", "anatomy"),
+        (1, 5, "à", "other"),
+        (1, 6, "Corynebacterium", "substance"),
+        (1, 7, "traitée", "other"),
+        (1, 8, "par", "other"),
+        (1, 9, "Daptomycine", "medicament"),
+        (1, 10, "1500", "medicament"),
+        (1, 11, "mg", "medicament"),
+        (1, 12, "puis", "other"),
+        (1, 13, "Linézolide", "medicament"),
+        (1, 14, "600", "medicament"),
+        (1, 15, "mg", "medicament"),
+        (1, 16, ".", "other"),
+        (2, 0, "Lavage", "procedure"),
+        (2, 1, "articulaire", "procedure"),
+        (2, 2, "et", "other"),
+        (2, 3, "synovectomie", "procedure"),
+        (2, 4, "le", "other"),
+        (2, 5, "14/08/2000", "date"),
+        (2, 6, ",", "other"),
+        (2, 7, "poursuite", "other"),
+        (2, 8, "de", "other"),
+        (2, 9, "Daptomycine", "medicament"),
+        (2, 10, "jusqu'au", "other"),
+        (2, 11, "9/09/2000", "date"),
+        (2, 12, ".", "other"),
+        (3, 0, "Ordonnance", "other"),
+        (3, 1, "validée", "other"),
+        (3, 2, "par", "other"),
+        (3, 3, "Docteur", "persname"),
+        (3, 4, "Hakuna", "persname"),
+        (3, 5, "Matata", "persname"),
+        (3, 6, "ROUX", "persname"),
+        (3, 7, ".", "other"),
+        (4, 0, "Ostéomyélite", "pathology"),
+        (4, 1, "confirmée", "other"),
+        (4, 2, ",", "other"),
+        (4, 3, "traitée", "other"),
+        (4, 4, "par", "other"),
+        (4, 5, "Clindamycine", "medicament"),
+        (4, 6, "600", "medicament"),
+        (4, 7, "mg", "medicament"),
+        (4, 8, ".", "other"),
+    ],
+    "fx-ner-0018": [
+        (0, 0, "Perfusion", "other"),
+        (0, 1, "de", "other"),
+        (0, 2, "Pristinamycine", "medicament"),
+        (0, 3, "2", "medicament"),
+        (0, 4, "g", "medicament"),
+        (0, 5, "puis", "other"),
+        (0, 6, "relais", "other"),
+        (0, 7, "par", "other"),
+        (0, 8, "Oxacilline", "medicament"),
+        (0, 9, "et", "other"),
+        (0, 10, "Lévofloxacine", "medicament"),
+        (0, 11, ".", "other"),
+        (1, 0, "Suspicion", "other"),
+        (1, 1, "de", "other"),
+        (1, 2, "bronchiolite", "pathology"),
+        (1, 3, ".", "other"),
+    ],
+}

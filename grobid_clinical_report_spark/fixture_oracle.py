@@ -178,3 +178,34 @@ def _training_header_oracle_sql() -> str:
 
 OPS["training_header"] = q_training_header
 ORACLES["training_header"] = _training_header_oracle_sql()
+
+
+def q_training_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import run_training_ner
+
+    pdf = datagen.fixture_documents_pdf()
+    keep = sorted(datagen.FX_NER_TRAINING)
+    pdf = pdf[pdf.doc_id.isin(keep)].reset_index(drop=True)
+    docs = spark.createDataFrame(pdf, schema=DOCUMENTS_SCHEMA)
+    return run_training_ner(docs).select(
+        "doc_id", "seq", "tok_idx", "text", "label"
+    )
+
+
+def _training_ner_oracle_sql() -> str:
+    rows = []
+    for doc_id, toks in sorted(datagen.FX_NER_TRAINING.items()):
+        for seq, tok_idx, tok, label in toks:
+            rows.append(
+                f"({_sql_str(doc_id)}, CAST({seq} AS INT),"
+                f" CAST({tok_idx} AS INT), {_sql_str(tok)}, {_sql_str(label)})"
+            )
+    return (
+        "SELECT * FROM (VALUES\n "
+        + ",\n ".join(rows)
+        + "\n) AS t(doc_id, seq, tok_idx, text, label)"
+    )
+
+
+OPS["training_ner"] = q_training_ner
+ORACLES["training_ner"] = _training_ner_oracle_sql()

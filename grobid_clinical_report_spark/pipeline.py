@@ -392,6 +392,49 @@ def _batch_from_flat(doc_ids: pa.Array, flat: pd.DataFrame) -> pa.RecordBatch:
 
 
 TRAINING_DDL = "doc_id string, seq int, text string, label string"
+TRAINING_NER_DDL = (
+    "doc_id string, seq int, tok_idx int, text string, label string"
+)
+
+
+def run_training_ner(df):
+    """createTrainingFrenchMedicalNER analog: per-TOKEN supervision pairs —
+    every content token with its decoded NER label (incl. 'other'
+    negatives, which the CRF refit needs). Same zero-shuffle mapInArrow
+    shape as run_mode."""
+
+    def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            doc_ids, raw = _lines_from_batch(batch)
+            lines = prepare_lines(raw, profile="body")
+            if lines.empty:
+                continue
+            toks = _content_tokens(lines)
+            if toks.empty:
+                continue
+            toks = toks.assign(label=ner_k.label_ner_tokens(toks))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        np.asarray(doc_ids)[toks["doc_id"].to_numpy()],
+                        type=pa.string(),
+                    ),
+                    pa.array(
+                        toks["seq"].to_numpy().astype(np.int32), type=pa.int32()
+                    ),
+                    pa.array(
+                        toks["tok_idx"].to_numpy().astype(np.int32),
+                        type=pa.int32(),
+                    ),
+                    pa.array(toks["tok"].astype(str), type=pa.string()),
+                    pa.array(toks["label"].astype(str), type=pa.string()),
+                ],
+                names=["doc_id", "seq", "tok_idx", "text", "label"],
+            )
+
+    return df.mapInArrow(mapper, schema=TRAINING_NER_DDL)
 
 
 def run_training(df, model: str = "segmenter"):
