@@ -947,3 +947,56 @@ FX_NER_TRAINING = {
         (1, 3, ".", "other"),
     ],
 }
+
+
+# pinned ANONYMIZED segmenter training lines (createTrainingAnonym
+# analog): the A2 supervision table with the A1 pseudonymization chain
+# applied to the line text — pseudonyms/rotations audited against the
+# anonymize_text semantics (doc-keyed digits, per-person names)
+FX_ANON_TRAINING = {
+    "fx-cover-0011": [
+        (0, "COMPTE RENDU D'HOSPITALISATION", "titlePage"),
+        (1, "Hôpital de BEAUMONT", "titlePage"),
+        (2, "Le 37.28.4243", "titlePage"),
+        (5, "N° 4243-222345", "header"),
+        (6, "Dr Noa DUBOIS", "header"),
+        (8, "SYNTHÈSE MÉDICALE", "body"),
+        (10, "EVOLUTION :", "body"),
+        (11, "L'évolution clinique est favorable sous traitement adapté.", "body"),
+    ],
+    "fx-full-0001": [
+        (0, "N° 9777-890123", "header"),
+        (1, "COMPTE RENDU OPÉRATOIRE", "header"),
+        (2, "Le 96.71.9777", "header"),
+        (4, "Pôle Femmes-Adolescents-Mères-Enfants SERVICE DE GYNECOLOGIE OBSTETRIQUE", "header"),
+        (5, "28, Avenue du Mal de Lattre de Tassigny 61787 BELLEVUE Cedex", "header"),
+        (7, "Opérateur : Dr Claude THOMAS ; Assistant : Dr Claude THOMAS ; Anesthésiste : Dr Lou MOREAU", "header"),
+        (8, "IPP 577766778", "header"),
+        (9, "Madame Sacha ROBERT, née le 78/78/8667, 94 ans", "header"),
+        (10, "333, Avenue de la République LE BELLEVUE BELLEVUE", "header"),
+        (12, "Chef de Service : Pr. Noa DUBOIS. Gautier", "leftnote"),
+        (13, "Secrétariat : 78 77 77 77 77", "leftnote"),
+        (14, "Fax : 78 77 77 77 77", "leftnote"),
+        (16, "HYSTÉRECTOMIE PAR COELIOSCOPIE", "body"),
+        (18, "DIAGNOSTIC :", "body"),
+        (19, "Fibrome utérin symptomatique.", "body"),
+        (21, "RAPPEL CLINIQUE :", "body"),
+        (22, "Antécédents :", "body"),
+        (23, "Patiente de 94 ans, sans antécédent notable.", "body"),
+        (24, "Suivie pour fibrome utérin depuis 8665.", "body"),
+        (26, "Histoire de la maladie :", "body"),
+        (27, "La patiente présente des douleurs pelviennes.", "body"),
+        (29, "INTERVENTION :", "body"),
+        (30, "Incision et exérèse réalisées sans complication.", "body"),
+        (31, "Avis pris auprès du Dr Alix DURAND.", "body"),
+        (32, "Les suites opératoires sont simples.", "body"),
+        (33, "", "body"),
+        (34, "Figure 8 : vue opératoire.", "body"),
+        (35, "Compte rendu validé électroniquement - Hôpital de BELLEVUE", "footnote"),
+        (36, "8", "page"),
+        (38, "CONCLUSION :", "body"),
+        (39, "Hystérectomie totale sans complication.", "body"),
+        (40, "Compte rendu validé électroniquement - Hôpital de BELLEVUE", "footnote"),
+        (41, "9", "page"),
+    ],
+}

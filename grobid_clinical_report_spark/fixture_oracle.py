@@ -209,3 +209,42 @@ def _training_ner_oracle_sql() -> str:
 
 OPS["training_ner"] = q_training_ner
 ORACLES["training_ner"] = _training_ner_oracle_sql()
+
+
+def q_training_anonym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """createTrainingAnonym analog (AnonymizeData + createTraining*
+    composition): the segmenter supervision table with the A1
+    pseudonymization chain applied to the line text — the shareable
+    version of the training corpus."""
+    from . import anonymize as anon
+    from .pipeline import run_training
+
+    pdf = datagen.fixture_documents_pdf()
+    keep = sorted(datagen.FX_SEG_TRAINING)
+    pdf = pdf[pdf.doc_id.isin(keep)].reset_index(drop=True)
+    docs = spark.createDataFrame(pdf, schema=DOCUMENTS_SCHEMA)
+    t = run_training(docs, model="segmenter")
+    return (
+        t.selectExpr("doc_id", "seq", "label", f"{anon._spark_stage1()} as t2")
+        .selectExpr("doc_id", "seq", "label", f"{anon._spark_stage2()} as t3")
+        .selectExpr("doc_id", "seq", f"{anon._spark_stage3()} as text", "label")
+    )
+
+
+def _training_anonym_oracle_sql() -> str:
+    rows = []
+    for doc_id, pins in sorted(datagen.FX_ANON_TRAINING.items()):
+        for seq, text, label in pins:
+            rows.append(
+                f"({_sql_str(doc_id)}, CAST({seq} AS INT),"
+                f" {_sql_str(text)}, {_sql_str(label)})"
+            )
+    return (
+        "SELECT * FROM (VALUES\n "
+        + ",\n ".join(rows)
+        + "\n) AS t(doc_id, seq, text, label)"
+    )
+
+
+OPS["training_anonym"] = q_training_anonym
+ORACLES["training_anonym"] = _training_anonym_oracle_sql()
