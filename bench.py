@@ -169,6 +169,7 @@ def headline() -> dict:
         "rel_topk_per_group",
         "rel_sessionization",
         "rel_event_windows",
+        "rel_length_quantiles",
         "rel_asof_join",
         "rel_range_join",
         "media_decode_features",

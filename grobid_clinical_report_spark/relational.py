@@ -203,6 +203,72 @@ FROM documents
 """
 
 
+_HIST_BIN = 64  # chars per histogram bucket
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source P50/P90/P99 document length via a MERGEABLE fixed-width
+    integer histogram — the scale primitive for percentile dashboards:
+    exact percentile needs a per-group sort of every row, while the
+    histogram needs one bounded-key shuffle (sources × bins, never
+    corpus-sized; partial agg combines map-side) plus a window over the
+    per-source bin table. Quantile q = the upper edge of the smallest bin
+    whose cumulative count reaches q% — deterministic integer arithmetic,
+    so unlike percentile_approx/approx_quantile (different sketch
+    implementations per engine) the DuckDB oracle matches bit-exactly."""
+    from pyspark.sql.window import Window
+
+    h = (
+        _t(spark, sf_dir, "documents")
+        .selectExpr("source", f"n_chars div {_HIST_BIN} as bin")
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = h.withColumn(
+        "cum", F.sum("c").over(Window.partitionBy("source").orderBy("bin"))
+    ).withColumn("tot", F.sum("c").over(Window.partitionBy("source")))
+    aggs = [
+        F.min(
+            F.when(F.expr(f"cum * 100 >= tot * {q}"), F.col("bin"))
+        ).alias(f"b{q}")
+        for q in (50, 90, 99)
+    ]
+    return (
+        cum.groupBy("source")
+        .agg(F.max("tot").alias("n_docs"), *aggs)
+        .selectExpr(
+            "source",
+            "cast(n_docs as bigint) as n_docs",
+            *[
+                f"cast(b{q} * {_HIST_BIN} + {_HIST_BIN - 1} as bigint)"
+                f" as p{q}_chars"
+                for q in (50, 90, 99)
+            ],
+        )
+    )
+
+
+ORACLE_LENGTH_QUANTILES = f"""
+WITH h AS (
+  SELECT source, n_chars // {_HIST_BIN} AS bin, COUNT(*) AS c
+  FROM documents GROUP BY source, bin
+), cum AS (
+  SELECT source, bin, c,
+    SUM(c) OVER (PARTITION BY source ORDER BY bin) AS cum,
+    SUM(c) OVER (PARTITION BY source) AS tot
+  FROM h
+)
+SELECT source, CAST(MAX(tot) AS BIGINT) AS n_docs,
+  CAST(MIN(CASE WHEN cum * 100 >= tot * 50 THEN bin END)
+    * {_HIST_BIN} + {_HIST_BIN - 1} AS BIGINT) AS p50_chars,
+  CAST(MIN(CASE WHEN cum * 100 >= tot * 90 THEN bin END)
+    * {_HIST_BIN} + {_HIST_BIN - 1} AS BIGINT) AS p90_chars,
+  CAST(MIN(CASE WHEN cum * 100 >= tot * 99 THEN bin END)
+    * {_HIST_BIN} + {_HIST_BIN - 1} AS BIGINT) AS p99_chars
+FROM cum GROUP BY source
+"""
+
+
 def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation via the built-in window() function — the
     batch twin of the Structured Streaming windowed agg (readStream →
@@ -371,6 +437,7 @@ OPS = {
     "rel_sessionization": q_event_sessionization,
     "rel_rollup_counts": q_rollup_counts,
     "rel_corpus_stats": q_corpus_stats,
+    "rel_length_quantiles": q_length_quantiles,
     "rel_event_windows": q_event_windows,
     "rel_asof_join": q_asof_join,
     "rel_range_join": q_range_join,
@@ -382,6 +449,7 @@ ORACLES = {
     "rel_sessionization": ORACLE_SESSIONIZATION,
     "rel_rollup_counts": ORACLE_ROLLUP,
     "rel_corpus_stats": ORACLE_CORPUS_STATS,
+    "rel_length_quantiles": ORACLE_LENGTH_QUANTILES,
     "rel_event_windows": ORACLE_EVENT_WINDOWS,
     "rel_asof_join": ORACLE_ASOF,
     "rel_range_join": ORACLE_RANGE,
