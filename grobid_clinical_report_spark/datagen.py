@@ -1000,3 +1000,17 @@ FX_ANON_TRAINING = {
         (41, "9", "page"),
     ],
 }
+
+
+# pinned leftnote-model training labels (createTraining analog for the
+# left-note zone): leftnote-zone line seq → field label, audited against
+# the LeftNoteMedicalItem field vocabulary
+FX_LEFTNOTE_TRAINING = {
+    "fx-full-0001": [
+        (12, "medic"), (13, "phone"), (14, "fax"),
+    ],
+    "fx-note-0003": [
+        (0, "organization"), (1, "medic"), (2, "phone"),
+        (3, "fax"), (4, "email"),
+    ],
+}

@@ -248,3 +248,33 @@ def _training_anonym_oracle_sql() -> str:
 
 OPS["training_anonym"] = q_training_anonym
 ORACLES["training_anonym"] = _training_anonym_oracle_sql()
+
+
+def q_training_leftnote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import run_training
+
+    pdf = datagen.fixture_documents_pdf()
+    keep = sorted(datagen.FX_LEFTNOTE_TRAINING)
+    pdf = pdf[pdf.doc_id.isin(keep)].reset_index(drop=True)
+    docs = spark.createDataFrame(pdf, schema=DOCUMENTS_SCHEMA)
+    return run_training(docs, model="leftnote").select(
+        "doc_id", "seq", "label"
+    )
+
+
+def _training_leftnote_oracle_sql() -> str:
+    rows = []
+    for doc_id, pairs in sorted(datagen.FX_LEFTNOTE_TRAINING.items()):
+        for seq, label in pairs:
+            rows.append(
+                f"({_sql_str(doc_id)}, CAST({seq} AS INT), {_sql_str(label)})"
+            )
+    return (
+        "SELECT * FROM (VALUES\n "
+        + ",\n ".join(rows)
+        + "\n) AS t(doc_id, seq, label)"
+    )
+
+
+OPS["training_leftnote"] = q_training_leftnote
+ORACLES["training_leftnote"] = _training_leftnote_oracle_sql()

@@ -446,7 +446,7 @@ def run_training(df, model: str = "segmenter"):
     their decoded field label (the header model's supervision pairs). Same
     single mapInArrow shape as run_mode; features are recomputable from
     `text` by featurize_lines."""
-    if model not in ("segmenter", "header"):
+    if model not in ("segmenter", "header", "leftnote"):
         raise ValueError(f"unknown training model: {model}")
 
     def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -461,14 +461,19 @@ def run_training(df, model: str = "segmenter"):
             if lines.empty:
                 continue
             lines = lines.assign(zone=segment_lines(lines))
-            if model == "header":
-                hdr = lines[lines["zone"].eq("header")].copy()
-                if hdr.empty:
+            if model in ("header", "leftnote"):
+                zone = lines[lines["zone"].eq(model)].copy()
+                if zone.empty:
                     continue
-                hdr = featurize_extras(hdr)
-                hdr = hdr.rename(columns={"zone": "_zone"})
-                hdr["zone"] = header_k.label_header_lines(hdr)
-                lines = hdr
+                zone = featurize_extras(zone)
+                zone = zone.rename(columns={"zone": "_zone"})
+                labeler = (
+                    header_k.label_header_lines
+                    if model == "header"
+                    else leftnote_k.label_leftnote_lines
+                )
+                zone["zone"] = labeler(zone)
+                lines = zone
             content = lines[
                 ~(lines["is_blank"] | lines["is_page_break"])
             ]

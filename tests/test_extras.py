@@ -459,6 +459,26 @@ def test_sample_mix_temperature_upweights_small_sources(spark, tmp_path):
     assert sorted(out.doc_id) == sorted(out2.doc_id)
 
 
+def test_sample_mix_hits_token_budget(spark):
+    """The sampled mix must land near the 30% token target (hash-gated
+    sampling is binomial around rate_ppm — sf0.01's 500 docs put ±8% on
+    it) and never exceed any source's full population."""
+    from grobid_clinical_report_spark.mixing import MIX_TARGET_PPM, q_sample_mix
+
+    sf = "/root/testdata/sf0.01"
+    out = q_sample_mix(spark, sf).toPandas()
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    total = docs.selectExpr(
+        "sum(size(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')))"
+        " as t"
+    ).collect()[0].t
+    frac = out.n_tokens.sum() / total
+    assert abs(frac - MIX_TARGET_PPM / 1e6) < 0.08, frac
+    n_per_src = docs.groupBy("source").count().toPandas()
+    merged = out.groupby("source").size().reindex(n_per_src.source).fillna(0)
+    assert (merged.to_numpy() <= n_per_src["count"].to_numpy()).all()
+
+
 def test_ann_ivf_recall_and_pruning(spark):
     """IVF top-k: the trained quantizer must (a) recover >= 0.6 of the
     brute-force top-10 on this weakly-clustered tier (measured 0.70 — see

@@ -166,3 +166,12 @@ def test_sample_mix_plan_broadcasts_rates_and_scans_twice(spark):
     # formatted explain prints each node twice (tree + detail) — count the
     # numbered detail headers
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+
+
+def test_ann_ivf_probes_are_broadcast(spark):
+    """The IVF candidate join must broadcast the probe side (nprobe rows
+    per query — driver-sized) so the inverted-list scan never shuffles."""
+    from grobid_clinical_report_spark import similarity as sim
+
+    plan = _plan(sim.q_ann_ivf(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
