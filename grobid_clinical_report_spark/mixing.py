@@ -43,7 +43,9 @@ _N_TOKS = f"size(split({_NORM}, ' '))"
 _DN_TOKS = f"LENGTH(string_split({_NORM}, ' '))"
 
 MIX_TARGET_PPM = 300_000  # sample ~30% of corpus tokens into the mix
-MIX_TAU_SQRT = True  # τ = 0.5 (sqrt temperature)
+# τ = 0.5 is fixed: weight_s = floor(sqrt(tokens_s)) below. Other
+# temperatures swap the sqrt for an integer power ladder; 0.5 is the
+# common multilingual default.
 
 # md5-derived 32-bit gate hash of the doc id (salted so it is independent
 # of every other md5-of-doc hash in the repo)

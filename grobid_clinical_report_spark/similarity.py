@@ -433,8 +433,8 @@ ORACLE_DEDUP_EMBEDDING = _oracle_dedup_embedding()
 # Honest tuning note (same situation as the LSH variant above): this
 # synthetic tier is weakly clustered — true top-10 neighbors sit at
 # cos≈0.35 — so pruning is mild: measured recall@10 = 0.70 while scanning
-# ~51% of the corpus (tests/test_extras.py::test_ann_ivf_recall asserts
-# >=0.6 / <=0.7). On real embedding corpora (clustered by construction)
+# ~51% of the corpus (test_ann_ivf_recall_and_pruning asserts recall
+# >= 0.6, scan < 0.7). On real embedding corpora (clustered by design)
 # the same shape scans ~nprobe/C. At 10^12 rows C grows to 2^16+ and
 # training runs on a sample table; the query plan is unchanged.
 
