@@ -38,7 +38,11 @@ _LEX_TO_LABEL = {
 
 
 def ner_emissions(t: pd.DataFrame) -> np.ndarray:
-    em = np.zeros((len(t), len(NER_LABELS)))
+    # float32: every weight is a multiple of 0.5 with path sums << 2^23, so
+    # scores (and therefore every argmax/tie decision) are EXACT in f32 —
+    # identical labels to f64 — while the Viterbi gather/DP memory traffic
+    # halves (this kernel feeds the corpus-NER hot loop)
+    em = np.zeros((len(t), len(NER_LABELS)), dtype=np.float32)
     for lex, lab in _LEX_TO_LABEL.items():
         em[:, _IX[lab]] += 4.0 * t[f"lex_{lex}"].to_numpy()
 
