@@ -47,10 +47,13 @@ _LAST = ["MARTIN", "BERNARD", "THOMAS", "PETIT", "ROBERT",
 _CITY = ["VILLENEUVE", "BEAUMONT", "MONTREUIL", "SAINT-CLAIR", "LAVALLE",
          "ROCHEFORT", "BELLEVUE", "CASTELNAU", "MIRABEL"]
 
-_NAMES_SPARK = "array(" + ",".join(
-    f"'{f} {s}'" for f, s in zip(_FIRST, _LAST)
-) + ")"
-_NAMES_DUCK = "[" + ",".join(f"'{f} {s}'" for f, s in zip(_FIRST, _LAST)) + "]"
+# first/last drawn INDEPENDENTLY from two hash nibbles → 81 distinct
+# pseudonyms, not 9 (ADVICE r3: 9 buckets let two distinct real names
+# collide to one pseudonym far too often — birthday bound ~50% at 4 names)
+_FIRST_SPARK = "array(" + ",".join(f"'{f}'" for f in _FIRST) + ")"
+_LAST_SPARK = "array(" + ",".join(f"'{s}'" for s in _LAST) + ")"
+_FIRST_DUCK = "[" + ",".join(f"'{f}'" for f in _FIRST) + "]"
+_LAST_DUCK = "[" + ",".join(f"'{s}'" for s in _LAST) + "]"
 _CITY_SPARK = "array(" + ",".join(f"'{c}'" for c in _CITY) + ")"
 _CITY_DUCK = "[" + ",".join(f"'{c}'" for c in _CITY) + "]"
 
@@ -75,21 +78,28 @@ _PHONE_RE = r"0\d(?:[ .-]?\d{2}){4}"
 _DIGITS2 = "01234567890123456789"
 
 
-# per-person pseudonym rotation: keyed on md5 of the NAME PART of the match
-# (title stripped), not the doc id — two distinct medics in one document get
+# per-person pseudonym: keyed on md5 of the NAME PART of the match (title
+# stripped), not the doc id — two distinct medics in one document get
 # distinct pseudonyms and the same person co-refers across mentions/titles
-# (AnonymizeData.java:34-61 draws per name; VERDICT r2 'missing #5')
-def _rot9_spark(arg: str) -> str:
+# (AnonymizeData.java:34-61 draws per name; VERDICT r2 'missing #5').
+# First and last name indexed by two INDEPENDENT hash nibbles (81 combos).
+def _nib9(engine_pos: str, h: str, k: int) -> str:
+    return f"(({engine_pos}('0123456789abcdef', substring({h}, {k}, 1)) - 1) % 9 + 1)"
+
+
+def _pseudo_spark(arg: str) -> str:
+    h = f"md5({arg})"
     return (
-        f"((instr('0123456789abcdef', substring(md5({arg}), 1, 1)) - 1)"
-        " % 9 + 1)"
+        f"concat(element_at({_FIRST_SPARK}, {_nib9('instr', h, 1)}), ' ',"
+        f" element_at({_LAST_SPARK}, {_nib9('instr', h, 2)}))"
     )
 
 
-def _rot9_duck(arg: str) -> str:
+def _pseudo_duck(arg: str) -> str:
+    h = f"md5({arg})"
     return (
-        f"((strpos('0123456789abcdef', substring(md5({arg}), 1, 1)) - 1)"
-        " % 9 + 1)"
+        f"CONCAT(({_FIRST_DUCK})[{_nib9('strpos', h, 1)}], ' ',"
+        f" ({_LAST_DUCK})[{_nib9('strpos', h, 2)}])"
     )
 
 
@@ -105,13 +115,21 @@ def _spark_stage1() -> str:
 def _spark_stage2() -> str:
     """per-person name pseudonyms: extract every honorific-led name phrase,
     longest-first (a shorter name must not corrupt a longer one it is a
-    substring of), fold literal replaces over the text. All JVM-side
-    higher-order functions — no UDF."""
+    substring of), then TWO folds (ADVICE r3 anonymize.py — a single fold
+    inserts pseudonym text that a later, shorter real name can match inside,
+    chaining replacements; e.g. a real 'Dr Alix' re-replacing inside an
+    inserted 'Dr Alix DURAND'):
+      phase A  match → '\\x02' + md5(match) + '\\x03' placeholder — lowercase
+               hex between control chars, which no title-led name literal
+               can be a substring of,
+      phase B  placeholder → title + per-person pseudonym.
+    All JVM-side higher-order functions — no UDF."""
     e = lambda s: s.replace("\\", "\\\\")  # noqa: E731
     name_part = f"regexp_replace(m, '{e(_TITLE_RE)}', '')"
+    ph = "concat('\x02', md5(m), '\x03')"
     repl = (
         f"concat(regexp_extract(m, '{e(_TITLE_RE)}', 0),"
-        f" element_at({_NAMES_SPARK}, {_rot9_spark(name_part)}))"
+        f" {_pseudo_spark(name_part)})"
     )
     names = (
         f"array_sort(array_distinct(regexp_extract_all(t2,"
@@ -120,7 +138,11 @@ def _spark_stage2() -> str:
         " when length(a) < length(b) then 1"
         " when a < b then -1 when a > b then 1 else 0 end)"
     )
-    return f"aggregate({names}, t2, (acc, m) -> replace(acc, m, {repl}))"
+    phase_a = f"aggregate({names}, t2, (acc, m) -> replace(acc, m, {ph}))"
+    return (
+        f"aggregate({names}, {phase_a},"
+        f" (acc, m) -> replace(acc, {ph}, {repl}))"
+    )
 
 
 def _spark_stage3() -> str:
@@ -149,9 +171,10 @@ def q_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_sql() -> str:
     name_part = f"regexp_replace(m, '{_TITLE_RE}', '')"
+    ph = "CONCAT(chr(2), md5(m), chr(3))"
     repl = (
         f"CONCAT(COALESCE(regexp_extract(m, '{_TITLE_RE}', 0), ''),"
-        f" ({_NAMES_DUCK})[{_rot9_duck(name_part)}])"
+        f" {_pseudo_duck(name_part)})"
     )
     # longest-first ordering via a sortable key (DuckDB list_sort has no
     # comparator): key = zero-padded (100000 - length) prefix + name
@@ -161,11 +184,16 @@ def _duck_sql() -> str:
         " n -> lpad(CAST(100000 - LENGTH(n) AS VARCHAR), 6, '0') || n))"
     )
     names = f"list_transform({keyed}, k -> substr(k, 7))"
-    # list_reduce needs a non-empty list: the seed text is prepended, so a
-    # doc with no name matches reduces to the seed unchanged
-    fold = (
+    # two folds mirroring _spark_stage2's placeholder scheme; list_reduce
+    # needs a non-empty list: the seed text is prepended, so a doc with no
+    # name matches reduces to the seed unchanged
+    phase_a = (
         f"list_reduce(list_prepend(t2, {names}),"
-        f" (acc, m) -> replace(acc, m, {repl}))"
+        f" (acc, m) -> replace(acc, m, {ph}))"
+    )
+    fold = (
+        f"list_reduce(list_prepend({phase_a}, {names}),"
+        f" (acc, m) -> replace(acc, {ph}, {repl}))"
     )
     return f"""
 SELECT doc_id,

@@ -959,7 +959,7 @@ FX_ANON_TRAINING = {
         (1, "Hôpital de BEAUMONT", "titlePage"),
         (2, "Le 37.28.4243", "titlePage"),
         (5, "N° 4243-222345", "header"),
-        (6, "Dr Noa DUBOIS", "header"),
+        (6, "Dr Noa PETIT", "header"),
         (8, "SYNTHÈSE MÉDICALE", "body"),
         (10, "EVOLUTION :", "body"),
         (11, "L'évolution clinique est favorable sous traitement adapté.", "body"),
@@ -970,11 +970,11 @@ FX_ANON_TRAINING = {
         (2, "Le 96.71.9777", "header"),
         (4, "Pôle Femmes-Adolescents-Mères-Enfants SERVICE DE GYNECOLOGIE OBSTETRIQUE", "header"),
         (5, "28, Avenue du Mal de Lattre de Tassigny 61787 BELLEVUE Cedex", "header"),
-        (7, "Opérateur : Dr Claude THOMAS ; Assistant : Dr Claude THOMAS ; Anesthésiste : Dr Lou MOREAU", "header"),
+        (7, "Opérateur : Dr Claude RICHARD ; Assistant : Dr Claude THOMAS ; Anesthésiste : Dr Lou ROBERT", "header"),
         (8, "IPP 577766778", "header"),
-        (9, "Madame Sacha ROBERT, née le 78/78/8667, 94 ans", "header"),
+        (9, "Madame Sacha RICHARD, née le 78/78/8667, 94 ans", "header"),
         (10, "333, Avenue de la République LE BELLEVUE BELLEVUE", "header"),
-        (12, "Chef de Service : Pr. Noa DUBOIS. Gautier", "leftnote"),
+        (12, "Chef de Service : Pr. Noa DURAND. Gautier", "leftnote"),
         (13, "Secrétariat : 78 77 77 77 77", "leftnote"),
         (14, "Fax : 78 77 77 77 77", "leftnote"),
         (16, "HYSTÉRECTOMIE PAR COELIOSCOPIE", "body"),
@@ -988,7 +988,7 @@ FX_ANON_TRAINING = {
         (27, "La patiente présente des douleurs pelviennes.", "body"),
         (29, "INTERVENTION :", "body"),
         (30, "Incision et exérèse réalisées sans complication.", "body"),
-        (31, "Avis pris auprès du Dr Alix DURAND.", "body"),
+        (31, "Avis pris auprès du Dr Alix DUBOIS.", "body"),
         (32, "Les suites opératoires sont simples.", "body"),
         (33, "", "body"),
         (34, "Figure 8 : vue opératoire.", "body"),

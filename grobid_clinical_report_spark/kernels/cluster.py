@@ -76,6 +76,10 @@ def rle_cluster_ids(
     # instead of per-row object-string compares (profiled hotspot)
     if lab.dtype.kind not in "iu":
         codes, uniq = pd.factorize(lab)
+        # factorize maps NaN to code -1, which would fancy-index the LAST
+        # unique's I- flag and merge all NaN labels into one run — no
+        # current caller passes NaN labels, so guard rather than guess
+        assert (codes >= 0).all(), "rle_cluster_ids: NaN labels unsupported"
         opens = np.char.startswith(uniq.astype(str), "I-")[codes]
         lab = codes
     else:

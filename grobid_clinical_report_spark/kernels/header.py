@@ -223,12 +223,11 @@ def _dateline_fallback(spans: pd.DataFrame) -> pd.DataFrame:
         cand = parsed[parsed["kind"].eq(kind)]
         if cand.empty:
             continue
-        taken = set(
-            map(tuple, have[have["kind"].eq(out_kind)][["doc_id"]].itertuples(
-                index=False, name=None
-            ))
-        )
-        cand = cand[~cand["doc_id"].map(lambda d: (d,) in taken)]
+        cand = cand[
+            ~cand["doc_id"].isin(
+                have.loc[have["kind"].eq(out_kind), "doc_id"]
+            )
+        ]
         if cand.empty:
             continue
         cand = cand.assign(kind=out_kind)

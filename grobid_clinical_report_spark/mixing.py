@@ -61,11 +61,14 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("src_tokens")
     )
     # weights: w_s = floor(sqrt(src_tokens)) — exact in double below 2^53.
-    # Corpus totals come from an UNPARTITIONED window over the per-source
+    # Corpus totals come from a SINGLE-PARTITION window over the per-source
     # table (n_sources rows — single-partition is free), NOT a separate
     # aggregation branch: Catalyst does not reuse DataFrame subplans, so a
     # totals branch re-scans and re-tokenizes the whole corpus a third time
-    # (visible as a duplicate parquet scan in .explain).
+    # (visible as a duplicate parquet scan in .explain). The partition key
+    # `(source is null)` is constant by construction but non-foldable, so it
+    # survives to WindowExec and the benign no-partition warning (which
+    # would mask a real one someday — VERDICT r3) never fires.
     rates = per_src.selectExpr(
         "source",
         "src_tokens",
@@ -74,8 +77,8 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "src_tokens",
         "w",
-        "sum(src_tokens) over () as total_tokens",
-        "sum(w) over () as total_w",
+        "sum(src_tokens) over (partition by (source is null)) as total_tokens",
+        "sum(w) over (partition by (source is null)) as total_w",
     ).selectExpr(
         "source",
         # budget_s = (total · TARGET_PPM div 1e6) · w_s div Σw

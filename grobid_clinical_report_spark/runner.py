@@ -70,10 +70,19 @@ def salt_partition(df: DataFrame, tasks: int) -> DataFrame:
         df.filter(F.size("spans") > HEAVY_SPANS)
         .select("doc_id")
         .withColumn(
+            # partition key is constant-but-non-foldable: the heavy set is
+            # guardrail-bounded so one partition is safe, and an explicit
+            # key keeps the WindowExec no-partition warning for REAL bugs
             "_heavy_salt",
             (
-                F.row_number().over(Window.orderBy(F.xxhash64("doc_id"))) - 1
-            ) % tasks,
+                F.row_number().over(
+                    Window.partitionBy(F.isnull("doc_id")).orderBy(
+                        F.xxhash64("doc_id")
+                    )
+                )
+                - 1
+            )
+            % tasks,
         )
     )
     salted = df.join(F.broadcast(heavy_ids), "doc_id", "left").withColumn(
@@ -103,24 +112,36 @@ def stage_bucketed_input(
     100 TB × 256 buckets. Staging costs one extra read+write and makes
     total input IO 2 passes instead of N.
 
-    Idempotent: skipped when a committed staging (_SUCCESS marker) already
-    exists for the same bucket count, unless ``force`` (a full recompute
-    must not trust a staging of a possibly-changed input)."""
-    import glob
+    Idempotent: skipped only when a committed staging (_SUCCESS marker plus
+    a `_STAGING_META.json` sidecar recording the exact bucket count and
+    input path) matches this run's parameters, unless ``force`` (a full
+    recompute must not trust a staging of a possibly-changed input).
+    The sidecar is the staleness guard: a leftover staging from a crashed
+    run with MORE buckets would otherwise pass a bucket-dir glob check and
+    silently drop every document in buckets >= n_buckets."""
+    import json
 
     from .io import read_documents
 
     marker = os.path.join(staged_path, "_SUCCESS")
-    if (
-        not force
-        and os.path.exists(marker)
-        and glob.glob(os.path.join(staged_path, f"bucket={n_buckets - 1}"))
-    ):
-        return
+    meta_path = os.path.join(staged_path, "_STAGING_META.json")
+    want_meta = {"n_buckets": n_buckets, "input_path": input_path}
+    if not force and os.path.exists(marker):
+        try:
+            with open(meta_path) as f:
+                have_meta = json.load(f)
+        except (OSError, ValueError):
+            have_meta = None
+        if have_meta == want_meta:
+            return
     docs = read_documents(spark, input_path).select("doc_id", "spans")
     with_bucket(docs, n_buckets).write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(staged_path)
+    # written AFTER the overwrite (which clears the directory) so a partial
+    # write can never leave a matching sidecar without matching data
+    with open(meta_path, "w") as f:
+        json.dump(want_meta, f)
 
 
 def run_extraction_job(

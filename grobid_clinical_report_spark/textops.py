@@ -619,10 +619,26 @@ _BIGRAMS = (
 )
 
 
+# Overflow-safe exact arithmetic (ADVICE r3: the previous `1000000 * s`
+# with s = Σ corpus-wide counts over a doc's bigrams exceeds int64 well
+# below 100 TB; Spark with ANSI off wraps silently while DuckDB raises).
+# Fix: fold the model probability to PPM on the 256-row MODEL table —
+# bg_ppm = floor(cnt·1e6/total) — via six ×10 divmod steps, so no
+# intermediate ever exceeds 10·total (exact while total ≤ int64max/10 ≈
+# 9.2e17 bigrams ≈ a zettabyte-class corpus; documented bound). Per-doc
+# sums are then bounded by n_bigrams·1e6 — int64-safe for any document
+# under ~9e12 bigrams. lm_ppm = floor(Σ bg_ppm / n): the mean per-bigram
+# model mass in ppm (model-side flooring shifts each term by < 1 ppm vs
+# the unscaled ratio; determinism and cross-engine equality are exact).
+def _ppm_divmod_steps() -> int:
+    return 6  # 10^6 = ppm scale, one decimal digit per step
+
+
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document LM quality: lm_ppm = floor(1e6 · Σ count(bg) / (n ·
-    total)) — the mean model probability of the doc's bigrams, ppm.
-    Documents shorter than one bigram are absent (no mass to score)."""
+    """Per-document LM quality: lm_ppm = floor(Σ bg_ppm / n) where bg_ppm =
+    floor(cnt(bg)·1e6/total) from the top-256 model — the mean model
+    probability of the doc's bigrams, ppm. Documents shorter than one
+    bigram are absent (no mass to score)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -633,12 +649,16 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = docs.selectExpr("doc_id", f"explode({_BIGRAMS}) as bg").cache()
     counts = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
     # deterministic top-K: (count desc, bigram asc); the window is a single
-    # task over ≤ charset² rows — scale-independent
+    # task over ≤ charset² rows — scale-independent. Partition key
+    # `bg is null` is constant-but-non-foldable: single partition by
+    # construction, without the benign WindowExec no-partition warning
     model = (
         counts.withColumn(
             "rk",
             F.row_number().over(
-                Window.orderBy(F.col("cnt").desc(), F.col("bg").asc())
+                Window.partitionBy(F.isnull("bg")).orderBy(
+                    F.col("cnt").desc(), F.col("bg").asc()
+                )
             ),
         )
         .filter(F.col("rk") <= _LM_TOP)
@@ -646,24 +666,50 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # corpus total from the (tiny) counts table — not a second corpus pass
     total = counts.agg(F.sum("cnt").alias("total"))
+    # bg_ppm = floor(cnt·1e6/total) on the 256-row table, iterated divmod:
+    # q accumulates one decimal digit per step, r stays < total
+    m = model.crossJoin(F.broadcast(total)).selectExpr(
+        "bg",
+        "cast((cnt div total) * 1000000 as bigint) as q0",
+        "cast(0 as bigint) as qr",
+        "cnt % total as r",
+        "total",
+    )
+    for _ in range(_ppm_divmod_steps()):
+        m = m.selectExpr(
+            "bg", "q0",
+            "qr * 10 + (r * 10) div total as qr",
+            "(r * 10) % total as r",
+            "total",
+        )
+    model_ppm = m.selectExpr("bg", "q0 + qr as bg_ppm")
     return (
-        bi.join(F.broadcast(model), "bg", "left")
+        bi.join(F.broadcast(model_ppm), "bg", "left")
         .groupBy("doc_id")
         .agg(
-            F.sum(F.coalesce(F.col("cnt"), F.lit(0))).alias("s"),
+            F.sum(F.coalesce(F.col("bg_ppm"), F.lit(0))).alias("s_ppm"),
             F.count(F.lit(1)).alias("n"),
         )
-        .crossJoin(F.broadcast(total))
         .selectExpr(
             "doc_id",
             "cast(n as bigint) as n_bigrams",
-            "cast(s as bigint) as model_mass",
-            "cast((1000000 * s) div (n * total) as bigint) as lm_ppm",
+            "cast(s_ppm as bigint) as model_mass_ppm",
+            "cast(s_ppm div n as bigint) as lm_ppm",
         )
     )
 
 
-ORACLE_LM_QUALITY = f"""
+def _lm_oracle_sql() -> str:
+    steps = "".join(
+        f"""m{i + 1} AS (
+  SELECT bg, q0, qr * 10 + (r * 10) // total AS qr,
+         (r * 10) % total AS r, total FROM m{i}
+),
+"""
+        for i in range(_ppm_divmod_steps())
+    )
+    last = f"m{_ppm_divmod_steps()}"
+    return f"""
 WITH t AS (SELECT doc_id, {_NORM} AS nt FROM documents),
 bi AS (
   SELECT doc_id, substr(nt, CAST(i AS INT), 2) AS bg
@@ -674,15 +720,22 @@ model AS (
   SELECT bg, COUNT(*) AS cnt FROM bi GROUP BY bg
   ORDER BY cnt DESC, bg ASC LIMIT {_LM_TOP}
 ),
-tot AS (SELECT COUNT(*) AS total FROM bi)
+tot AS (SELECT COUNT(*) AS total FROM bi),
+m0 AS (
+  SELECT bg, (cnt // total) * 1000000 AS q0, CAST(0 AS BIGINT) AS qr,
+         cnt % total AS r, total FROM model CROSS JOIN tot
+),
+{steps}mp AS (SELECT bg, q0 + qr AS bg_ppm FROM {last})
 SELECT doc_id,
   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-  CAST(SUM(COALESCE(cnt, 0)) AS BIGINT) AS model_mass,
-  CAST((1000000 * SUM(COALESCE(cnt, 0))) // (COUNT(*) * MIN(total))
-    AS BIGINT) AS lm_ppm
-FROM bi LEFT JOIN model USING (bg) CROSS JOIN tot
+  CAST(SUM(COALESCE(bg_ppm, 0)) AS BIGINT) AS model_mass_ppm,
+  CAST(SUM(COALESCE(bg_ppm, 0)) // COUNT(*) AS BIGINT) AS lm_ppm
+FROM bi LEFT JOIN mp USING (bg)
 GROUP BY doc_id
 """
+
+
+ORACLE_LM_QUALITY = _lm_oracle_sql()
 
 
 # ---------------------------------------------------------------------------

@@ -125,6 +125,44 @@ def test_staged_buckets_match_unstaged(spark, input_path, tmp_path):
     assert m3["buckets_run"] == 0
 
 
+def test_stale_staging_restaged_on_param_change(spark, input_path, tmp_path):
+    """ADVICE r3 (medium): a leftover staging from a crashed run with MORE
+    buckets must not be trusted by a new run with fewer buckets — documents
+    in buckets >= n_buckets would silently vanish. The _STAGING_META.json
+    sidecar pins (n_buckets, input_path) exactly."""
+    import glob
+    import json
+
+    staged = str(tmp_path / "staged")
+    # simulate the crashed prior run: staged with 8 buckets, no manifest
+    runner.stage_bucketed_input(spark, input_path, staged, n_buckets=8)
+    assert len(glob.glob(os.path.join(staged, "bucket=*"))) == 8
+    # same params → skipped (idempotent): mtime of the sidecar unchanged
+    meta = os.path.join(staged, "_STAGING_META.json")
+    t0 = os.path.getmtime(meta)
+    runner.stage_bucketed_input(spark, input_path, staged, n_buckets=8)
+    assert os.path.getmtime(meta) == t0
+    # fewer buckets → MUST re-stage (old guard passed because bucket=1 dir
+    # existed, dropping buckets 2..7)
+    runner.stage_bucketed_input(spark, input_path, staged, n_buckets=2)
+    assert sorted(
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(staged, "bucket=*"))
+    ) == ["bucket=0", "bucket=1"]
+    assert json.load(open(meta))["n_buckets"] == 2
+    # every document survives the re-staging
+    n_in = spark.read.parquet(input_path).count()
+    assert spark.read.parquet(staged).count() == n_in
+    # changed input path → re-stage too (content may differ)
+    other = str(tmp_path / "docs2.parquet")
+    datagen.write_documents_parquet(other, n_docs=7)
+    runner.stage_bucketed_input(spark, other, staged, n_buckets=2)
+    assert (
+        spark.read.parquet(staged).count()
+        == spark.read.parquet(other).count()
+    )
+
+
 def test_fixtures_survive_inside_scale_run(spark, input_path, tmp_path):
     """Fixture docs embedded in the corpus extract identically inside a
     bucketed scale run (FIXTURES.md §4)."""
