@@ -59,9 +59,12 @@ def test_query_matches_oracle(spark, con, name):
 
 
 def test_media_decode_feature_values_exact(spark):
-    """The quantized feature ints rest on bit-identical float64 means between
-    the vectorized decode and the DuckDB AVG mirror — pin the raw doubles too
-    (a stronger check than the ×4096 floor)."""
+    """Independent reconstruction of the synthetic PPMs in pure Python —
+    build the exact payload bytes from (doc_id, text), decode with a
+    from-first-principles reference (no shared code path beyond numpy), and
+    pin the raw float64 features (a stronger check than the ×4096 floor)."""
+    import hashlib
+
     import numpy as np
 
     from grobid_clinical_report_spark import multimodal
@@ -76,8 +79,21 @@ def test_media_decode_feature_values_exact(spark):
         "doc_id", "text"
     ).toPandas()
     for _, row in docs.head(50).iterrows():
-        a = np.frombuffer(row["text"].encode(), dtype=np.uint8)
-        chunks = np.array_split(a.astype(np.float64), 8)
-        want = [c.mean() if len(c) else 0.0 for c in chunks]
-        got = list(feats.loc[str(row["doc_id"])]["feature"])
-        assert got == want, row["doc_id"]
+        did = int(row["doc_id"])
+        w, h = 8 + did % 24, 8 + (did * 7) % 24
+        n3 = w * h * 3
+        hx = hashlib.md5(row["text"].encode()).hexdigest()
+        pix = (hx * (n3 // 32 + 2))[:n3].encode("ascii")
+        raw = f"P6\n{w} {h}\n255\n".encode() + pix
+        # cross-check the table's payload really is this byte string
+        dw, dh, mx, plane = multimodal.decode_ppm(raw)
+        assert (dw, dh, mx) == (w, h, 255)
+        a = np.frombuffer(pix, dtype=np.uint8).reshape(-1, 3)
+        s = a.sum(axis=0, dtype=np.int64)
+        want = [
+            float(w), float(h), 255.0,
+            s[0] / (w * h), s[1] / (w * h), s[2] / (w * h),
+            s.sum() / n3, float(w * h),
+        ]
+        got = list(feats.loc[str(did)]["feature"])
+        assert got == want, did
