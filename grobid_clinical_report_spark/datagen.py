@@ -491,6 +491,36 @@ FX_HDR4_EXPECTED = [
     ("page_count", "1", None),
 ]
 
+# fx-hdr-0019 — token-MORPHOLOGY-only header fields (F3 per-token 1-4-char
+# prefix/suffix depth, FeaturesVectorHeaderMedical.java:63-73): the docnum
+# has no N° shape ('Réf' prefix class), the medic has no Dr/Pr title and no
+# name-shape line (profession suffix 'Cardiologue' + initial 'C.'), and the
+# dateline's place is out-of-gazetteer (toponym suffix 'Boisville') with a
+# TEXTUAL French date — every cue is token morphology, none is a keyword or
+# line shape
+FX_HDR5_LINES = [
+    ("text", "Réf : 7301-884", None),
+    ("text", "COMPTE RENDU DE CONSULTATION", None),
+    ("text", "", None),
+    ("text", "C. LEROY, Cardiologue", None),
+    ("text", "Fait à Boisville, le 3 mars 2021", None),
+]
+
+FX_HDR5_EXPECTED = [
+    ("docnum", "Réf : 7301-884", None),
+    ("doctype", "COMPTE RENDU DE CONSULTATION", None),
+    ("medic", "C. LEROY, Cardiologue", None),
+    ("medic_persname", "C. LEROY", None),
+    ("medic_rolename", "Cardiologue", None),
+    ("dateline", "Fait à Boisville, le 3 mars 2021", None),
+    # dateline fallback fills (DatelineParser analog): textual date → ISO,
+    # suffix-morphology place
+    ("date", "2021-03-03", None),
+    ("place", "Boisville", None),
+    ("lang", "fr", None),
+    ("page_count", "1", None),
+]
+
 FX_NAME2_TEXT = "Pr. Abagael Marie ZOSIMA Jr"
 FX_NAME2_EXPECTED = [
     ("title", "Pr.", None),
@@ -543,6 +573,7 @@ FIXTURE_DOCS = {
     "fx-reorder-0012": FX_REORDER_LINES,
     "fx-plain-0013": FX_PLAIN_LINES,
     "fx-hdr-0015": FX_HDR4_LINES,
+    "fx-hdr-0019": FX_HDR5_LINES,
     "fx-medic-0016": [("text", FX_MEDIC2_TEXT, None)],
     "fx-caption-0017": FX_CAPTION_LINES,
     "fx-ner-0018": FX_NER2_LINES,
@@ -563,6 +594,7 @@ FIXTURE_EXPECTED = {
         "fx-hdr-0010": FX_HDR3_EXPECTED,
         "fx-reorder-0012": FX_REORDER_HDR_EXPECTED,
         "fx-hdr-0015": FX_HDR4_EXPECTED,
+        "fx-hdr-0019": FX_HDR5_EXPECTED,
     },
     "extract_leftnote": {
         "fx-note-0003": FX_NOTE_EXPECTED,
@@ -645,6 +677,9 @@ FX_HDR_TRAINING = {
     ],
     "fx-hdr-0015": [
         (0, "doctype"), (1, "date"), (3, "affiliation"), (4, "medic"),
+    ],
+    "fx-hdr-0019": [
+        (0, "docnum"), (1, "doctype"), (3, "medic"), (4, "dateline"),
     ],
 }
 

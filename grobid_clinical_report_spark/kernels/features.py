@@ -236,7 +236,28 @@ def _extra_features(txt, low, raw_len) -> dict[str, np.ndarray]:
         low, at.word_bounded(r"\d+(?:[.,]\d+)?\s*(?:mg|g|ml|ui|µg|mcg)")
     )
     f["has_month_word"] = at.contains(low, _any_re(set(lx.MONTHS_FR)))
+    # textual French date ('le 3 mars 2021', '1er avril 98') — RE_DATE only
+    # covers numeric forms; headers date datelines both ways
+    months_alt = "|".join(sorted(lx.MONTHS_FR, key=len, reverse=True))
+    f["has_text_date"] = at.contains(
+        low, rf"\b\d{{1,2}}(?:er)?\s+(?:{months_alt})\s+\d{{2,4}}\b"
+    )
     f["has_city_word"] = at.contains(low, _any_re(lx.CITIES_FR))
+    # per-token 1-4-char prefix/suffix classes at line level (F3/F5 depth,
+    # FeaturesVectorHeaderMedical.java:63-73: the reference feeds raw token
+    # prefix/suffix strings to the CRF; the deterministic rebuild keeps the
+    # informative equivalence classes): toponym suffixes for
+    # out-of-gazetteer cities, profession suffixes for untitled physician
+    # descriptors, a 'Réf/Dossier' prefix for non-N° document numbers
+    f["suf_city_like"] = at.contains(
+        low, r"\b[a-zà-öø-ÿ]{2,}(?:ville|bourg|court)\b"
+    )
+    f["suf_profession_word"] = at.contains(
+        low, r"\b[a-zà-öø-ÿ]{3,}(?:logue|iatre|icien|irurgien)(?:ne)?s?\b"
+    )
+    f["has_ref_num"] = at.match(
+        txt, r"\s*(?:R[éÉ]f|Ref|Dossier)\.?\s*:?\s*[\w/-]*\d"
+    )
     return f
 
 

@@ -34,15 +34,21 @@ def header_emissions(df: pd.DataFrame) -> np.ndarray:
     long_line = (df["line_len"] > 25).to_numpy()
 
     em[:, _IX["docnum"]] += 5.0 * df["has_docnum"].to_numpy()
+    # 'Réf : 7301-884' / 'Dossier 12-X' — document numbers without the N°
+    # shape, recognized by the token-prefix class (F3 depth)
+    em[:, _IX["docnum"]] += 5.0 * df["has_ref_num"].to_numpy()
     em[:, _IX["doctype"]] += 4.0 * (all_caps & df["has_doctype_word"].to_numpy())
-    em[:, _IX["date"]] += 3.0 * (df["has_date"] & ~df["has_person_title"]
+    dateish = df["has_date"] | df["has_text_date"]
+    em[:, _IX["date"]] += 3.0 * (dateish & ~df["has_person_title"]
                                  & ~df["has_birth"]).to_numpy()
     # dateline: a date co-occurring with a place ('Fait à Paris, le 20.9.2018')
     # — the reference header model's <dateline> field, later re-parsed by the
     # DatelineParser for fallback doctype/date/place enrichment
     # (HeaderMedicalParser.java:153-172)
     em[:, _IX["dateline"]] += 6.0 * (
-        df["has_date"] & df["has_city_word"] & ~df["has_birth"]
+        dateish
+        & (df["has_city_word"] | df["suf_city_like"])
+        & ~df["has_birth"]
     ).to_numpy()
     em[:, _IX["time"]] += 1.0 * df["has_time"].to_numpy()
     em[:, _IX["medic"]] += 4.0 * df["has_medic_title"].to_numpy()
@@ -64,9 +70,19 @@ def header_emissions(df: pd.DataFrame) -> np.ndarray:
         & ~df["has_specialty_word"]
         & ~df["has_org_word"]
     ).to_numpy()
+    # profession-suffix morphology ('C. LEROY, Cardiologue'): a physician
+    # descriptor with no Dr/Pr title — per-token suffix class (F3 depth)
+    em[:, _IX["medic"]] += 3.5 * (
+        df["suf_profession_word"]
+        & ~df["has_patient_title"]
+        & ~df["has_birth"]
+        & ~df["has_org_word"]
+    ).to_numpy()
     em[:, _IX["address"]] += 3.0 * df["has_street_word"].to_numpy()
     em[:, _IX["address"]] += 2.0 * df["has_postcode"].to_numpy()
-    em[:, _IX["address"]] += 1.0 * df["has_city_word"].to_numpy()
+    em[:, _IX["address"]] += 1.0 * (
+        df["has_city_word"] | df["suf_city_like"]
+    ).to_numpy()
     em[:, _IX["email"]] += 5.0 * df["has_email"].to_numpy()
     em[:, _IX["phone"]] += 4.0 * (df["has_phone"] & ~df["has_fax_word"]).to_numpy()
     em[:, _IX["fax"]] += 5.0 * df["has_fax_word"].to_numpy()

@@ -32,6 +32,11 @@ def leftnote_emissions(df: pd.DataFrame) -> np.ndarray:
     # same token-shape class the header model uses)
     em[:, _IX["organization"]] += 3.5 * df["has_specialty_word"].to_numpy()
     em[:, _IX["medic"]] += 4.0 * df["has_medic_title"].to_numpy()
+    # profession-suffix descriptors without a Dr/Pr title (F5 depth —
+    # per-token suffix class, FeaturesVectorLeftNoteMedical.java:61-71)
+    em[:, _IX["medic"]] += 3.5 * (
+        df["suf_profession_word"] & ~df["has_org_word"]
+    ).to_numpy()
     em[:, _IX["phone"]] += 4.0 * (df["has_phone"] & ~df["has_fax_word"]).to_numpy()
     em[:, _IX["fax"]] += 5.0 * df["has_fax_word"].to_numpy()
     em[:, _IX["email"]] += 5.0 * df["has_email"].to_numpy()

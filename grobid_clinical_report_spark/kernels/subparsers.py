@@ -87,16 +87,26 @@ def token_features(toks: pd.DataFrame) -> pd.DataFrame:
     f["is_unit"] = ISIN(lx.DOSE_UNITS)
     f["is_side"] = ISIN(lx.SIDE_WORDS)
     f["is_month"] = ISIN(lx.MONTHS_FR)
+    # a single uppercase letter — a name initial ('C. LEROY'); the 1-char
+    # prefix feature class of the reference's CRF inventory
+    f["is_initial"] = M(r"[A-ZÀ-ÖØ]")
 
     # previous-token context (within the same line), vectorized via roll
     lk = toks["line_key"].to_numpy()
     same_line = np.zeros(n, dtype=bool)
     if n > 1:
         same_line[1:] = lk[1:] == lk[:-1]
-    abbrev = ISIN(_ABBREVS)
+    # name initials abbreviate exactly like title abbreviations: the period
+    # after 'C' in 'C. LEROY' continues the name, it does not end a sentence
+    abbrev = ISIN(_ABBREVS) | f["is_initial"]
     f["prev_abbrev"] = np.roll(abbrev, 1) & same_line
     f["prev_is_num"] = np.roll(f["is_num"], 1) & same_line
     f["prev_is_org"] = np.roll(f["is_org"], 1) & same_line
+    next_same = np.zeros(n, dtype=bool)
+    if n > 1:
+        next_same[:-1] = lk[:-1] == lk[1:]
+    f["prev_is_month"] = np.roll(f["is_month"], 1) & same_line
+    f["next_is_month"] = np.roll(f["is_month"], -1) & next_same
     # sentence-final period: a hard cluster boundary (vs. 'Pr.' abbreviation
     # periods which continue the name)
     f["is_sent_period"] = f["is_period"] & ~f["prev_abbrev"]
@@ -115,6 +125,17 @@ def token_features(toks: pd.DataFrame) -> pd.DataFrame:
         & ~ISIN(lx.SUF_PATHO_EXCLUDE)
         & ~f["is_stop"]
     )
+    # toponym/profession suffix classes (F3/F5 depth — the header/left-note
+    # models' per-token 1-4-char prefix/suffix CRF features,
+    # FeaturesVectorHeaderMedical.java:63-73 / FeaturesVectorLeftNote
+    # Medical.java:61-71, rebuilt as the informative equivalence classes of
+    # those strings): French toponym suffixes catch out-of-gazetteer place
+    # names ('Boisville'), profession suffixes catch physician descriptors
+    # carrying no Dr/Pr title ('Cardiologue', 'Chirurgienne')
+    f["suf_city"] = at.match(low_u, r".{2,}(?:ville|bourg|court)$")[codes]
+    f["suf_profession"] = at.match(
+        low_u, r".{3,}(?:logue|iatre|icien|irurgien)(?:ne)?s?$"
+    )[codes]
     # drug hit within the previous 2 tokens (dose attachment window) —
     # suffix-detected drugs attach doses exactly like gazetteer ones
     med = f["lex_medicament"] | f["suf_drug"]
@@ -250,12 +271,20 @@ _DL_IX = label_index(DATELINE_LABELS)
 def parse_dateline_tokens(t: pd.DataFrame) -> pd.Series:
     em = np.zeros((len(t), len(DATELINE_LABELS)))
     em[:, _DL_IX["date"]] += 6.0 * t["is_date"].to_numpy()
+    # textual dates ('3 mars 2021'): the month word and its adjacent numbers
+    em[:, _DL_IX["date"]] += 6.0 * (
+        t["is_month"]
+        | (t["is_num"] & (t["next_is_month"] | t["prev_is_month"]))
+    ).to_numpy()
     em[:, _DL_IX["time"]] += 6.0 * t["is_time"].to_numpy()
-    em[:, _DL_IX["place"]] += 5.0 * (t["is_city"] & t["is_cap"]).to_numpy()
+    # place: gazetteer hit OR toponym-suffix morphology (out-of-gazetteer
+    # city names — the reference's CRF learns these from suffix features)
+    city_like = (t["is_city"] | t["suf_city"]).to_numpy()
+    em[:, _DL_IX["place"]] += 5.0 * (city_like & t["is_cap"].to_numpy())
     em[:, _DL_IX["doctype"]] += 2.0 * t["low"].isin(lx.DOCTYPE_WORDS).to_numpy()
     em[:, _DL_IX["note"]] += 2.0 * (
-        t["is_cap"] & ~t["is_city"] & ~t["is_medic_title"]
-    ).to_numpy()
+        t["is_cap"].to_numpy() & ~city_like & ~t["is_medic_title"].to_numpy()
+    )
     em[:, _DL_IX["other"]] += 3.0 * (t["is_stop"] | t["is_punct"]).to_numpy()
     em[:, _DL_IX["other"]] += 0.5
     return _decode(t, em, DATELINE_LABELS, stay=1.0)
@@ -271,6 +300,9 @@ _MD_IX = label_index(MEDIC_LABELS)
 def parse_medic_tokens(t: pd.DataFrame) -> pd.Series:
     em = np.zeros((len(t), len(MEDIC_LABELS)))
     em[:, _MD_IX["rolename"]] += 4.0 * t["is_role"].to_numpy()
+    # profession-suffix tokens ('Cardiologue') are role descriptors, not
+    # name parts — outweighs the +2.0 capitalization persname evidence
+    em[:, _MD_IX["rolename"]] += 4.0 * t["suf_profession"].to_numpy()
     em[:, _MD_IX["persname"]] += 5.0 * t["is_medic_title"].to_numpy()
     # capitalization suggests a name — except for role words ('Assistant'),
     # which would otherwise ride the persname stickiness into the name span
@@ -278,6 +310,8 @@ def parse_medic_tokens(t: pd.DataFrame) -> pd.Series:
         (t["is_cap"] | t["is_allcaps"]) & ~t["is_role"]
     ).to_numpy()
     em[:, _MD_IX["persname"]] += 4.0 * (t["is_period"] & t["prev_abbrev"]).to_numpy()
+    # a bare initial opening a name ('C. LEROY')
+    em[:, _MD_IX["persname"]] += 2.0 * t["is_initial"].to_numpy()
     em[:, _MD_IX["orgname"]] += 3.0 * t["is_org"].to_numpy()
     # org continuation: a capitalized token right after an org head stays in
     # the org chunk ('Hôpital BICHAT' — the name must not ride the persname
