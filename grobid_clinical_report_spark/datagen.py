@@ -491,6 +491,36 @@ FX_HDR4_EXPECTED = [
     ("page_count", "1", None),
 ]
 
+# fx-table-0020 — table ROW/CELL structure pinned at span level (C3,
+# FullMedicalTextParser.java:5599-5647 → TableParser / Table.toTEI row-cell
+# emission): a 2×3 grid after a 'Tableau' caption. The table span carries
+# newline-separated rows with tab-separated cells; TEI renders
+# <figure type="table"><head/><table><row><cell>…; round-trip exact.
+FX_TABLE_LINES = [
+    ("text", "COMPTE RENDU DE CONSULTATION", None),
+    ("text", "Le 05.02.2020", None),
+    ("text", "", None),
+    ("text", "BILAN BIOLOGIQUE :", None),
+    ("text", "Les examens montrent les valeurs suivantes.", None),
+    ("text", "", None),
+    ("text", "Tableau 1 : Bilan d'entrée.", None),
+    ("text", "Paramètre  Valeur  Unité", None),
+    ("text", "Hémoglobine  13,2  g/dL", None),
+    ("text", "", None),
+    ("text", "CONCLUSION :", None),
+    ("text", "Bilan biologique sans anomalie significative.", None),
+]
+
+FX_TABLE_EXPECTED = [
+    ("section", "BILAN BIOLOGIQUE :", None),
+    ("paragraph", "Les examens montrent les valeurs suivantes.", None),
+    ("table",
+     "Tableau 1 : Bilan d'entrée.\nParamètre\tValeur\tUnité\n"
+     "Hémoglobine\t13,2\tg/dL", None),
+    ("section", "CONCLUSION :", None),
+    ("paragraph", "Bilan biologique sans anomalie significative.", None),
+]
+
 # fx-hdr-0019 — token-MORPHOLOGY-only header fields (F3 per-token 1-4-char
 # prefix/suffix depth, FeaturesVectorHeaderMedical.java:63-73): the docnum
 # has no N° shape ('Réf' prefix class), the medic has no Dr/Pr title and no
@@ -574,6 +604,7 @@ FIXTURE_DOCS = {
     "fx-plain-0013": FX_PLAIN_LINES,
     "fx-hdr-0015": FX_HDR4_LINES,
     "fx-hdr-0019": FX_HDR5_LINES,
+    "fx-table-0020": FX_TABLE_LINES,
     "fx-medic-0016": [("text", FX_MEDIC2_TEXT, None)],
     "fx-caption-0017": FX_CAPTION_LINES,
     "fx-ner-0018": FX_NER2_LINES,
@@ -587,6 +618,7 @@ FIXTURE_EXPECTED = {
         "fx-cover-0011": FX_COVER_EXPECTED,
         "fx-plain-0013": FX_PLAIN_EXPECTED,
         "fx-caption-0017": FX_CAPTION_EXPECTED,
+        "fx-table-0020": FX_TABLE_EXPECTED,
     },
     "extract_header": {
         "fx-hdr-0002": FX_HDR_EXPECTED,

@@ -65,6 +65,12 @@ def body_emissions(df: pd.DataFrame) -> np.ndarray:
     em[:, _IX["figure"]] += 6.0 * media
     em[:, _IX["figure"]] += 5.0 * caption
     em[:, _IX["table"]] += 5.0 * table_line
+    # columnar shape: ≥3 fields separated by 2+-space/tab runs is a table
+    # DATA row even without the 'Tableau' keyword (the caption may precede
+    # or be absent; TableParser consumes the whole grid)
+    em[:, _IX["table"]] += 2.5 * at.contains(
+        at.arr_of(df["text"]), r"\S(?:\t| {2,})\S.*(?:\t| {2,})\S"
+    )
     em[:, _IX["figure_marker"]] += 6.0 * fig_marker
     em[:, _IX["table_marker"]] += 6.0 * tab_marker
     em[:, _IX["medic"]] += 5.0 * df["has_medic_title"].to_numpy()
@@ -170,12 +176,20 @@ def relabel_caption_tails(df: pd.DataFrame) -> pd.Series:
             break
         lab[pull] = np.roll(lab, 1)[pull]  # previous run's kind
 
-    # PUSH
+    # PUSH — tabular DATA rows (tab/2+-space separated cells) are table
+    # CONTENT, not trailing prose: TableParser consumes the grid after the
+    # caption sentence closes (FullMedicalTextParser.java:5599-5647)
+    tabular = at.contains(
+        at.arr_of(df["text"]), r"\S(?:\t| {2,})\S.*(?:\t| {2,})\S"
+    )
     run = runs()
     e = ends.astype(np.int64)
     closed_before = seg_cumsum(e, seg_starts(run)) - e
     figtab = (lab == "figure") | (lab == "table")
-    tail = figtab & (closed_before > 0) & ~is_media & ~caption & ~table_line
+    tail = (
+        figtab & (closed_before > 0) & ~is_media & ~caption & ~table_line
+        & ~tabular
+    )
     lab[tail] = "paragraph"
     return pd.Series(lab, index=df.index, name="label")
 
@@ -201,6 +215,19 @@ def body_spans(df: pd.DataFrame) -> pd.DataFrame:
             columns=["doc_id", "kind", "text", "media_ref", "offset"]
         )
     d["text_n"] = normalize_text(d["text"])
+    # table lines keep their CELL structure (C3, FullMedicalTextParser.java:
+    # 5599-5647 → TableParser row/cell emission): columnar separators
+    # (2+-space or tab runs) become single TABs before the ordinary
+    # whitespace normalization — normalize_text would collapse them to one
+    # space and erase the column structure
+    tbl = d["label"].to_numpy() == "table"
+    if tbl.any():
+        from . import arrowtext as at
+
+        raw = at.arr_of(d.loc[tbl, "text"])
+        raw = at.replace(raw, r"\s*(?:\t| {2,})\s*", "\t")
+        raw = at.strip(at.replace(raw, r" +", " "))
+        d.loc[tbl, "text_n"] = raw.to_numpy(zero_copy_only=False)
     # block-change breaks clusters (label stays the output kind); list items
     # never merge — each bullet is its own <item> (TEIFormatter.java:876-883);
     # every media span opens a new figure cluster so no media_ref is ever
@@ -223,6 +250,15 @@ def body_spans(df: pd.DataFrame) -> pd.DataFrame:
     base["text"] = group_join(
         d["text_n"].to_numpy(), d["_cl"].to_numpy(), " "
     )
+    # a table cluster keeps its ROW structure: member lines join with
+    # newlines (cells are tab-separated within each line), so one span
+    # carries the whole head + rows × cells grid
+    if tbl.any():
+        base_tbl = base["kind"].eq("table").to_numpy()
+        if base_tbl.any():
+            base.loc[base_tbl, "text"] = group_join(
+                d["text_n"].to_numpy(), d["_cl"].to_numpy(), "\n"
+            )[base_tbl]
     # first non-null media_ref per cluster: clusters are contiguous runs, so
     # a minimum.reduceat over non-null row indices replaces the pandas hash
     # groupby (the former body_spans hotspot)

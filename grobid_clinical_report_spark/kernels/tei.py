@@ -15,6 +15,8 @@ Element mapping (TEIFormatter.java:807-957):
 
 from __future__ import annotations
 
+import re as _re
+
 import pandas as pd
 
 _TAG = {
@@ -58,21 +60,37 @@ def spans_to_tei(flat: pd.DataFrame) -> pd.DataFrame:
     closes = d["kind"].map(
         lambda k: _TAG.get(k, ("", "</note>"))[1]
     )
-    # table-structure surrogate (C3; core Table.toTEI serializes row/cell
-    # structure from layout geometry — absent here, columnar whitespace
-    # runs stand in): a table span whose text has 2+-space/tab-separated
-    # fields renders as <table><row><cell>…</cell></row>
+    # table structure (C3; core Table.toTEI / TableParser,
+    # FullMedicalTextParser.java:5599-5647): a table span carries its grid
+    # as newline-separated rows with tab-separated cells (body_spans
+    # preserves the columnar separators). Lines WITH a cell separator render
+    # as <row><cell>…</cell></row>; lines without are the caption/head.
+    # Legacy 2+-space / ' | ' separated single-line input still splits.
     is_table = d["kind"].eq("table")
-    if is_table.any():
-        cells = _escape(d.loc[is_table, "text"]).str.split(
-            r" {2,}|\t+| \| ", regex=True
-        )
-        tabular = cells.str.len() > 1
-        body_tbl = cells[tabular].map(
-            lambda cs: "<table><row>"
+
+    def _render_table(text: str) -> str:
+        lines = text.split("\n")
+        heads, rows = [], []
+        for ln in lines:
+            cs = _re.split(r"\t+| {2,}| \| ", ln)
+            if len(cs) > 1:
+                rows.append(cs)
+            elif ln.strip():
+                heads.append(ln.strip())
+        if not rows:
+            return ""
+        out = "".join(f"<head>{h}</head>" for h in heads)
+        out += "<table>" + "".join(
+            "<row>"
             + "".join(f"<cell>{c.strip()}</cell>" for c in cs)
-            + "</row></table>"
-        )
+            + "</row>"
+            for cs in rows
+        ) + "</table>"
+        return out
+
+    if is_table.any():
+        body_tbl = _escape(d.loc[is_table, "text"]).map(_render_table)
+        body_tbl = body_tbl[body_tbl.ne("")]
         if len(body_tbl):
             # replace the raw text with the structured rendering
             d = d.copy()
@@ -165,9 +183,16 @@ def tei_to_spans(tei: pd.DataFrame) -> pd.DataFrame:
                 media_ref = g.get("url")
             tbl = el.find("table")
             if tbl is not None:
-                text = "\t".join(
-                    (c.text or "") for c in tbl.iter("cell")
-                )
+                # rebuild the grid: head lines, then one line per <row>
+                # with tab-joined cells — the exact body_spans text form
+                heads = [
+                    (h.text or "").strip() for h in el.findall("head")
+                ]
+                row_lines = [
+                    "\t".join((c.text or "") for c in r.iter("cell"))
+                    for r in tbl.iter("row")
+                ]
+                text = "\n".join([h for h in heads if h] + row_lines)
             else:
                 text = (el.text or "").strip()
             rows.append((doc_id, kind, text, media_ref, i))
