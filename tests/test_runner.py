@@ -215,14 +215,16 @@ def test_quarantine_cleared_on_recompute(spark, input_path, tmp_path):
 
 def test_quarantine_reprocessing_chunks_whales(spark, input_path, tmp_path):
     """Second-pass whale path: the quarantined doc is windowed, extracted,
-    and re-merged with offsets in order — quarantine doesn't lose data."""
+    and re-merged with offsets in order — quarantine doesn't lose data.
+    continuity_cap == max_spans forces the WINDOWED (>cap) branch so this
+    covers the monster-tail path, not the un-windowed continuity path."""
     out = str(tmp_path / "out5")
     m = runner.run_extraction_job(
         spark, input_path, out, n_buckets=2, max_spans=500
     )
     assert m["quarantined"] == 1
     q = runner.process_quarantined(
-        spark, input_path, out, max_spans=500
+        spark, input_path, out, max_spans=500, continuity_cap=500
     )
     assert q["docs"] == 1 and q["spans"] > 0
     rows = spark.read.parquet(os.path.join(out, "bucket=quarantine")).collect()
@@ -234,3 +236,53 @@ def test_quarantine_reprocessing_chunks_whales(spark, input_path, tmp_path):
     total = runner.read_extracted(spark, out).count()
     docs_in = spark.read.parquet(input_path).count()
     assert total == docs_in
+
+
+def test_quarantine_zone_continuity(spark, tmp_path):
+    """VERDICT r3 #5: a whale whose HEADER crosses the window boundary must
+    produce the same spans as an un-windowed run with a raised cap. Whales
+    under continuity_cap take the un-windowed path, so zone decisions are
+    document-global — no re-opened zones, no double-emitted fields."""
+    import pandas as pd
+
+    from grobid_clinical_report_spark.pipeline import extract_full_pdf
+
+    cap = 20
+    # header block of 26 lines (crosses the 20-span window boundary),
+    # then a body with clear structure
+    lines = [("text", "COMPTE RENDU OPÉRATOIRE", None),
+             ("text", "Le 12.03.2019", None)]
+    lines += [
+        ("text", f"Service de Chirurgie {i} — 9401{i % 10} CRETEIL", None)
+        for i in range(24)
+    ]
+    lines += [("text", "", None),
+              ("text", "INTERVENTION :", None)]
+    lines += [
+        ("text", f"Le geste opératoire numéro {i} s'est déroulé sans "
+                 "complication notable.", None)
+        for i in range(10)
+    ]
+    spans = datagen._with_offsets(lines)
+    pdf = pd.DataFrame([{"doc_id": "whale-hdr", "spans": spans}])
+
+    inp = str(tmp_path / "whale.parquet")
+    spark.createDataFrame(pdf, DOCUMENTS_SCHEMA).write.parquet(inp)
+    out = str(tmp_path / "out6")
+    m = runner.run_extraction_job(
+        spark, inp, out, n_buckets=1, max_spans=cap
+    )
+    assert m["quarantined"] == 1
+    runner.process_quarantined(spark, inp, out, max_spans=cap)
+    got = spark.read.parquet(
+        os.path.join(out, "bucket=quarantine")
+    ).collect()
+    got_spans = [
+        (s["kind"], s["text"], s["media_ref"]) for s in got[0]["spans"]
+    ]
+    want = extract_full_pdf(pdf)  # un-windowed reference run
+    want_spans = [
+        (s["kind"], s["text"], s["media_ref"])
+        for s in want["spans"].iloc[0]
+    ]
+    assert got_spans == want_spans
