@@ -52,7 +52,7 @@ def to_title_case(s: pd.Series) -> pd.Series:
 
 _NUM_DATE = r"(\d{1,2})[./-](\d{1,2})[./-](\d{2,4})"
 _MONTHS_ALT = "|".join(sorted(MONTHS_FR, key=len, reverse=True))
-_TEXT_DATE = rf"(\d{{1,2}})(?:er)?\s+({_MONTHS_ALT})\s+(\d{{4}})"
+_TEXT_DATE = rf"(\d{{1,2}})(?:er)?\s+({_MONTHS_ALT})\s+(\d{{2,4}})"
 
 
 def to_iso_date(s: pd.Series) -> pd.Series:

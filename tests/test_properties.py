@@ -226,3 +226,53 @@ def test_pojo_merge_property():
                 assert v in joined
 
     check()
+
+
+def test_date_normalization_breadth_property():
+    """C2 date normalization breadth (HeaderMedicalParser.java:394-409 /
+    DateParser formats): numeric dd/mm/yyyy, dd.mm.yyyy, dd-mm-yyyy with
+    2- or 4-digit years, textual French-month forms ('Le 29 avril 2000',
+    '1er janvier 98'), any casing, embedded in prose — every generated
+    combination must normalize to the exact ISO day."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from grobid_clinical_report_spark.kernels.lexicon import MONTHS_FR
+    from grobid_clinical_report_spark.kernels.normalize import to_iso_date
+
+    month_names = sorted(MONTHS_FR)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        day=st.integers(1, 28),
+        month=st.integers(1, 12),
+        year=st.integers(1950, 2029),
+        sep=st.sampled_from(["/", ".", "-"]),
+        textual=st.booleans(),
+        two_digit_year=st.booleans(),
+        pad=st.booleans(),
+        prefix=st.sampled_from(["", "Le ", "Fait à Paris, le ", "Date : "]),
+        suffix=st.sampled_from(["", " à 15h30", "."]),
+        title_case=st.booleans(),
+    )
+    def check(day, month, year, sep, textual, two_digit_year, pad, prefix,
+              suffix, title_case):
+        yy = year % 100
+        # the 00-29→20xx / else→19xx pivot must round-trip the chosen year
+        if two_digit_year and not ((year >= 2000) == (yy < 30)):
+            two_digit_year = False
+        ystr = f"{yy:02d}" if two_digit_year else str(year)
+        if textual:
+            name = next(n for n in month_names if MONTHS_FR[n] == month)
+            if title_case:
+                name = name.title()
+            dstr = f"{day}er" if day == 1 else str(day)
+            raw = f"{prefix}{dstr} {name} {ystr}{suffix}"
+        else:
+            d = f"{day:02d}" if pad else str(day)
+            m = f"{month:02d}" if pad else str(month)
+            raw = f"{prefix}{d}{sep}{m}{sep}{ystr}{suffix}"
+        got = to_iso_date(pd.Series([raw])).iloc[0]
+        assert got == f"{year:04d}-{month:02d}-{day:02d}", raw
+
+    check()
