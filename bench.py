@@ -59,6 +59,20 @@ def corpus_path(sf: float) -> str:
     return p
 
 
+def text_corpus_dir(n_docs: int) -> str:
+    """Build (once, cached) a flat-text `documents` table dir for tiers the
+    driver does not ship (the sf1 dedup runs)."""
+    cache = os.path.join(REPO, ".bench_cache")
+    os.makedirs(cache, exist_ok=True)
+    d = os.path.join(cache, f"textsf_{n_docs}")
+    doc = os.path.join(d, "documents.parquet")
+    if not os.path.exists(doc):
+        from grobid_clinical_report_spark import datagen
+
+        datagen.write_text_documents_parquet(doc, n_docs=n_docs)
+    return d
+
+
 def run_extraction(spark, corpus: str, tasks: int) -> tuple[int, float]:
     """The identical job used for the scaling comparison: read → guardrail →
     full cascade → noop sink (measures compute, not output IO).
@@ -159,6 +173,7 @@ def headline() -> dict:
         "decontaminate",
         "kmv_distinct",
         "sample_mix",
+        "pack_sequences",
         "token_count",
         "fingerprint",
         "ann_cosine_topk",
@@ -184,6 +199,24 @@ def headline() -> dict:
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
         queries[name] = round(best, 3)
+
+    # sf1 tier (VERDICT r3 #9): 10× the data through the SAME plans — the
+    # wall must scale ~linearly with data before the 100× claim rests on
+    # sf0.1 alone. Single runs (the tier exists to check data-scaling shape,
+    # not to win jitter).
+    sf1: dict = {}
+    corpus1 = corpus_path(1.0)
+    n1, sec1 = run_extraction(spark, corpus1, tasks=CPUS * 4)
+    sf1["extraction"] = {
+        "n_docs": n1,
+        "sec": round(sec1, 3),
+        "docs_per_sec": round(n1 / sec1, 1),
+    }
+    tdir = text_corpus_dir(50_000)
+    for name in ["dedup_exact", "dedup_neardup_pairs"]:
+        t0 = time.monotonic()
+        qs[name](spark, tdir).write.format("noop").mode("overwrite").save()
+        sf1[name] = round(time.monotonic() - t0, 3)
     spark.stop()
 
     total = round(sum(queries.values()), 3)
@@ -194,6 +227,7 @@ def headline() -> dict:
         "queries": queries,
         "sf": sf,
         "extraction": extraction,
+        "sf1": sf1,
     }
 
 

@@ -32,7 +32,7 @@ Capability map to the reference (SURVEY.md §2):
   textops             — training-data ops (dedup/langid/quality/LM-perplexity/
                         Gopher repetition/decontamination/tokens/fingerprint)
   similarity          — embedding ANN (brute-force + LSH-bucketed)
-  multimodal          — opaque media columns + stubbed decode plumbing
+  multimodal          — media columns + real pure-numpy PPM decode
 """
 
 __version__ = "0.3.0"

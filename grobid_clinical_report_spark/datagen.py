@@ -927,6 +927,83 @@ def write_documents_parquet(
         )
 
 
+# vocabulary for the flat-text bench corpus (French clinical-ish filler —
+# enough distinct forms that shingle/minhash statistics behave naturally)
+_TEXT_VOCAB = (
+    "patient patiente examen clinique traitement consultation service "
+    "hospitalisation intervention diagnostic antécédent évolution douleur "
+    "abdominale thoracique chronique aiguë bilan biologique radiologique "
+    "prescription médicament posologie perfusion chirurgie anesthésie "
+    "complication surveillance sortie domicile suivi contrôle résultat "
+    "normal anormal stable favorable défavorable gauche droite sans avec "
+    "pour dans les des une aux par sur est sont été avoir suite depuis"
+).split()
+
+
+def synthetic_text_documents_pdf(
+    n_docs: int, seed: int = SEED, words_per_doc: int = 220
+) -> pd.DataFrame:
+    """Seeded FLAT-TEXT corpus matching the driver's `documents` table shape
+    (doc_id, text, lang, source, n_chars) — the bench-only input for running
+    the LLM-data operators at tiers the driver does not ship (sf1). ~1% of
+    documents are exact duplicates and ~2% near-duplicates (one word
+    changed) of an earlier doc, so dedup workloads see a natural positive
+    rate. Vectorized generation: one word-index matrix, one join pass."""
+    rng = np.random.default_rng(seed)
+    lens = np.maximum(
+        rng.lognormal(np.log(words_per_doc), 0.4, n_docs).astype(int), 20
+    )
+    vocab = np.array(_TEXT_VOCAB, dtype=object)
+    texts = [
+        " ".join(vocab[rng.integers(0, len(vocab), k)]) for k in lens
+    ]
+    # duplicate tail: exact copies + near copies of earlier documents
+    n_exact = n_docs // 100
+    n_near = n_docs // 50
+    for j in range(n_exact):
+        texts[n_docs - 1 - j] = texts[j]
+    for j in range(n_near):
+        base = texts[n_exact + j].split()
+        base[len(base) // 2] = "modifié"
+        texts[n_docs - 1 - n_exact - j] = " ".join(base)
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n_docs, dtype=np.int64),
+            "text": texts,
+            "lang": "fr",
+            "source": np.array(["hopital", "clinique", "labo", "archive"],
+                               dtype=object)[
+                rng.integers(0, 4, n_docs)
+            ],
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+
+
+def write_text_documents_parquet(
+    path: str, n_docs: int, seed: int = SEED, shards: int = 16
+) -> None:
+    """Materialize the flat-text corpus as a sharded parquet directory named
+    `documents.parquet` so textops queries read it as an sf_dir drop-in."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = synthetic_text_documents_pdf(n_docs, seed=seed)
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    os.makedirs(path, exist_ok=True)
+    n = len(pdf)
+    step = (n + shards - 1) // shards
+    for s in range(shards):
+        lo = s * step
+        if lo >= n:
+            break
+        pq.write_table(
+            table.slice(lo, step), os.path.join(path, f"part-{s:05d}.parquet")
+        )
+
+
 # pinned NER training tokens (createTrainingFrenchMedicalNER analog):
 # every content token of the NER fixtures with its decoded label,
 # 'other' negatives included (the CRF refit consumes full sequences);

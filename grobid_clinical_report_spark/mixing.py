@@ -118,5 +118,80 @@ WHERE {_D_GATE} * 1000000 < rate_ppm * 4294967296
 """
 
 
-OPS = {"sample_mix": q_sample_mix}
-ORACLES = {"sample_mix": ORACLE_SAMPLE_MIX}
+# ---------------------------------------------------------------------------
+# Sequence packing (the GPT-style training-data step after mixing: documents
+# are concatenated in a deterministic shuffled order and chunked into fixed
+# token-budget sequences; a document whose tokens straddle a boundary is
+# split across two packs). Realized scale-correctly: the corpus is sharded
+# by an md5-derived key and the running-token window is PARTITIONED BY
+# shard — no global ordering, no single-partition window; at 100 TB the
+# shard count rises with the cluster and each shard packs independently
+# (the standard practice — packing is only ever per-shard/per-worker).
+# Deterministic: shard and order are pure md5 functions of doc_id, so the
+# same corpus always packs identically on any engine (the DuckDB oracle
+# mirrors it exactly).
+# ---------------------------------------------------------------------------
+
+PACK_SEQ_TOKENS = 2048
+PACK_SHARDS = 8  # sandbox tier; production raises this with the cluster
+
+_PSHARD = (
+    "cast(conv(substring(md5(concat('packshard|', cast(doc_id as string)))"
+    ", 1, 4), 16, 10) as int)"
+    f" % {PACK_SHARDS}"
+)
+_D_PSHARD = (
+    "CAST(CAST(CONCAT('0x', substr(md5(CONCAT('packshard|',"
+    " CAST(doc_id AS VARCHAR))), 1, 4)) AS BIGINT) AS INT)"
+    f" % {PACK_SHARDS}"
+)
+_PORDER = "md5(concat('packorder|', cast(doc_id as string)))"
+_D_PORDER = "md5(CONCAT('packorder|', CAST(doc_id AS VARCHAR)))"
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load_wide(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"cast({_N_TOKS} as bigint) as n_tokens"
+    )
+    start = (
+        "sum(n_tokens) over (partition by shard order by ord, doc_id"
+        " rows between unbounded preceding and current row) - n_tokens"
+    )
+    return (
+        docs.selectExpr(
+            "doc_id", "n_tokens",
+            f"cast({_PSHARD} as int) as shard",
+            f"{_PORDER} as ord",
+        )
+        .selectExpr("doc_id", "n_tokens", "shard", f"{start} as start_tok")
+        .selectExpr(
+            "doc_id", "shard",
+            f"cast(start_tok div {PACK_SEQ_TOKENS} as bigint) as pack_id",
+            f"cast(start_tok % {PACK_SEQ_TOKENS} as bigint) as pack_offset",
+            "n_tokens",
+        )
+    )
+
+
+ORACLE_PACK = f"""
+WITH docs AS (
+  SELECT doc_id, CAST({_DN_TOKS} AS BIGINT) AS n_tokens,
+    {_D_PSHARD} AS shard, {_D_PORDER} AS ord
+  FROM documents
+), pos AS (
+  SELECT doc_id, n_tokens, shard,
+    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      AS start_tok
+  FROM docs
+)
+SELECT doc_id, CAST(shard AS INT) AS shard,
+  CAST(start_tok // {PACK_SEQ_TOKENS} AS BIGINT) AS pack_id,
+  CAST(start_tok % {PACK_SEQ_TOKENS} AS BIGINT) AS pack_offset,
+  n_tokens
+FROM pos
+"""
+
+
+OPS = {"sample_mix": q_sample_mix, "pack_sequences": q_pack_sequences}
+ORACLES = {"sample_mix": ORACLE_SAMPLE_MIX, "pack_sequences": ORACLE_PACK}

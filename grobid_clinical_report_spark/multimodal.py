@@ -203,8 +203,9 @@ FROM media GROUP BY media_type ORDER BY media_type
 
 # ---------------------------------------------------------------------------
 # video frame sampling: 1 asset row → N frame rows (task brief: frame-sample
-# as a Pandas UDF over mapInPandas). The decode is stubbed like _fake_decode
-# (no ffmpeg in the container) but the FAN-OUT PLUMBING — duration probe,
+# as a Pandas UDF over mapInPandas). Video CONTAINER probing stays a
+# deterministic stand-in (no ffmpeg in this container; still images decode
+# for real via decode_ppm above) but the FAN-OUT PLUMBING — duration probe,
 # uniform sampling grid, row explosion inside Arrow batches, per-frame
 # schema — is real, and the sampling grid itself is value-verified by a
 # DuckDB generate_series oracle.

@@ -479,6 +479,39 @@ def test_sample_mix_hits_token_budget(spark):
     assert (merged.to_numpy() <= n_per_src["count"].to_numpy()).all()
 
 
+def test_pack_sequences_gapless_and_deterministic(spark):
+    """Sequence packing: within every shard the documents tile the token
+    stream with NO gaps or overlaps (start positions are exact prefix sums
+    in the deterministic order), packs are exactly PACK_SEQ_TOKENS apart,
+    and re-running reproduces the identical packing (pure md5 functions)."""
+    import numpy as np
+
+    from grobid_clinical_report_spark.mixing import (
+        PACK_SEQ_TOKENS, q_pack_sequences,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out = q_pack_sequences(spark, sf).toPandas()
+    assert len(out) == 500
+    g = out.sort_values(["shard", "pack_id", "pack_offset"]).reset_index(
+        drop=True
+    )
+    for _, grp in g.groupby("shard"):
+        starts = (
+            grp["pack_id"].to_numpy() * PACK_SEQ_TOKENS
+            + grp["pack_offset"].to_numpy()
+        )
+        expect = np.concatenate(
+            [[0], np.cumsum(grp["n_tokens"].to_numpy())[:-1]]
+        )
+        assert (starts == expect).all()
+    assert (out["pack_offset"] < PACK_SEQ_TOKENS).all()
+    out2 = q_pack_sequences(spark, sf).toPandas()
+    assert out.sort_values("doc_id").reset_index(drop=True).equals(
+        out2.sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def test_ann_ivf_recall_and_pruning(spark):
     """IVF top-k: the trained quantizer must (a) recover >= 0.6 of the
     brute-force top-10 on this weakly-clustered tier (measured 0.70 — see
