@@ -941,14 +941,17 @@ _TEXT_VOCAB = (
 
 
 def synthetic_text_documents_pdf(
-    n_docs: int, seed: int = SEED, words_per_doc: int = 220
+    n_docs: int, seed: int = SEED, words_per_doc: int = 55
 ) -> pd.DataFrame:
     """Seeded FLAT-TEXT corpus matching the driver's `documents` table shape
     (doc_id, text, lang, source, n_chars) — the bench-only input for running
-    the LLM-data operators at tiers the driver does not ship (sf1). ~1% of
-    documents are exact duplicates and ~2% near-duplicates (one word
-    changed) of an earlier doc, so dedup workloads see a natural positive
-    rate. Vectorized generation: one word-index matrix, one join pass."""
+    the LLM-data operators at tiers the driver does not ship (sf1). The
+    default word count matches the driver tiers' ~54-word average so
+    cross-tier walls compare iso-shape (docs × length both scale 10×, not
+    44×). ~1% of documents are exact duplicates and ~2% near-duplicates
+    (one word changed) of an earlier doc, so dedup workloads see a natural
+    positive rate. Vectorized generation: one word-index matrix, one join
+    pass."""
     rng = np.random.default_rng(seed)
     lens = np.maximum(
         rng.lognormal(np.log(words_per_doc), 0.4, n_docs).astype(int), 20
