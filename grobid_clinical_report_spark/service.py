@@ -15,9 +15,15 @@ DataFrame transform — the Spark-native equivalent of the service layer
   processDateline/Medic/Patient       → parse_* string modes
   isalive / version                   → health metadata
 
-`annotatePDF` is intentionally absent: it returns PDF coordinate
-annotations, and the span data model carries no page geometry (SURVEY.md
-§2.6 scope note).
+`annotatePDF` is intentionally absent — and verifiably vestigial in the
+reference itself: GrobidMedicalReportPaths.java:84 declares the path
+constant but NO resource method or process handler references it anywhere
+under src/main/java/org/grobid/service (grep: the only 'annotat' hits are
+metrics @Timed imports). There is no behavior to match; the span data
+model additionally carries no page geometry (SURVEY.md §2.6 scope note).
+The geometry-free annotation need (entity overlays) is served by the
+`ner` mode's char-offset standoff output (ner_entities: doc_id, kind,
+start, end, confidence).
 """
 
 from __future__ import annotations
