@@ -152,6 +152,26 @@ FX_NOTE_EXPECTED = [
     ("page_count", "1", None),
 ]
 
+# fx-note-0021 — morphology-only left-note fields (F5 per-token suffix
+# depth, FeaturesVectorLeftNoteMedical.java:61-71): the medic carries no
+# Dr/Pr title (initial + profession suffix 'Cardiologue') and the
+# organization has no ORG_WORDS hit (specialty suffix only)
+FX_NOTE2_LINES = [
+    ("text", "Unité d'Hématologie Clinique", None),
+    ("text", "C. LEROY, Cardiologue", None),
+    ("text", "Secrétariat : 01 41 12 99 00", None),
+    ("text", "accueil@hopital-boisville.fr", None),
+]
+
+FX_NOTE2_EXPECTED = [
+    ("organization", "Unité d'Hématologie Clinique", None),
+    ("medic", "C. LEROY, Cardiologue", None),
+    ("phone", "Secrétariat : 01 41 12 99 00", None),
+    ("email", "accueil@hopital-boisville.fr", None),
+    ("lang", "fr", None),
+    ("page_count", "1", None),
+]
+
 FX_NER_LINES = [
     ("text", "Madame Belle Joseline DUPONT, âgée de 50 ans, née le 07/08/1970.", None),
     ("text", "Arthrite septique du genou droit à Corynebacterium traitée par Daptomycine 1500 mg puis Linézolide 600 mg.", None),
@@ -605,6 +625,7 @@ FIXTURE_DOCS = {
     "fx-hdr-0015": FX_HDR4_LINES,
     "fx-hdr-0019": FX_HDR5_LINES,
     "fx-table-0020": FX_TABLE_LINES,
+    "fx-note-0021": FX_NOTE2_LINES,
     "fx-medic-0016": [("text", FX_MEDIC2_TEXT, None)],
     "fx-caption-0017": FX_CAPTION_LINES,
     "fx-ner-0018": FX_NER2_LINES,
@@ -631,6 +652,7 @@ FIXTURE_EXPECTED = {
     "extract_leftnote": {
         "fx-note-0003": FX_NOTE_EXPECTED,
         "fx-reorder-0012": FX_REORDER_NOTE_EXPECTED,
+        "fx-note-0021": FX_NOTE2_EXPECTED,
     },
     "ner": {
         "fx-ner-0004": FX_NER_EXPECTED,
@@ -1159,5 +1181,8 @@ FX_LEFTNOTE_TRAINING = {
     "fx-note-0003": [
         (0, "organization"), (1, "medic"), (2, "phone"),
         (3, "fax"), (4, "email"),
+    ],
+    "fx-note-0021": [
+        (0, "organization"), (1, "medic"), (2, "phone"), (3, "email"),
     ],
 }

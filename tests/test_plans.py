@@ -175,3 +175,25 @@ def test_ann_ivf_probes_are_broadcast(spark):
 
     plan = _plan(sim.q_ann_ivf(spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_window_is_shard_partitioned(spark):
+    """Sequence packing must never materialize a global order: the running-
+    token window is PARTITIONED BY the md5 shard key (hash exchange on
+    shard), with no single-partition exchange anywhere in the plan."""
+    from grobid_clinical_report_spark import mixing
+
+    plan = _plan(mixing.q_pack_sequences(spark, SF))
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_lm_quality_model_is_broadcast(spark):
+    """The 256-row bigram model joins back to the corpus via broadcast —
+    the corpus-sized side must never shuffle on the bigram key. The one
+    SinglePartition exchange allowed is the bounded counts-table total
+    (key space ≤ charset², scale-independent)."""
+    from grobid_clinical_report_spark import textops
+
+    plan = _plan(textops.q_lm_quality(spark, SF))
+    assert "BroadcastHashJoin" in plan
