@@ -169,6 +169,7 @@ def headline() -> dict:
         "langid",
         "quality_score",
         "lm_quality",
+        "corpus_filter",
         "gopher_repetition",
         "decontaminate",
         "kmv_distinct",

@@ -930,8 +930,162 @@ FROM r GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Composite corpus filter (the FineWeb/Gopher-style keep/drop PIPELINE every
+# training-data system runs before tokenization): one decision per document
+# with an auditable REASON BITMASK — a dropped document always says why,
+# which is what makes large-scale filtering debuggable. Signals reuse the
+# individual operators' exact expressions (language vote, token bounds,
+# Gopher repetition, punctuation/stopword quality), so thresholds compose
+# rather than re-derive. Plan shape: one map pass over documents for every
+# per-row signal + the one doc-keyed word aggregation the top-word
+# dominance signal needs (the same bounded shuffle q_gopher_repetition
+# pays); no corpus-wide joins beyond it.
+# ---------------------------------------------------------------------------
+
+FILTER_MIN_TOKENS = 10
+FILTER_MAX_TOKENS = 100_000
+FILTER_MAX_DUP_GRAM_MILLI = 300
+FILTER_MAX_TOP_WORD_MILLI = 200
+FILTER_MIN_QUALITY_MILLI = 20
+# reason bits: 1=target-language mismatch (en must tie-or-beat every other
+# vote, and there must be SOME stopword evidence — zero votes is
+# gibberish), 2=too short, 4=too long, 8=5-gram repetition, 16=top-word
+# dominance, 32=low quality score. Thresholds are corpus-profile tuned
+# (documented): the synthetic tiers' quality_milli median is ~60, so the
+# floor cuts the bottom tail, not the body.
+
+_QUALITY_MILLI = (
+    f"greatest(least(floor(1000 * {_N_STOP} / {_N_TOKS})"
+    f" - floor(500 * {_N_PUNCT} / length({_NORM})), 1000), 0)"
+)
+_D_QUALITY_MILLI = (
+    f"GREATEST(LEAST(FLOOR(1000 * {_DN_STOP} / {_DN_TOKS})"
+    f" - FLOOR(500 * {_DN_PUNCT} / LENGTH({_NORM})), 1000), 0)"
+)
+
+
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = _load_wide(spark, sf_dir, "documents")
+    base = docs.selectExpr(
+        "doc_id",
+        *_lang_scores(),
+        f"cast({_N_TOKS} as bigint) as n_tokens",
+        f"cast({_QUALITY_MILLI} as bigint) as quality_milli",
+        f"size({_WORDS}) as n_words",
+        f"case when size({_WORDS}) >= 5 then size({_GRAM5})"
+        " else 0 end as n_grams",
+        f"case when size({_WORDS}) >= 5 then"
+        f" size(array_distinct({_GRAM5})) else 0 end as n_distinct",
+    ).selectExpr(
+        "doc_id", "s_en", "s_fr", "s_de", "s_es", "n_tokens",
+        "quality_milli", "n_words",
+        "case when n_grams > 0 then"
+        " cast((1000 * (n_grams - n_distinct)) div n_grams as bigint)"
+        " else cast(0 as bigint) end as dup_gram_milli",
+    )
+    top = (
+        docs.selectExpr("doc_id", f"explode({_WORDS}) as w")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max(F.struct("cnt", "w")).alias("m"))
+        .selectExpr("doc_id", "m.cnt as top_cnt")
+    )
+    lang_bad = (
+        "(s_fr > s_en or s_de > s_en or s_es > s_en"
+        " or s_en + s_fr + s_de + s_es = 0)"
+    )
+    top_milli = "(1000 * top_cnt) div n_words"
+    reason = (
+        f"cast(case when {lang_bad} then 1 else 0 end"
+        f" + case when n_tokens < {FILTER_MIN_TOKENS} then 2 else 0 end"
+        f" + case when n_tokens > {FILTER_MAX_TOKENS} then 4 else 0 end"
+        f" + case when dup_gram_milli > {FILTER_MAX_DUP_GRAM_MILLI}"
+        " then 8 else 0 end"
+        f" + case when {top_milli} > {FILTER_MAX_TOP_WORD_MILLI}"
+        " then 16 else 0 end"
+        f" + case when quality_milli < {FILTER_MIN_QUALITY_MILLI}"
+        " then 32 else 0 end as bigint) as reason_mask"
+    )
+    return (
+        base.join(top, "doc_id")
+        .selectExpr(
+            "doc_id", "n_tokens", "quality_milli", "dup_gram_milli",
+            f"cast({top_milli} as bigint) as top_word_milli",
+            reason,
+        )
+        .selectExpr(
+            "doc_id", "n_tokens", "quality_milli", "dup_gram_milli",
+            "top_word_milli", "reason_mask",
+            "reason_mask = 0 as keep",
+        )
+    )
+
+
+ORACLE_CORPUS_FILTER = f"""
+WITH t AS (SELECT doc_id, text, {_NORM} AS nt,
+                  string_split({_NORM}, ' ') AS words FROM documents),
+base AS (
+  SELECT doc_id,
+    CAST(LENGTH(regexp_extract_all(nt, '\\b{_STOP_EN}\\b')) AS BIGINT) AS s_en,
+    CAST(LENGTH(regexp_extract_all(nt, '\\b{_STOP_FR}\\b')) AS BIGINT) AS s_fr,
+    CAST(LENGTH(regexp_extract_all(nt, '\\b{_STOP_DE}\\b')) AS BIGINT) AS s_de,
+    CAST(LENGTH(regexp_extract_all(nt, '\\b{_STOP_ES}\\b')) AS BIGINT) AS s_es,
+    CAST(LENGTH(words) AS BIGINT) AS n_tokens,
+    CAST({_D_QUALITY_MILLI} AS BIGINT) AS quality_milli,
+    LENGTH(words) AS n_words,
+    CASE WHEN LENGTH(words) >= 5 THEN LENGTH(words) - 4 ELSE 0 END
+      AS n_grams,
+    CASE WHEN LENGTH(words) >= 5 THEN (
+      SELECT COUNT(DISTINCT array_to_string(list_slice(words, i, i + 4), ' '))
+      FROM UNNEST(generate_series(1, LENGTH(words) - 4)) AS u(i)
+    ) ELSE 0 END AS n_distinct
+  FROM t
+),
+g AS (
+  SELECT *, CASE WHEN n_grams > 0
+    THEN CAST((1000 * (n_grams - n_distinct)) // n_grams AS BIGINT)
+    ELSE CAST(0 AS BIGINT) END AS dup_gram_milli
+  FROM base
+),
+wc AS (SELECT doc_id, UNNEST(words) AS w FROM t),
+top AS (
+  SELECT doc_id, cnt AS top_cnt FROM (
+    SELECT doc_id, COUNT(*) AS cnt,
+      ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY COUNT(*) DESC, w DESC) AS rk
+    FROM wc GROUP BY doc_id, w
+  ) WHERE rk = 1
+),
+scored AS (
+  SELECT g.doc_id, n_tokens, quality_milli, dup_gram_milli,
+    CAST((1000 * top_cnt) // n_words AS BIGINT) AS top_word_milli,
+    CAST(
+      CASE WHEN (s_fr > s_en OR s_de > s_en OR s_es > s_en
+                 OR s_en + s_fr + s_de + s_es = 0)
+        THEN 1 ELSE 0 END
+      + CASE WHEN n_tokens < {FILTER_MIN_TOKENS} THEN 2 ELSE 0 END
+      + CASE WHEN n_tokens > {FILTER_MAX_TOKENS} THEN 4 ELSE 0 END
+      + CASE WHEN dup_gram_milli > {FILTER_MAX_DUP_GRAM_MILLI}
+        THEN 8 ELSE 0 END
+      + CASE WHEN (1000 * top_cnt) // n_words > {FILTER_MAX_TOP_WORD_MILLI}
+        THEN 16 ELSE 0 END
+      + CASE WHEN quality_milli < {FILTER_MIN_QUALITY_MILLI}
+        THEN 32 ELSE 0 END AS BIGINT) AS reason_mask
+  FROM g JOIN top ON g.doc_id = top.doc_id
+)
+SELECT doc_id, n_tokens, quality_milli, dup_gram_milli, top_word_milli,
+  reason_mask, reason_mask = 0 AS keep
+FROM scored
+"""
+
+
 OPS = {
     "rawtext": q_rawtext,
+    "corpus_filter": q_corpus_filter,
     "guardrail_filter": q_guardrail,
     "dedup_exact": q_exact_dedup,
     "langid": q_langid,
@@ -950,6 +1104,7 @@ OPS = {
 
 ORACLES = {
     "rawtext": ORACLE_RAWTEXT,
+    "corpus_filter": ORACLE_CORPUS_FILTER,
     "guardrail_filter": ORACLE_GUARDRAIL,
     "dedup_exact": ORACLE_EXACT_DEDUP,
     "langid": _oracle_langid(),

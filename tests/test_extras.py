@@ -479,6 +479,40 @@ def test_sample_mix_hits_token_budget(spark):
     assert (merged.to_numpy() <= n_per_src["count"].to_numpy()).all()
 
 
+def test_corpus_filter_reason_semantics(spark, tmp_path):
+    """Composite filter: every dropped doc carries a nonzero reason mask,
+    each bit fires on the document constructed to trip exactly it, and a
+    clean English document passes."""
+    from grobid_clinical_report_spark.textops import q_corpus_filter
+
+    docs = [
+        (0, "the quick brown fox jumped over a lazy dog while birds "
+            "sang in tall green trees and children played near the "
+            "river bank on a warm spring afternoon", "en", "s", 0),
+        (1, "le chat est sur le tapis et la vie est une belle chose "
+            "pour les amis", "fr", "s", 0),            # bit 1 (not en)
+        (2, "word " * 4, "en", "s", 0),                # bit 2 (short) + others
+        (3, "the " + "is the day " * 30, "en", "s", 0),  # repetition-heavy
+        (4, "zzz qqq xxx yyy www vvv uuu ttt sss rrr qq2 pp3",
+         "zh", "s", 0),                                 # no stopword evidence
+    ]
+    pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = (
+        q_corpus_filter(spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert bool(out.loc[0, "keep"]) and out.loc[0, "reason_mask"] == 0
+    assert out.loc[1, "reason_mask"] & 1
+    assert out.loc[2, "reason_mask"] & 2
+    assert out.loc[3, "reason_mask"] & (8 | 16)  # dup grams or dominance
+    assert out.loc[4, "reason_mask"] & 1  # gibberish = no language evidence
+    assert (out.loc[~out["keep"], "reason_mask"] > 0).all()
+
+
 def test_pack_sequences_gapless_and_deterministic(spark):
     """Sequence packing: within every shard the documents tile the token
     stream with NO gaps or overlaps (start positions are exact prefix sums
