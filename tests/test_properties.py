@@ -276,3 +276,32 @@ def test_date_normalization_breadth_property():
         assert got == f"{year:04d}-{month:02d}-{day:02d}", raw
 
     check()
+
+
+def test_adversarial_inputs_never_crash():
+    """Malformed/degenerate documents (empty span lists, null text, media-
+    only, control chars + astral-plane unicode, negative offsets) must flow
+    through every extraction mode without raising, and output cardinality
+    must equal input cardinality (a doc that produces nothing still gets
+    its empty row — the S4 'no blackholed data' contract)."""
+    from grobid_clinical_report_spark import pipeline as pl
+
+    docs = pd.DataFrame([
+        {"doc_id": "empty", "spans": []},
+        {"doc_id": "nulltext",
+         "spans": [{"kind": "text", "text": None,
+                    "media_ref": None, "offset": 0}]},
+        {"doc_id": "onlymedia",
+         "spans": [{"kind": "media", "text": None,
+                    "media_ref": "m/1.png", "offset": 0}]},
+        {"doc_id": "unicode",
+         "spans": [{"kind": "text", "text": "‮\U00010000\x00� ÆØÅ 𝕏𝕐ℤ",
+                    "media_ref": None, "offset": 0}]},
+        {"doc_id": "negoff",
+         "spans": [{"kind": "text", "text": "Bonjour docteur.",
+                    "media_ref": None, "offset": -5}]},
+    ])
+    for mode in ["extract_full", "extract_header", "extract_leftnote", "ner"]:
+        out = pl._run_pdf(docs, mode)
+        assert len(out) == len(docs), mode
+        assert set(out["doc_id"]) == set(docs["doc_id"]), mode
