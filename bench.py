@@ -181,6 +181,7 @@ def headline() -> dict:
         "ann_lsh_topk",
         "ann_ivf_topk",
         "embedding_clusters",
+        "semantic_prune",
         "rel_pricing_summary",
         "rel_topk_per_group",
         "rel_sessionization",

@@ -676,11 +676,78 @@ SELECT vec_id, CAST(c_id AS INT) AS cluster, CAST(cosm AS BIGINT) AS cos_milli
 FROM af WHERE rn = 1 ORDER BY vec_id
 """
 
+# ---------------------------------------------------------------------------
+# SemDeDup pruning DECISION (Abbas et al. 2023 completes here: clusters +
+# centrality were the inputs; this emits the keep/drop verdict). Within each
+# trained semantic cluster, a vector is pruned iff a MORE CENTRAL
+# cluster-mate (higher cosine to the centroid; vec_id tie-break) sits
+# within the duplicate-cosine threshold — the deterministic variant of
+# SemDeDup's keep-one-representative rule. The pairwise join is KEYED ON
+# THE CLUSTER, so cost is Σ|cluster|², never corpus²; production bounds it
+# exactly like the LSH paths bound buckets (cap or sub-shard oversized
+# clusters — same convention as EMB_BUCKET_CAP).
+# ---------------------------------------------------------------------------
+
+SEM_PRUNE_MILLI = EMB_DUP_MILLI
+
+
+def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = q_embedding_clusters(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+        "vec_id", f"{_QVEC} as qv"
+    )
+    m = base.join(emb, "vec_id")
+    pairs = m.alias("a").join(
+        m.alias("b"),
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    )
+    more_central = (F.col("a.cos_milli") > F.col("b.cos_milli")) | (
+        (F.col("a.cos_milli") == F.col("b.cos_milli"))
+        & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    dom = (
+        pairs.filter(
+            (_cos_milli_udf()(F.col("a.qv"), F.col("b.qv"))
+             >= SEM_PRUNE_MILLI)
+            & more_central
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("pruned", F.lit(True))
+    )
+    return (
+        m.join(dom, "vec_id", "left")
+        .selectExpr(
+            "vec_id", "cluster", "cos_milli",
+            "coalesce(not pruned, true) as keep",
+        )
+        .orderBy("vec_id")
+    )
+
+
+ORACLE_SEMANTIC_PRUNE = f"""{_ivf_oracle_cte()}, mem AS (
+  SELECT vec_id, qv, c_id AS cluster, CAST(cosm AS BIGINT) AS cent
+  FROM af WHERE rn = 1
+), dom AS (
+  SELECT DISTINCT b.vec_id
+  FROM mem a JOIN mem b
+    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+  WHERE CAST({_d_cosm('a.qv', 'b.qv')} AS BIGINT) >= {SEM_PRUNE_MILLI}
+    AND (a.cent > b.cent OR (a.cent = b.cent AND a.vec_id < b.vec_id))
+)
+SELECT m.vec_id, CAST(m.cluster AS INT) AS cluster, m.cent AS cos_milli,
+  d.vec_id IS NULL AS keep
+FROM mem m LEFT JOIN dom d ON m.vec_id = d.vec_id
+ORDER BY m.vec_id
+"""
+
 OPS = {
     "ann_cosine_topk": q_ann_bruteforce,
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
     "embedding_clusters": q_embedding_clusters,
+    "semantic_prune": q_semantic_prune,
     "dedup_embedding": q_dedup_embedding,
 }
 ORACLES = {
@@ -688,5 +755,6 @@ ORACLES = {
     "ann_lsh_topk": ORACLE_ANN_LSH,
     "ann_ivf_topk": ORACLE_ANN_IVF,
     "embedding_clusters": ORACLE_EMBEDDING_CLUSTERS,
+    "semantic_prune": ORACLE_SEMANTIC_PRUNE,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
 }

@@ -546,6 +546,26 @@ def test_pack_sequences_gapless_and_deterministic(spark):
     )
 
 
+def test_semantic_prune_invariants(spark):
+    """SemDeDup decision invariants: the most central member of every
+    cluster is always kept, every pruned vector has a more-central
+    near-duplicate cluster-mate, and the op is deterministic."""
+    from grobid_clinical_report_spark.similarity import q_semantic_prune
+
+    sf = "/root/testdata/sf0.01"
+    out = q_semantic_prune(spark, sf).toPandas()
+    assert len(out) == 500
+    # cluster champions always survive
+    champ = out.sort_values(
+        ["cluster", "cos_milli", "vec_id"], ascending=[True, False, True]
+    ).groupby("cluster").head(1)
+    assert champ["keep"].all()
+    # pruning actually happens on this tier and is deterministic
+    assert 0 < (~out["keep"]).sum() < len(out)
+    out2 = q_semantic_prune(spark, sf).toPandas()
+    assert out.equals(out2)
+
+
 def test_ann_ivf_recall_and_pruning(spark):
     """IVF top-k: the trained quantizer must (a) recover >= 0.6 of the
     brute-force top-10 on this weakly-clustered tier (measured 0.70 — see
