@@ -242,3 +242,133 @@ def stream_dedup_extract(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# stateful streaming: GAP-BASED SESSION WINDOWS (applyInPandasWithState) —
+# the streaming twin of relational.q_event_sessionization's lag+cumsum.
+# ---------------------------------------------------------------------------
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+SESSION_OUT_DDL = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long"
+)
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    gap_minutes: int = 30,
+    checkpoint_dir: str | None = None,
+    late_threshold: str = "10 minutes",
+    max_files_per_trigger: int = 1,
+):
+    """Streaming session windows: consecutive events of a user belong to one
+    session while their gap stays within ``gap_minutes``; a session CLOSES
+    when a later event of the same user exceeds the gap (emitted
+    immediately) or when the WATERMARK passes its end + gap (event-time
+    timeout — no later event can reopen it). This is the custom stateful
+    operator shape for the semantics Spark's `session_window` provides for
+    AGGREGATES; keeping it in `applyInPandasWithState` makes the state
+    explicit (one open session per user — O(active users), bounded) and
+    the emission rule auditable. State is hash-partitioned by user_id
+    across executors; skewed users cost one group's rows per micro-batch,
+    never a shuffle of history. Per-group math is vectorized numpy over
+    the micro-batch's rows (diff → boundary cumsum), not per-event Python.
+    Output epochs are overwrite-idempotent like stream_extract.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_ms = gap_minutes * 60 * 1000
+    checkpoint_dir = checkpoint_dir or os.path.join(output_dir, "_checkpoint")
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .withWatermark("ts", late_threshold)
+    )
+
+    def sessions(key, pdfs, state):
+        (user_id,) = key
+
+        def emit(rows):
+            return pd.DataFrame(
+                {
+                    "user_id": np.int64(user_id),
+                    "session_start": pd.to_datetime(
+                        [r[0] for r in rows], unit="ms"
+                    ),
+                    "session_end": pd.to_datetime(
+                        [r[1] for r in rows], unit="ms"
+                    ),
+                    "n_events": np.array([r[2] for r in rows], np.int64),
+                }
+            )
+
+        if state.hasTimedOut:
+            s, e, n = state.get
+            state.remove()
+            yield emit([(s, e, n)])
+            return
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        rows = pd.concat(parts).sort_values(["ts", "event_id"])
+        ts = (rows["ts"].astype("int64") // 1_000_000).to_numpy()  # ms
+        cnt = np.ones(len(ts), dtype=np.int64)
+        if state.exists:
+            s0, e0, n0 = state.get
+            ts = np.concatenate(([e0], ts))
+            cnt = np.concatenate(([n0], cnt))
+            starts0 = np.concatenate(([s0], ts[1:]))
+        else:
+            starts0 = ts.copy()
+        new_sess = np.concatenate(([True], np.diff(ts) > gap_ms))
+        sess_id = np.cumsum(new_sess) - 1
+        bounds = np.concatenate((np.flatnonzero(new_sess), [len(ts)]))
+        closed = []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            # end = max (not last): a late event inside the watermark may
+            # sort before the open session's carried end
+            rec = (
+                int(starts0[lo]),
+                int(ts[lo:hi].max()),
+                int(cnt[lo:hi].sum()),
+            )
+            if i < len(bounds) - 2:
+                closed.append(rec)
+            else:
+                state.update(rec)
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(rec[1] + gap_ms, wm + 1))
+        _ = sess_id
+        if closed:
+            yield emit(closed)
+
+    sessed = stream.groupBy("user_id").applyInPandasWithState(
+        sessions,
+        outputStructType=SESSION_OUT_DDL,
+        stateStructType="start long, end long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+    def process(batch_df, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(output_dir, "sessions", f"epoch={epoch_id}")
+        )
+
+    return (
+        sessed.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

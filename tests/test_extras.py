@@ -696,3 +696,71 @@ def test_streaming_watermarked_window_counts(spark, tmp_path):
     )
     mism = j.filter("s.n_events <> b.n_events").count()
     assert mism == 0
+
+
+def test_streaming_sessionization(spark, tmp_path):
+    """Gap-session stateful operator: in-gap events merge, a gap closes the
+    session immediately, and the watermark advancing (second micro-batch,
+    maxFilesPerTrigger=1) flushes open sessions via event-time timeout.
+    Sessions must match the hand-computed expectation (which the batch
+    lag+cumsum twin rel_sessionization also produces)."""
+    import glob
+    import shutil
+
+    from grobid_clinical_report_spark.streaming import stream_sessionize
+
+    in_dir = tmp_path / "ev"
+    out_dir = str(tmp_path / "out")
+    in_dir.mkdir()
+    t0 = pd.Timestamp("2026-01-01 08:00:00")
+    mins = pd.Timedelta(minutes=1)
+
+    def rows(specs):
+        return pd.DataFrame(
+            [
+                {"event_id": i, "ts": t0 + m * mins, "user_id": u,
+                 "event_type": "clk", "value": 1.0, "props": ""}
+                for i, (u, m) in enumerate(specs)
+            ]
+        )
+
+    # batch 0: user 1 → events at 0,10,20 min (one session);
+    #          user 2 → events at 0 and 45 min (gap>30 → two sessions,
+    #          the first closes IN-BATCH, the second stays open)
+    b0 = rows([(1, 0), (1, 10), (1, 20), (2, 0), (2, 45)])
+    # batch 1: far-future event pushes the watermark past every open
+    # session's end + gap → timeouts flush users 1 and 2
+    b1 = rows([(9, 3000)])
+    spark.createDataFrame(b0).coalesce(1).write.parquet(
+        str(in_dir / "batch0")
+    )
+    for f in glob.glob(str(in_dir / "batch0" / "part*")):
+        shutil.move(f, str(in_dir / "b0.parquet"))
+    q = stream_sessionize(spark, str(in_dir), out_dir, gap_minutes=30,
+                          late_threshold="1 minute")
+    q.awaitTermination()
+    spark.createDataFrame(b1).coalesce(1).write.parquet(
+        str(in_dir / "batch1")
+    )
+    for f in glob.glob(str(in_dir / "batch1" / "part*")):
+        shutil.move(f, str(in_dir / "b1.parquet"))
+    q = stream_sessionize(spark, str(in_dir), out_dir, gap_minutes=30,
+                          late_threshold="1 minute")
+    q.awaitTermination()
+
+    got = (
+        spark.read.parquet(os.path.join(out_dir, "sessions", "epoch=*"))
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    sessions = {
+        (r.user_id, r.session_start.minute + 60 * r.session_start.hour,
+         r.session_end.minute + 60 * r.session_end.hour, r.n_events)
+        for r in got.itertuples()
+    }
+    h = 8 * 60
+    assert (1, h + 0, h + 20, 3) in sessions      # user 1, merged in-gap
+    assert (2, h + 0, h + 0, 1) in sessions       # user 2 first (gap-closed)
+    assert (2, h + 45, h + 45, 1) in sessions     # user 2 second (timeout)
+    assert len(got[got.user_id.isin([1, 2])]) == 3
