@@ -683,22 +683,30 @@ FROM af WHERE rn = 1 ORDER BY vec_id
 # cluster-mate (higher cosine to the centroid; vec_id tie-break) sits
 # within the duplicate-cosine threshold — the deterministic variant of
 # SemDeDup's keep-one-representative rule. The pairwise join is KEYED ON
-# THE CLUSTER, so cost is Σ|cluster|², never corpus²; production bounds it
-# exactly like the LSH paths bound buckets (cap or sub-shard oversized
-# clusters — same convention as EMB_BUCKET_CAP).
+# THE CLUSTER, so cost is Σ|cluster|², never corpus² — and like the LSH
+# paths' bucket caps, clusters wider than SEM_CLUSTER_CAP are EXCLUDED
+# from pairing (their members are all kept): a degenerate mega-cluster
+# (one centroid swallowing the corpus) must bound join cost, not explode
+# it. The cap is enforced in BOTH engines so the oracle stays exact.
 # ---------------------------------------------------------------------------
 
 SEM_PRUNE_MILLI = EMB_DUP_MILLI
+SEM_CLUSTER_CAP = 256
 
 
 def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     base = q_embedding_clusters(spark, sf_dir)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
         "vec_id", f"{_QVEC} as qv"
     )
     m = base.join(emb, "vec_id")
-    pairs = m.alias("a").join(
-        m.alias("b"),
+    sized = m.withColumn(
+        "_csz", F.count("*").over(Window.partitionBy("cluster"))
+    ).filter(F.col("_csz") <= SEM_CLUSTER_CAP).drop("_csz")
+    pairs = sized.alias("a").join(
+        sized.alias("b"),
         (F.col("a.cluster") == F.col("b.cluster"))
         & (F.col("a.vec_id") != F.col("b.vec_id")),
     )
@@ -729,9 +737,13 @@ def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SEMANTIC_PRUNE = f"""{_ivf_oracle_cte()}, mem AS (
   SELECT vec_id, qv, c_id AS cluster, CAST(cosm AS BIGINT) AS cent
   FROM af WHERE rn = 1
+), small AS (
+  SELECT * FROM mem WHERE cluster IN (
+    SELECT cluster FROM mem GROUP BY cluster
+    HAVING COUNT(*) <= {SEM_CLUSTER_CAP})
 ), dom AS (
   SELECT DISTINCT b.vec_id
-  FROM mem a JOIN mem b
+  FROM small a JOIN small b
     ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
   WHERE CAST({_d_cosm('a.qv', 'b.qv')} AS BIGINT) >= {SEM_PRUNE_MILLI}
     AND (a.cent > b.cent OR (a.cent = b.cent AND a.vec_id < b.vec_id))
