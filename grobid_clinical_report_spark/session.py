@@ -46,3 +46,24 @@ def get_spark(
         .config("spark.sql.files.openCostInBytes", "1m")
         .getOrCreate()
     )
+
+
+def materialize(df, name: str):
+    """Reuse point for a DataFrame consumed by several downstream branches.
+
+    Default: `.cache()` — correct and cheap in local/sandbox runs. With
+    SPARK_GRAFT_MATERIALIZE_DIR set, the DataFrame is WRITTEN to parquet
+    under that directory and read back — the production shape for corpus-
+    sized intermediates (a cached corpus-sized table evicts under memory
+    pressure and silently recomputes its whole subtree per consumer; a
+    materialized table is computed exactly once and scan-shareable). Every
+    multi-consumer intermediate in this repo (MinHash shingle tables, LSH
+    signatures, bigram explosions) routes through here, so flipping the env
+    var exercises the at-scale plan end-to-end.
+    """
+    base = os.environ.get("SPARK_GRAFT_MATERIALIZE_DIR")
+    if not base:
+        return df.cache()
+    path = os.path.join(base, name)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)

@@ -196,9 +196,12 @@ def _sig_expr_duck(j: int) -> str:
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    from .session import materialize
+
     sigs = _sigs_df(spark, sf_dir)
-    # one cheap narrow cache: signatures are recomputed for both sides else
-    sigs = sigs.cache()
+    # multi-consumer intermediate: cache locally, parquet at scale
+    # (SPARK_GRAFT_MATERIALIZE_DIR switches — session.materialize)
+    sigs = materialize(sigs, "lsh_sigs")
 
     # candidate side: one (table, bucket) row per vector per table
     cand_rows = sigs.selectExpr(
@@ -333,7 +336,9 @@ def _cos_milli_udf():
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    sigs = _sigs_df(spark, sf_dir).cache()
+    from .session import materialize
+
+    sigs = materialize(_sigs_df(spark, sf_dir), "emb_dedup_sigs")
     rows = sigs.selectExpr(
         "vec_id",
         "posexplode(array("

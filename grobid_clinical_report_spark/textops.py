@@ -398,10 +398,12 @@ def _neardup_candidates(docs: DataFrame):
     shingled = rep.selectExpr(
         "doc_id", "split(norm, ' ') as w"
     ).selectExpr("doc_id", f"array_distinct({_SHINGLES_OF_W}) as sha")
-    # four downstream consumers (bands, x-side, y-side, sizes) — cache the
+    # four downstream consumers (bands, x-side, y-side, sizes) — reuse the
     # shingle table instead of recomputing the tokenize+window subtree per
-    # branch (at production scale this is a materialized intermediate table)
-    shingled = shingled.cache()
+    # branch: cache locally, parquet at scale (session.materialize)
+    from .session import materialize
+
+    shingled = materialize(shingled, "neardup_shingles")
 
     # 2. b×r banding: band j = hash of minhashes [j*r, (j+1)*r)
     band_exprs = ", ".join(
@@ -549,9 +551,13 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # distinct within doc: a window repeated INSIDE one document is
     # gopher_repetition's business, not cross-doc duplication
-    sh = base.selectExpr(
-        "doc_id", f"array_distinct({_SUBWINS_OF_W}) as hs"
-    ).cache()  # three consumers (flat x2, sizes); materialized table at scale
+    from .session import materialize
+
+    # three consumers (flat x2, sizes): cache locally, parquet at scale
+    sh = materialize(
+        base.selectExpr("doc_id", f"array_distinct({_SUBWINS_OF_W}) as hs"),
+        "substring_windows",
+    )
     flat = sh.selectExpr("doc_id", "explode(hs) as h")
     shared = (
         flat.groupBy("h")
@@ -643,10 +649,13 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = _load_wide(spark, sf_dir, "documents")
-    # cached: consumed by both the model build and the scoring join; at real
-    # scale this is a materialized intermediate table written once (same
-    # stand-in convention as similarity.py's signature cache)
-    bi = docs.selectExpr("doc_id", f"explode({_BIGRAMS}) as bg").cache()
+    # consumed by both the model build and the scoring join: cache locally,
+    # parquet at scale (session.materialize switches on env)
+    from .session import materialize
+
+    bi = materialize(
+        docs.selectExpr("doc_id", f"explode({_BIGRAMS}) as bg"), "lm_bigrams"
+    )
     counts = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
     # deterministic top-K: (count desc, bigram asc); the window is a single
     # task over ≤ charset² rows — scale-independent. Partition key

@@ -764,3 +764,38 @@ def test_streaming_sessionization(spark, tmp_path):
     assert (2, h + 0, h + 0, 1) in sessions       # user 2 first (gap-closed)
     assert (2, h + 45, h + 45, 1) in sessions     # user 2 second (timeout)
     assert len(got[got.user_id.isin([1, 2])]) == 3
+
+
+def test_materialized_intermediates_match_cached(spark, tmp_path,
+                                                 monkeypatch):
+    """Every multi-consumer intermediate routes through session.materialize:
+    with SPARK_GRAFT_MATERIALIZE_DIR set it becomes a real parquet table
+    (the production shape) instead of .cache(). Results must be identical
+    on a representative query from each family that uses it."""
+    from grobid_clinical_report_spark.similarity import q_dedup_embedding
+    from grobid_clinical_report_spark.textops import (
+        q_lm_quality, q_neardup_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cached = {
+        "neardup": q_neardup_pairs(spark, sf).toPandas(),
+        "lm": q_lm_quality(spark, sf).toPandas(),
+        "emb": q_dedup_embedding(spark, sf).toPandas(),
+    }
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE_DIR", str(tmp_path / "mat"))
+    mat = {
+        "neardup": q_neardup_pairs(spark, sf).toPandas(),
+        "lm": q_lm_quality(spark, sf).toPandas(),
+        "emb": q_dedup_embedding(spark, sf).toPandas(),
+    }
+    for k in cached:
+        a = cached[k].sort_values(list(cached[k].columns)).reset_index(
+            drop=True
+        )
+        b = mat[k][a.columns].sort_values(list(a.columns)).reset_index(
+            drop=True
+        )
+        assert a.equals(b), k
+    # the parquet tables really exist (the env var was honored)
+    assert (tmp_path / "mat" / "lm_bigrams").exists()
