@@ -460,6 +460,26 @@ FX_NER2_EXPECTED = [
     ("pathology", "bronchiolite", None),
 ]
 
+# fx-ner-0022 — NER vocabulary breadth (fax/location/persType — the three
+# reference NER labels the r1-r4 vocabulary lacked; FrenchMedicalNERParser
+# writeField tags, MedicalLabels.java:270-296): fax/phone numbers via
+# keyword windows, out-of-gazetteer toponym location, standalone
+# person-type mentions (not titles attached to a name)
+FX_NER3_LINES = [
+    ("text", "Fax : 01 45 17 80 01. Transfert vers Paris prévu.", None),
+    ("text",
+     "La patiente est stable. Appelez le médecin au Tél : 01 42 16 10 00.",
+     None),
+]
+
+FX_NER3_EXPECTED = [
+    ("fax", "01 45 17 80 01", None),
+    ("location", "Paris", None),
+    ("perstype", "patiente", None),
+    ("perstype", "médecin", None),
+    ("phone", "01 42 16 10 00", None),
+]
+
 # fx-caption-0017 — multi-line caption re-labeling (processShort analog,
 # FullMedicalTextParser.java:270-317): the caption continuation line (open
 # sentence) fuses into the figure span; the SHORT trailing sentence after
@@ -629,6 +649,7 @@ FIXTURE_DOCS = {
     "fx-medic-0016": [("text", FX_MEDIC2_TEXT, None)],
     "fx-caption-0017": FX_CAPTION_LINES,
     "fx-ner-0018": FX_NER2_LINES,
+    "fx-ner-0022": FX_NER3_LINES,
 }
 
 # pipeline mode → (fixture doc_id, expected span list)
@@ -657,6 +678,7 @@ FIXTURE_EXPECTED = {
     "ner": {
         "fx-ner-0004": FX_NER_EXPECTED,
         "fx-ner-0018": FX_NER2_EXPECTED,
+        "fx-ner-0022": FX_NER3_EXPECTED,
     },
     "parse_dateline": {
         "fx-dateline-0005": FX_DATELINE_EXPECTED,
@@ -1114,6 +1136,38 @@ FX_NER_TRAINING = {
         (1, 1, "de", "other"),
         (1, 2, "bronchiolite", "pathology"),
         (1, 3, ".", "other"),
+    ],
+    "fx-ner-0022": [
+        (0, 0, "Fax", "other"),
+        (0, 1, ":", "other"),
+        (0, 2, "01", "fax"),
+        (0, 3, "45", "fax"),
+        (0, 4, "17", "fax"),
+        (0, 5, "80", "fax"),
+        (0, 6, "01", "fax"),
+        (0, 7, ".", "other"),
+        (0, 8, "Transfert", "other"),
+        (0, 9, "vers", "other"),
+        (0, 10, "Paris", "location"),
+        (0, 11, "prévu", "other"),
+        (0, 12, ".", "other"),
+        (1, 0, "La", "other"),
+        (1, 1, "patiente", "perstype"),
+        (1, 2, "est", "other"),
+        (1, 3, "stable", "other"),
+        (1, 4, ".", "other"),
+        (1, 5, "Appelez", "other"),
+        (1, 6, "le", "other"),
+        (1, 7, "médecin", "perstype"),
+        (1, 8, "au", "other"),
+        (1, 9, "Tél", "other"),
+        (1, 10, ":", "other"),
+        (1, 11, "01", "phone"),
+        (1, 12, "42", "phone"),
+        (1, 13, "16", "phone"),
+        (1, 14, "10", "phone"),
+        (1, 15, "00", "phone"),
+        (1, 16, ".", "other"),
     ],
 }
 

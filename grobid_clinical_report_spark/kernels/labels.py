@@ -109,10 +109,11 @@ ORG_LABELS = [
 
 # --- French medical NER (MedicalLabels.java:80-93, 269-296) ------------------
 NER_LABELS = [
-    "age", "anatomy", "date", "device", "dose", "email", "idno", "idtype",
-    "living", "measure", "medicament", "object", "orgname", "pathology",
-    "persname", "phone", "physiology", "procedure", "rolename", "substance",
-    "symptom", "time", "treatment", "unit", "value", "web", "other",
+    "age", "anatomy", "date", "device", "dose", "email", "fax", "idno",
+    "idtype", "living", "location", "measure", "medicament", "object",
+    "orgname", "pathology", "persname", "perstype", "phone", "physiology",
+    "procedure", "rolename", "substance", "symptom", "time", "treatment",
+    "unit", "value", "web", "other",
 ]
 
 ALL_MODEL_LABELS = {

@@ -60,6 +60,24 @@ def ner_emissions(t: pd.DataFrame) -> np.ndarray:
     em[:, _IX["persname"]] += 2.0 * (t["is_cap"] | t["is_allcaps"]).to_numpy()
     em[:, _IX["persname"]] += 4.0 * (t["is_period"] & t["prev_abbrev"]).to_numpy()
     em[:, _IX["rolename"]] += 3.0 * t["is_role"].to_numpy()
+    # fax/phone numbers: digit tokens inside the Fax/Tél keyword window
+    # (FrenchMedicalNERParser <fax>/<phone>; the keyword itself stays other)
+    num = t["is_num"].to_numpy()
+    em[:, _IX["fax"]] += 6.0 * (num & t["near_fax_kw"].to_numpy())
+    em[:, _IX["phone"]] += 6.0 * (
+        num & t["near_tel_kw"].to_numpy() & ~t["near_fax_kw"].to_numpy()
+    )
+    # location: gazetteer city or toponym-suffix morphology (<location>)
+    em[:, _IX["location"]] += 4.0 * (t["is_city"] | t["suf_city"]).to_numpy()
+    # person-TYPE mentions ('la patiente', 'le médecin') — standalone
+    # descriptors, NOT titles attached to a following name (<persType>)
+    perstype_word = t["low"].isin(
+        ["patient", "patiente", "patients", "patientes", "médecin",
+         "medecin", "médecins", "infirmier", "infirmière"]
+    ).to_numpy()
+    em[:, _IX["perstype"]] += 6.0 * (
+        perstype_word & ~t["next_is_cap"].to_numpy()
+    )
 
     # age: '50 ans'
     same_line = t["line_key"].eq(t["line_key"].shift(-1))

@@ -107,6 +107,22 @@ def token_features(toks: pd.DataFrame) -> pd.DataFrame:
         next_same[:-1] = lk[:-1] == lk[1:]
     f["prev_is_month"] = np.roll(f["is_month"], 1) & same_line
     f["next_is_month"] = np.roll(f["is_month"], -1) & next_same
+    f["next_is_cap"] = np.roll(f["is_cap"], -1) & next_same
+
+    # distance-bounded keyword windows (same line, ≤8 tokens after the
+    # keyword): number runs after 'Fax'/'Tél' are fax/phone numbers — the
+    # reference NER's <fax>/<phone> context features
+    idx = np.arange(n, dtype=np.int64)
+    line_open = np.maximum.accumulate(np.where(~same_line, idx, -1))
+
+    def _kw_window(kw: np.ndarray, width: int = 8) -> np.ndarray:
+        last = np.maximum.accumulate(np.where(kw, idx, -1))
+        return (last >= line_open) & (idx - last <= width) & (idx > last)
+
+    f["near_fax_kw"] = _kw_window(ISIN({"fax"}))
+    f["near_tel_kw"] = _kw_window(
+        ISIN({"tél", "tel", "téléphone", "telephone"})
+    )
     # sentence-final period: a hard cluster boundary (vs. 'Pr.' abbreviation
     # periods which continue the name)
     f["is_sent_period"] = f["is_period"] & ~f["prev_abbrev"]
