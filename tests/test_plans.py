@@ -197,3 +197,15 @@ def test_lm_quality_model_is_broadcast(spark):
 
     plan = _plan(textops.q_lm_quality(spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_filter_plan_hygiene(spark):
+    """The composite filter's only shuffles are the doc-keyed word
+    aggregation (with map-side partial aggregation) and its join back —
+    no broadcast-nested-loop, no cartesian product."""
+    from grobid_clinical_report_spark import textops
+
+    plan = _plan(textops.q_corpus_filter(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan

@@ -305,3 +305,60 @@ def test_adversarial_inputs_never_crash():
         out = pl._run_pdf(docs, mode)
         assert len(out) == len(docs), mode
         assert set(out["doc_id"]) == set(docs["doc_id"]), mode
+
+
+def test_pack_sequences_property_random_corpora(spark, tmp_path):
+    """Packing invariants on randomized corpora (hypothesis): per shard the
+    documents tile the token stream exactly (gapless prefix sums), every
+    offset < the pack budget, and totals conserve."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from grobid_clinical_report_spark.mixing import (
+        PACK_SEQ_TOKENS, q_pack_sequences,
+    )
+
+    case = {"n": 0}
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        n_docs=st.integers(5, 60),
+        seed=st.integers(0, 2**16),
+        max_words=st.integers(1, 400),
+    )
+    def check(n_docs, seed, max_words):
+        rng = np.random.default_rng(seed)
+        texts = [
+            " ".join(f"w{rng.integers(50)}" for _ in range(rng.integers(1, max_words + 1)))
+            for _ in range(n_docs)
+        ]
+        d = str(tmp_path / f"c{case['n']}")
+        case["n"] += 1
+        import os
+
+        os.makedirs(d, exist_ok=True)
+        pd.DataFrame(
+            {
+                "doc_id": np.arange(n_docs, dtype=np.int64),
+                "text": texts,
+                "lang": "fr",
+                "source": "s",
+                "n_chars": [len(t) for t in texts],
+            }
+        ).to_parquet(os.path.join(d, "documents.parquet"))
+        out = q_pack_sequences(spark, d).toPandas()
+        assert len(out) == n_docs
+        assert (out["pack_offset"] < PACK_SEQ_TOKENS).all()
+        g = out.sort_values(["shard", "pack_id", "pack_offset"])
+        for _, grp in g.groupby("shard"):
+            starts = (
+                grp["pack_id"].to_numpy() * PACK_SEQ_TOKENS
+                + grp["pack_offset"].to_numpy()
+            )
+            expect = np.concatenate(
+                [[0], np.cumsum(grp["n_tokens"].to_numpy())[:-1]]
+            )
+            assert (starts == expect).all()
+
+    check()
