@@ -327,8 +327,8 @@ Measurement notes (honest caveats, profiled in round 1):
   otherwise idle (this host has co-tenants: load spikes to ~7 with nothing
   running in this VM). Observed warm range for the 1→4 pair: 0.83-0.99
   (round 1), 0.85-1.07 (round 2), 0.80-1.03 (round 3, low end measured
-  under external load 5+), 0.843 (round 4, measured under moderate
-  co-tenant load); every run clears the 0.8 target.
+  under external load 5+), 0.843-0.967 (round 4 — 0.843 under moderate
+  co-tenant load, 0.967 idle); every run clears the 0.8 target.
 - Data scaling (round 4 sf1 tier): the identical job at 10× the corpus
   (200k docs) holds per-doc throughput within a few percent of sf0.1 on
   an idle box (5266 vs 5371 docs/s), and the near-dup banding pipeline
