@@ -164,6 +164,7 @@ def headline() -> dict:
         "dedup_minhash",
         "dedup_simhash",
         "dedup_neardup_pairs",
+        "dedup_components",
         "dedup_substring",
         "dedup_embedding",
         "langid",

@@ -1092,6 +1092,87 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------------------------
+# Near-dup CONNECTED COMPONENTS (the step between pair generation and the
+# dedup action: 'keep one per cluster' needs the transitive clusters, and
+# pairs alone under-merge — a~b, b~c must collapse to one component even
+# when a~c never cleared the Jaccard bar). Iterative min-label propagation
+# over the pair graph, run TO FIXPOINT with a driver-side convergence check
+# (each iteration is one bounded join on the pair table — ≪ corpus —
+# and the iteration count is the graph diameter, small for dup clusters).
+# Deterministic: the component id is the min doc_id reachable, which the
+# DuckDB recursive-CTE oracle computes exactly — so convergence itself is
+# oracle-verified, not assumed.
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ITERS = 20
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    pairs = q_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # symmetric edge list + self-loops; cached — every iteration joins it
+    from .session import materialize
+
+    edges = materialize(
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        ).distinct(),
+        "cc_edges",
+    )
+    labels = edges.select(F.col("doc_a").alias("doc")).distinct().withColumn(
+        "lab", F.col("doc")
+    )
+    for i in range(_CC_MAX_ITERS):
+        nxt = (
+            labels.join(edges, labels["doc"] == edges["doc_a"])
+            .select(F.col("doc_b").alias("doc"), "lab")
+            .union(labels)
+            .groupBy("doc")
+            .agg(F.min("lab").alias("lab"))
+        )
+        # materialize FIRST (alternating names so an iteration never reads
+        # the path it writes), then probe convergence: changed = rows whose
+        # label improved (anti-join on equality) — a tiny driver count
+        nxt = materialize(nxt, f"cc_labels_{i % 2}")
+        changed = (
+            nxt.alias("n")
+            .join(
+                labels.alias("o"),
+                (F.col("n.doc") == F.col("o.doc"))
+                & (F.col("n.lab") == F.col("o.lab")),
+                "left_anti",
+            )
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return labels.selectExpr(
+        "doc as doc_id", "lab as component"
+    ).orderBy("doc_id")
+
+
+def _oracle_components() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_oracle_neardup()}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(doc, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc
+)
+SELECT doc AS doc_id, CAST(MIN(lab) AS BIGINT) AS component
+FROM reach GROUP BY doc ORDER BY doc
+"""
+
+
 OPS = {
     "rawtext": q_rawtext,
     "corpus_filter": q_corpus_filter,
@@ -1108,6 +1189,7 @@ OPS = {
     "dedup_minhash": q_minhash,
     "dedup_simhash": q_simhash,
     "dedup_neardup_pairs": q_neardup_pairs,
+    "dedup_components": q_dedup_components,
     "dedup_substring": q_substring_dedup,
 }
 
@@ -1127,5 +1209,6 @@ ORACLES = {
     "dedup_minhash": _oracle_minhash(),
     "dedup_simhash": _oracle_simhash(),
     "dedup_neardup_pairs": _oracle_neardup(),
+    "dedup_components": _oracle_components(),
     "dedup_substring": ORACLE_SUBSTRING_DEDUP,
 }

@@ -799,3 +799,39 @@ def test_materialized_intermediates_match_cached(spark, tmp_path,
         assert a.equals(b), k
     # the parquet tables really exist (the env var was honored)
     assert (tmp_path / "mat" / "lm_bigrams").exists()
+
+
+def test_dedup_components_transitive(spark, tmp_path):
+    """Connected components must merge transitively: a chain of pairwise
+    near-duplicates collapses to ONE component even when the chain's
+    endpoints never cleared the pair threshold themselves."""
+    from grobid_clinical_report_spark.textops import (
+        q_dedup_components, q_neardup_pairs,
+    )
+
+    base = ("le patient presente une douleur thoracique aigue depuis "
+            "trois jours avec fievre et toux persistante malgre le "
+            "traitement antibiotique initial prescrit par le medecin "
+            "traitant lors de la consultation precedente au cabinet "
+            "avant son admission aux urgences pour un bilan complet "
+            "avec radiographie et analyses sanguines detaillees").split()
+    docs = []
+    for i in range(5):  # cumulative 2-word mutations: adjacent docs stay
+        w = list(base)   # near-dups, the endpoints drift far apart
+        for j in range(2 * i):
+            w[j] = f"mut{j}"
+        docs.append((i, " ".join(w), "fr", "s", 0))
+    docs.append((99, "texte totalement different sans aucun rapport ni "
+                     "vocabulaire commun avec la chaine precedente du tout "
+                     "vraiment rien de partage ici", "fr", "s", 0))
+    pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    comp = q_dedup_components(spark, str(tmp_path)).toPandas()
+    chain = comp[comp.doc_id < 10]
+    assert len(chain) == 5
+    assert chain["component"].nunique() == 1
+    assert 99 not in set(comp.doc_id)  # isolated doc has no component row
+    # the endpoints are NOT a direct pair (transitivity did the merge)
+    pairs = q_neardup_pairs(spark, str(tmp_path)).toPandas()
+    assert not ((pairs.doc_a == 0) & (pairs.doc_b == 4)).any()
