@@ -774,7 +774,7 @@ def test_materialized_intermediates_match_cached(spark, tmp_path,
     on a representative query from each family that uses it."""
     from grobid_clinical_report_spark.similarity import q_dedup_embedding
     from grobid_clinical_report_spark.textops import (
-        q_lm_quality, q_neardup_pairs,
+        q_dedup_components, q_lm_quality, q_neardup_pairs,
     )
 
     sf = "/root/testdata/sf0.001"
@@ -782,12 +782,14 @@ def test_materialized_intermediates_match_cached(spark, tmp_path,
         "neardup": q_neardup_pairs(spark, sf).toPandas(),
         "lm": q_lm_quality(spark, sf).toPandas(),
         "emb": q_dedup_embedding(spark, sf).toPandas(),
+        "components": q_dedup_components(spark, sf).toPandas(),
     }
     monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE_DIR", str(tmp_path / "mat"))
     mat = {
         "neardup": q_neardup_pairs(spark, sf).toPandas(),
         "lm": q_lm_quality(spark, sf).toPandas(),
         "emb": q_dedup_embedding(spark, sf).toPandas(),
+        "components": q_dedup_components(spark, sf).toPandas(),
     }
     for k in cached:
         a = cached[k].sort_values(list(cached[k].columns)).reset_index(
