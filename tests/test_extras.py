@@ -837,3 +837,35 @@ def test_dedup_components_transitive(spark, tmp_path):
     # the endpoints are NOT a direct pair (transitivity did the merge)
     pairs = q_neardup_pairs(spark, str(tmp_path)).toPandas()
     assert not ((pairs.doc_a == 0) & (pairs.doc_b == 4)).any()
+
+
+def test_tei_roundtrip_adversarial_content():
+    """TEI escaping robustness: XML specials in text and media_ref,
+    internal newlines, unicode, and table grids all round-trip exactly
+    (edge whitespace is stripped by the reader — span text is already
+    normalize_text-stripped in the pipeline, so nothing real is lost)."""
+    import xml.etree.ElementTree as ET
+
+    from grobid_clinical_report_spark.kernels import tei as tei_k
+
+    cases = [
+        ("paragraph", "a < b & c > d \"quoted\" 'single'", None),
+        ("paragraph", "line with\ninternal newline", None),
+        ("figure", "caption & <tag>", "img/a&b<c>.png"),
+        ("table", "Head & co.\nA\tB<x>\tC", None),
+        ("item", "𝕏 unicode ☂ fin", None),
+    ]
+    flat = pd.DataFrame(
+        [
+            {"doc_id": "d", "kind": k, "text": t, "media_ref": m, "offset": i}
+            for i, (k, t, m) in enumerate(cases)
+        ]
+    )
+    tei = tei_k.spans_to_tei(flat)
+    ET.fromstring(tei.tei.iloc[0])  # well-formed despite the specials
+    back = tei_k.tei_to_spans(tei).sort_values("offset")
+    got = list(
+        zip(back["kind"], back["text"], back["media_ref"].fillna(""))
+    )
+    want = [(k, t, m or "") for k, t, m in cases]
+    assert got == want
