@@ -57,11 +57,14 @@ _LAST_DUCK = "[" + ",".join(f"'{s}'" for s in _LAST) + "]"
 _CITY_SPARK = "array(" + ",".join(f"'{c}'" for c in _CITY) + ")"
 _CITY_DUCK = "[" + ",".join(f"'{c}'" for c in _CITY) + "]"
 
-# honorific-led name phrase: title + 1-4 capitalized words
+# honorific-led name phrase: title + 1-4 capitalized words. The name-token
+# class includes apostrophes (\x27 escape — a literal quote would break the
+# single-quoted SQL embedding) so N'GUYEN / D'Angelo anonymize whole: the
+# round-4 leakage property test caught 'GUYEN surviving the replacement
 _NAME_RE = (
     r"\b(Dr|Pr|Docteur|Professeur|Madame|Monsieur|Mme|Mlle)"
     r"(\.?\s+)"
-    r"[A-ZÀ-Ö][\wà-öø-ÿ-]*(?:\s+[A-ZÀ-Ö][\wà-öø-ÿ-]*){0,3}"
+    r"[A-ZÀ-Ö][\wà-öø-ÿ\x27’-]*(?:\s+[A-ZÀ-Ö][\wà-öø-ÿ\x27’-]*){0,3}"
 )
 # the honorific prefix of a matched name phrase (to keep, and to strip off
 # before hashing so 'Dr Jean ROUX' and 'Monsieur Jean ROUX' co-refer)

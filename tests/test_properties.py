@@ -362,3 +362,52 @@ def test_pack_sequences_property_random_corpora(spark, tmp_path):
             assert (starts == expect).all()
 
     check()
+
+
+def test_anonymize_no_placeholder_leakage_property(spark):
+    """The two-phase placeholder fold must never leak its control-char
+    placeholders into output, for any mix of honorific names (including
+    names that are substrings of pseudonyms or of each other), stray
+    control chars in the input, and hex-looking strings."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from grobid_clinical_report_spark import anonymize
+
+    PH_OPEN, PH_CLOSE = chr(2), chr(3)
+    first = st.sampled_from(
+        ["Jean", "Alix", "Camille", "Lou", "Anne-Marie", "Éloïse"]
+    )
+    last = st.sampled_from(["ROUX", "DURAND", "MARTIN", "DUBOIS", "N'GUYEN"])
+    title = st.sampled_from(["Dr", "Pr", "Madame", "Monsieur", "Mme"])
+    name = st.builds(lambda t, f, s: f"{t} {f} {s}", title, first, last)
+    short = st.builds(lambda t, f: f"{t} {f}", title, first)
+    filler = st.sampled_from(
+        ["consulte", "opère à Paris", "signe le 12/05/2019",
+         PH_OPEN + "deadbeef" + PH_CLOSE, "0123456789abcdef" * 2,
+         "mail a@b.fr"]
+    )
+    collected = []
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.one_of(name, short, filler), min_size=1, max_size=8),
+           st.integers(0, 2**31))
+    def build(parts, doc_id):
+        collected.append((doc_id, ". ".join(parts) + "."))
+
+    build()
+    df = spark.createDataFrame(collected, "doc_id long, text string")
+    out = (
+        df.selectExpr("doc_id", f"{anonymize._spark_stage1()} as t2")
+        .selectExpr("doc_id", f"{anonymize._spark_stage2()} as t3")
+        .selectExpr("doc_id", f"{anonymize._spark_stage3()} as anon_text")
+        .toPandas()
+    )
+    joined = " ".join(out["anon_text"])
+    # no placeholder residue beyond what the INPUT itself contained
+    n_input_ctrl = sum(t.count(PH_OPEN) + t.count(PH_CLOSE)
+                       for _, t in collected)
+    assert joined.count(PH_OPEN) + joined.count(PH_CLOSE) <= n_input_ctrl
+    # no real surname survives anywhere
+    for s in ["ROUX", "N'GUYEN"]:
+        assert s not in joined
