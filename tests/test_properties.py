@@ -411,3 +411,49 @@ def test_anonymize_no_placeholder_leakage_property(spark):
     # no real surname survives anywhere
     for s in ["ROUX", "N'GUYEN"]:
         assert s not in joined
+
+
+def test_cross_engine_parity_random_corpora(spark, tmp_path):
+    """Oracle parity beyond the fixed tiers: on randomized corpora, the
+    integer-exact operators (lm_quality's divmod ppm, sample_mix's md5
+    gate, pack_sequences' windows, corpus_filter's bitmask, the
+    components closure) must hash-match DuckDB bit-for-bit."""
+    import hashlib
+    import os
+
+    import duckdb
+    import numpy as np
+
+    import __spark_entry__ as entry
+    from grobid_clinical_report_spark import datagen
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    ops = ["lm_quality", "sample_mix", "pack_sequences", "corpus_filter",
+           "dedup_components"]
+
+    def canon(df):
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            df[c] = df[c].astype(str)
+        df = df.sort_values(list(df.columns)).reset_index(drop=True)
+        return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+    for seed in (7, 1234, 99999):
+        d = str(tmp_path / f"corp{seed}")
+        os.makedirs(d, exist_ok=True)
+        rng = np.random.default_rng(seed)
+        pdf = datagen.synthetic_text_documents_pdf(
+            int(rng.integers(40, 200)), seed=seed,
+            words_per_doc=int(rng.integers(10, 120)),
+        )
+        pdf.to_parquet(os.path.join(d, "documents.parquet"))
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{os.path.join(d, 'documents.parquet')}'"
+        )
+        for name in ops:
+            got = qs[name](spark, d).toPandas()
+            want = con.sql(oracles[name]).df()
+            assert len(got) == len(want), (seed, name)
+            assert canon(got) == canon(want), (seed, name)
