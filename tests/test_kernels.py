@@ -242,3 +242,29 @@ def test_segmenter_new_zones(fixture_docs_pdf):
     assert by_text["Service de Radiologie"] == "rightnote"
     assert by_text["OBSERVATIONS :"] == "body"
     assert by_text["NB : résultat à confirmer au prochain contrôle."] == "marginnote"
+
+
+def test_ner_keyword_window_stays_on_its_line():
+    """Fax/Tel keyword windows are line-local: a keyword ending one line
+    must not label digits at the start of the NEXT line, and the window
+    expires past 8 tokens."""
+    import pandas as pd
+
+    from grobid_clinical_report_spark import pipeline as pl
+
+    from grobid_clinical_report_spark import datagen
+
+    lines = [
+        ("text", "Envoyez le document par Fax", None),
+        ("text", "01 45 17 80 01 est le code du dossier", None),
+        ("text", "Fax du service : joindre un deuxieme exemplaire du "
+                 "document avant 01 45 17 80 02", None),
+    ]
+    pdf = pd.DataFrame(
+        [{"doc_id": "kw", "spans": datagen._with_offsets(lines)}]
+    )
+    out = pl._run_pdf(pdf, "ner")
+    kinds = [(s["kind"], s["text"]) for s in out["spans"].iloc[0]]
+    assert ("fax", "01 45 17 80 01") not in kinds  # next line: no window
+    # >8 tokens after the keyword: window expired, digits unlabeled
+    assert not any(k == "fax" for k, _ in kinds)
