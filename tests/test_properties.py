@@ -301,7 +301,10 @@ def test_adversarial_inputs_never_crash():
          "spans": [{"kind": "text", "text": "Bonjour docteur.",
                     "media_ref": None, "offset": -5}]},
     ])
-    for mode in ["extract_full", "extract_header", "extract_leftnote", "ner"]:
+    modes = ["extract_full", "extract_header", "extract_leftnote", "ner",
+             "parse_dateline", "parse_medic", "parse_patient", "parse_name",
+             "parse_address", "parse_org"]
+    for mode in modes:
         out = pl._run_pdf(docs, mode)
         assert len(out) == len(docs), mode
         assert set(out["doc_id"]) == set(docs["doc_id"]), mode
