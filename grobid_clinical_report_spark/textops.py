@@ -1096,7 +1096,9 @@ FROM scored
 # Near-dup CONNECTED COMPONENTS (the step between pair generation and the
 # dedup action: 'keep one per cluster' needs the transitive clusters, and
 # pairs alone under-merge — a~b, b~c must collapse to one component even
-# when a~c never cleared the Jaccard bar). Iterative min-label propagation
+# when a~c never cleared the Jaccard bar; Lee et al. 2022 'Deduplicating
+# Training Data Makes Language Models Better' dedups by exactly these
+# transitive MinHash clusters). Iterative min-label propagation
 # over the pair graph, run TO FIXPOINT with a driver-side convergence check
 # (each iteration is one bounded join on the pair table — ≪ corpus —
 # and the iteration count is the graph diameter, small for dup clusters).
