@@ -564,7 +564,7 @@ FX_TABLE_EXPECTED = [
 # fx-hdr-0019 — token-MORPHOLOGY-only header fields (F3 per-token 1-4-char
 # prefix/suffix depth, FeaturesVectorHeaderMedical.java:63-73): the docnum
 # has no N° shape ('Réf' prefix class), the medic has no Dr/Pr title and no
-# name-shape line (profession suffix 'Cardiologue' + initial 'C.'), and the
+# name-shape line (profession suffix 'Chirurgienne' — only 'ch' precedes\n# the 'irurgien' suffix, pinning the {2,} prefix bound — + initial 'C.'),\n# and the
 # dateline's place is out-of-gazetteer (toponym suffix 'Boisville') with a
 # TEXTUAL French date — every cue is token morphology, none is a keyword or
 # line shape
@@ -572,16 +572,16 @@ FX_HDR5_LINES = [
     ("text", "Réf : 7301-884", None),
     ("text", "COMPTE RENDU DE CONSULTATION", None),
     ("text", "", None),
-    ("text", "C. LEROY, Cardiologue", None),
+    ("text", "C. LEROY, Chirurgienne", None),
     ("text", "Fait à Boisville, le 3 mars 2021", None),
 ]
 
 FX_HDR5_EXPECTED = [
     ("docnum", "Réf : 7301-884", None),
     ("doctype", "COMPTE RENDU DE CONSULTATION", None),
-    ("medic", "C. LEROY, Cardiologue", None),
+    ("medic", "C. LEROY, Chirurgienne", None),
     ("medic_persname", "C. LEROY", None),
-    ("medic_rolename", "Cardiologue", None),
+    ("medic_rolename", "Chirurgienne", None),
     ("dateline", "Fait à Boisville, le 3 mars 2021", None),
     # dateline fallback fills (DatelineParser analog): textual date → ISO,
     # suffix-morphology place

@@ -253,7 +253,7 @@ def _extra_features(txt, low, raw_len) -> dict[str, np.ndarray]:
         low, r"\b[a-zà-öø-ÿ]{2,}(?:ville|bourg|court)\b"
     )
     f["suf_profession_word"] = at.contains(
-        low, r"\b[a-zà-öø-ÿ]{3,}(?:logue|iatre|icien|irurgien)(?:ne)?s?\b"
+        low, r"\b[a-zà-öø-ÿ]{2,}(?:logue|iatre|icien|irurgien)(?:ne)?s?\b"
     )
     f["has_ref_num"] = at.match(
         txt, r"\s*(?:R[éÉ]f|Ref|Dossier)\.?\s*:?\s*[\w/-]*\d"

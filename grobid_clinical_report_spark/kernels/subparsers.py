@@ -150,7 +150,7 @@ def token_features(toks: pd.DataFrame) -> pd.DataFrame:
     # carrying no Dr/Pr title ('Cardiologue', 'Chirurgienne')
     f["suf_city"] = at.match(low_u, r".{2,}(?:ville|bourg|court)$")[codes]
     f["suf_profession"] = at.match(
-        low_u, r".{3,}(?:logue|iatre|icien|irurgien)(?:ne)?s?$"
+        low_u, r".{2,}(?:logue|iatre|icien|irurgien)(?:ne)?s?$"
     )[codes]
     # drug hit within the previous 2 tokens (dose attachment window) —
     # suffix-detected drugs attach doses exactly like gazetteer ones

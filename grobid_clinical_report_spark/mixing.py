@@ -54,8 +54,13 @@ _D_GATE = "CAST(CONCAT('0x', substr(md5(CONCAT('mix|', CAST(doc_id AS VARCHAR)))
 
 
 def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # coalesce source up front: a NULL source would (a) silently split the
+    # `(source is null)` window key below into two windows — wrong budgets —
+    # and (b) drop its docs at the null-unsafe rates join (ADVICE r4)
     docs = _load_wide(spark, sf_dir, "documents").selectExpr(
-        "doc_id", "source", f"cast({_N_TOKS} as bigint) as n_tokens"
+        "doc_id",
+        "coalesce(source, '') as source",
+        f"cast({_N_TOKS} as bigint) as n_tokens",
     )
     per_src = docs.groupBy("source").agg(
         F.sum("n_tokens").alias("src_tokens")
@@ -66,7 +71,8 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregation branch: Catalyst does not reuse DataFrame subplans, so a
     # totals branch re-scans and re-tokenizes the whole corpus a third time
     # (visible as a duplicate parquet scan in .explain). The partition key
-    # `(source is null)` is constant by construction but non-foldable, so it
+    # `(source is null)` is constant (source is coalesced non-null above)
+    # but non-foldable, so it
     # survives to WindowExec and the benign no-partition warning (which
     # would mask a real one someday — VERDICT r3) never fires.
     rates = per_src.selectExpr(
@@ -95,7 +101,8 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SAMPLE_MIX = f"""
 WITH docs AS (
-  SELECT doc_id, source, CAST({_DN_TOKS} AS BIGINT) AS n_tokens
+  SELECT doc_id, COALESCE(source, '') AS source,
+    CAST({_DN_TOKS} AS BIGINT) AS n_tokens
   FROM documents
 ), per_src AS (
   SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens,

@@ -123,14 +123,25 @@ def stage_bucketed_input(
 
     from .io import read_documents
 
+    # The sidecar goes through Spark / the Hadoop FileSystem API — the
+    # staged data lives on whatever filesystem `staged_path` names (HDFS,
+    # s3a, …, at the 100 TB deployment shape), so a local open()/os.path
+    # sidecar would crash there or, worse, never match and restage every
+    # run (ADVICE r4). `_STAGING_META` is a 1-row text dataset; the leading
+    # underscore keeps it invisible to the parquet file index, like
+    # _SUCCESS.
     marker = os.path.join(staged_path, "_SUCCESS")
-    meta_path = os.path.join(staged_path, "_STAGING_META.json")
+    meta_dir = os.path.join(staged_path, "_STAGING_META")
     want_meta = {"n_buckets": n_buckets, "input_path": input_path}
-    if not force and os.path.exists(marker):
+    jvm = spark._jvm
+    jmarker = jvm.org.apache.hadoop.fs.Path(marker)
+    fs = jmarker.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not force and fs.exists(jmarker):
         try:
-            with open(meta_path) as f:
-                have_meta = json.load(f)
-        except (OSError, ValueError):
+            have_meta = json.loads(
+                spark.read.text(meta_dir).head().value
+            )
+        except Exception:
             have_meta = None
         if have_meta == want_meta:
             return
@@ -140,8 +151,9 @@ def stage_bucketed_input(
     ).parquet(staged_path)
     # written AFTER the overwrite (which clears the directory) so a partial
     # write can never leave a matching sidecar without matching data
-    with open(meta_path, "w") as f:
-        json.dump(want_meta, f)
+    spark.createDataFrame(
+        [(json.dumps(want_meta, sort_keys=True),)], "value string"
+    ).coalesce(1).write.mode("overwrite").text(meta_dir)
 
 
 def run_extraction_job(

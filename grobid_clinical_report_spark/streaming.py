@@ -330,16 +330,28 @@ def stream_sessionize(
             starts0 = np.concatenate(([s0], ts[1:]))
         else:
             starts0 = ts.copy()
-        new_sess = np.concatenate(([True], np.diff(ts) > gap_ms))
+        # boundary rule: new session iff the gap from the RUNNING MAX of
+        # prior timestamps exceeds gap_ms. Plain diff(ts) diverges from the
+        # batch twin when a late-but-in-watermark event sorts before the
+        # carried session end e0: [e0=100, late=60, next=130] must stay one
+        # session (130-100 ≤ gap) even though 130-60 > gap. For monotone ts
+        # (no carried end) running max == previous element, same as diff.
+        runmax = np.maximum.accumulate(ts)
+        new_sess = np.concatenate(([True], ts[1:] - runmax[:-1] > gap_ms))
         sess_id = np.cumsum(new_sess) - 1
         bounds = np.concatenate((np.flatnonzero(new_sess), [len(ts)]))
         closed = []
         for i in range(len(bounds) - 1):
             lo, hi = bounds[i], bounds[i + 1]
-            # end = max (not last): a late event inside the watermark may
-            # sort before the open session's carried end
+            # end = max, start = min (symmetric — ADVICE r4): a late event
+            # inside the watermark may sort before the open session's
+            # carried end AND precede its carried start; the batch twin
+            # (rel_sessionization over the full log) would have put it
+            # first, so the merged record's start must move back to it.
+            # For blocks without the carried sentinel ts is sorted, so
+            # min == ts[lo] == starts0[lo] and this is a no-op.
             rec = (
-                int(starts0[lo]),
+                int(min(starts0[lo], ts[lo:hi].min())),
                 int(ts[lo:hi].max()),
                 int(cnt[lo:hi].sum()),
             )

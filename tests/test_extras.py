@@ -459,6 +459,35 @@ def test_sample_mix_temperature_upweights_small_sources(spark, tmp_path):
     assert sorted(out.doc_id) == sorted(out2.doc_id)
 
 
+def test_sample_mix_null_source_treated_as_one_source(spark, tmp_path):
+    """ADVICE r4: a NULL source must behave exactly like source='' — one
+    window for the corpus totals (not two split by the `source is null`
+    key) and no docs dropped at the rates join. Pin it by comparing a
+    NULL-source corpus against the identical corpus with '' instead."""
+    from grobid_clinical_report_spark.mixing import q_sample_mix
+
+    def corpus(src):
+        rows = [(i, "grand corpus " + " ".join(f"w{j}" for j in range(200)),
+                 "fr", "big", 0) for i in range(40)]
+        rows += [(100 + i, "petit corpus " + " ".join(
+            f"v{j}" for j in range(20)), "fr", src, 0) for i in range(10)]
+        return pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        )
+
+    d_null = tmp_path / "null_src"
+    d_empty = tmp_path / "empty_src"
+    for d, src in ((d_null, None), (d_empty, "")):
+        d.mkdir()
+        corpus(src).to_parquet(d / "documents.parquet")
+    out_null = q_sample_mix(spark, str(d_null)).toPandas()
+    out_empty = q_sample_mix(spark, str(d_empty)).toPandas()
+    assert sorted(out_null.doc_id) == sorted(out_empty.doc_id)
+    assert sorted(out_null.rate_ppm) == sorted(out_empty.rate_ppm)
+    # the NULL-source docs themselves are eligible (join didn't drop them)
+    assert (out_null.doc_id >= 100).any() or (out_empty.doc_id >= 100).any()
+
+
 def test_sample_mix_hits_token_budget(spark):
     """The sampled mix must land near the 30% token target (hash-gated
     sampling is binomial around rate_ppm — sf0.01's 500 docs put ±8% on
@@ -764,6 +793,68 @@ def test_streaming_sessionization(spark, tmp_path):
     assert (2, h + 0, h + 0, 1) in sessions       # user 2 first (gap-closed)
     assert (2, h + 45, h + 45, 1) in sessions     # user 2 second (timeout)
     assert len(got[got.user_id.isin([1, 2])]) == 3
+
+
+def test_streaming_sessionization_out_of_order_merge(spark, tmp_path):
+    """ADVICE r4: a late-but-in-watermark event OLDER than the open
+    session's carried start must (a) pull session_start back to it (start
+    tracks min symmetrically with end's max) and (b) not break the gap
+    chain for a following in-gap event — the boundary rule measures the gap
+    from the running max of prior timestamps, not the previous (possibly
+    late) element. Expectation = the batch lag+cumsum twin on the full log:
+    events at minutes 100 | 60,125 with gap 50 are ONE session 60→125."""
+    import glob
+    import shutil
+
+    from grobid_clinical_report_spark.streaming import stream_sessionize
+
+    in_dir = tmp_path / "ev"
+    out_dir = str(tmp_path / "out")
+    in_dir.mkdir()
+    t0 = pd.Timestamp("2026-01-01 08:00:00")
+    mins = pd.Timedelta(minutes=1)
+
+    def write_batch(name, specs):
+        pdf = pd.DataFrame(
+            [
+                {"event_id": i, "ts": t0 + m * mins, "user_id": u,
+                 "event_type": "clk", "value": 1.0, "props": ""}
+                for i, (u, m) in enumerate(specs)
+            ]
+        )
+        tmp = in_dir / f"_{name}"
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(str(tmp))
+        for f in glob.glob(str(tmp / "part*")):
+            shutil.move(f, str(in_dir / f"{name}.parquet"))
+
+    def run():
+        q = stream_sessionize(spark, str(in_dir), out_dir, gap_minutes=50,
+                              late_threshold="1 hour")
+        q.awaitTermination()
+
+    # batch 0: open session [100, 100] for user 1 (watermark → minute 40)
+    write_batch("b0", [(1, 100)])
+    run()
+    # batch 1: minute 60 is late (sorts before the carried end 100) but
+    # inside the watermark; minute 125 is within gap of the carried end
+    write_batch("b1", [(1, 60), (1, 125)])
+    run()
+    # batch 2: far-future event times out and flushes the open session
+    write_batch("b2", [(9, 3000)])
+    run()
+
+    got = (
+        spark.read.parquet(os.path.join(out_dir, "sessions", "epoch=*"))
+        .toPandas()
+    )
+    u1 = got[got.user_id == 1]
+    sessions = {
+        (r.session_start.minute + 60 * r.session_start.hour,
+         r.session_end.minute + 60 * r.session_end.hour, r.n_events)
+        for r in u1.itertuples()
+    }
+    h = 8 * 60
+    assert sessions == {(h + 60, h + 125, 3)}
 
 
 def test_materialized_intermediates_match_cached(spark, tmp_path,

@@ -128,20 +128,31 @@ def test_staged_buckets_match_unstaged(spark, input_path, tmp_path):
 def test_stale_staging_restaged_on_param_change(spark, input_path, tmp_path):
     """ADVICE r3 (medium): a leftover staging from a crashed run with MORE
     buckets must not be trusted by a new run with fewer buckets — documents
-    in buckets >= n_buckets would silently vanish. The _STAGING_META.json
-    sidecar pins (n_buckets, input_path) exactly."""
+    in buckets >= n_buckets would silently vanish. The _STAGING_META
+    sidecar (a 1-row text dataset written through Spark, so it lives on the
+    same filesystem as the staged data — ADVICE r4) pins
+    (n_buckets, input_path) exactly."""
     import glob
     import json
+
+    def read_meta(staged_dir):
+        return json.loads(
+            spark.read.text(os.path.join(staged_dir, "_STAGING_META"))
+            .head().value
+        )
 
     staged = str(tmp_path / "staged")
     # simulate the crashed prior run: staged with 8 buckets, no manifest
     runner.stage_bucketed_input(spark, input_path, staged, n_buckets=8)
     assert len(glob.glob(os.path.join(staged, "bucket=*"))) == 8
-    # same params → skipped (idempotent): mtime of the sidecar unchanged
-    meta = os.path.join(staged, "_STAGING_META.json")
-    t0 = os.path.getmtime(meta)
+    # same params → skipped (idempotent): mtime of the sidecar part file
+    # unchanged
+    [meta_part] = glob.glob(
+        os.path.join(staged, "_STAGING_META", "part-*")
+    )
+    t0 = os.path.getmtime(meta_part)
     runner.stage_bucketed_input(spark, input_path, staged, n_buckets=8)
-    assert os.path.getmtime(meta) == t0
+    assert os.path.getmtime(meta_part) == t0
     # fewer buckets → MUST re-stage (old guard passed because bucket=1 dir
     # existed, dropping buckets 2..7)
     runner.stage_bucketed_input(spark, input_path, staged, n_buckets=2)
@@ -149,7 +160,7 @@ def test_stale_staging_restaged_on_param_change(spark, input_path, tmp_path):
         os.path.basename(d)
         for d in glob.glob(os.path.join(staged, "bucket=*"))
     ) == ["bucket=0", "bucket=1"]
-    assert json.load(open(meta))["n_buckets"] == 2
+    assert read_meta(staged)["n_buckets"] == 2
     # every document survives the re-staging
     n_in = spark.read.parquet(input_path).count()
     assert spark.read.parquet(staged).count() == n_in
