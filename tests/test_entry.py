@@ -59,10 +59,11 @@ def test_query_matches_oracle(spark, con, name):
 
 
 def test_media_decode_feature_values_exact(spark):
-    """Independent reconstruction of the synthetic PPMs in pure Python —
-    build the exact payload bytes from (doc_id, text), decode with a
-    from-first-principles reference (no shared code path beyond numpy), and
-    pin the raw float64 features (a stronger check than the ×4096 floor)."""
+    """Independent reconstruction of the synthetic payloads in pure Python —
+    build the exact byte strings from (doc_id, text) for BOTH containers
+    (P6 stills and C444 Y4M video), decode with a from-first-principles
+    reference (no shared code path beyond numpy), and pin the raw float64
+    features (a stronger check than the ×4096 floor)."""
     import hashlib
 
     import numpy as np
@@ -84,12 +85,23 @@ def test_media_decode_feature_values_exact(spark):
         n3 = w * h * 3
         hx = hashlib.md5(row["text"].encode()).hexdigest()
         pix = (hx * (n3 // 32 + 2))[:n3].encode("ascii")
-        raw = f"P6\n{w} {h}\n255\n".encode() + pix
-        # cross-check the table's payload really is this byte string
-        dw, dh, mx, plane = multimodal.decode_ppm(raw)
-        assert (dw, dh, mx) == (w, h, 255)
-        a = np.frombuffer(pix, dtype=np.uint8).reshape(-1, 3)
-        s = a.sum(axis=0, dtype=np.int64)
+        a = np.frombuffer(pix, dtype=np.uint8)
+        if did % 4 == 3:
+            nf = 8 + (did * 3) % 25
+            raw = (
+                f"YUV4MPEG2 W{w} H{h} F4:1 Ip A1:1 C444\n".encode()
+                + (b"FRAME\n" + pix) * nf
+            )
+            # cross-check the table's payload really is this byte string
+            info = multimodal.probe_y4m(raw)
+            assert (info.width, info.height, info.n_frames) == (w, h, nf)
+            # planar: channel p covers bytes [p·w·h, (p+1)·w·h)
+            s = a.reshape(3, -1).sum(axis=1, dtype=np.int64)
+        else:
+            raw = f"P6\n{w} {h}\n255\n".encode() + pix
+            dw, dh, mx, plane = multimodal.decode_ppm(raw)
+            assert (dw, dh, mx) == (w, h, 255)
+            s = a.reshape(-1, 3).sum(axis=0, dtype=np.int64)
         want = [
             float(w), float(h), 255.0,
             s[0] / (w * h), s[1] / (w * h), s[2] / (w * h),

@@ -18,14 +18,29 @@ def test_media_table_schema(spark):
 
 
 def test_media_table_payloads_are_valid_ppm(spark):
-    """The synthesized payloads must be REAL P6 images the decoder (or any
-    netpbm reader) opens, with dims matching the metadata columns."""
-    rows = multimodal.media_table(spark, SF).limit(10).collect()
+    """The synthesized still payloads must be REAL P6 images the decoder
+    (or any netpbm reader) opens, with dims matching the metadata columns;
+    video payloads must be REAL Y4M streams the probe walks end-to-end."""
+    rows = multimodal.media_table(spark, SF).limit(16).collect()
+    saw_vid = saw_still = False
     for r in rows:
-        w, h, maxval, px = multimodal.decode_ppm(bytes(r["payload"]))
-        assert (w, h) == (r["width"], r["height"])
-        assert maxval == 255
-        assert px.shape == (h, w, 3) and px.dtype == np.uint8
+        if r["media_type"].startswith("video/"):
+            info = multimodal.probe_y4m(bytes(r["payload"]))
+            assert (info.width, info.height) == (r["width"], r["height"])
+            assert (info.fps_num, info.fps_den) == multimodal._Y4M_FPS
+            assert info.n_frames >= 8
+            assert (
+                info.duration_ms
+                == info.n_frames * multimodal._FRAME_MS
+            )
+            saw_vid = True
+        else:
+            w, h, maxval, px = multimodal.decode_ppm(bytes(r["payload"]))
+            assert (w, h) == (r["width"], r["height"])
+            assert maxval == 255
+            assert px.shape == (h, w, 3) and px.dtype == np.uint8
+            saw_still = True
+    assert saw_vid and saw_still
 
 
 def test_feature_extraction_shape_and_determinism(spark):
@@ -52,12 +67,62 @@ def test_decode_ppm_known_pixels():
         [[255, 0, 0], [0, 255, 0]],
         [[0, 0, 255], [10, 20, 30]],
     ]
-    feats, dims = multimodal._decode_features(pd.Series([raw]))
+    feats, dims = multimodal._decode_features(
+        pd.Series([raw]), pd.Series(["image/png"])
+    )
     assert dims.tolist() == [[2, 2]]
     # mean_R = (255+0+0+10)/4, mean_all = sum/12
     assert feats[0].tolist() == [
         2, 2, 255, 265 / 4, 275 / 4, 285 / 4, sum(px) / 12, 4
     ]
+
+
+def test_probe_y4m_known_stream():
+    """Hand-built C444 stream: 2×2, 4:1 fps, 3 frames → exact probe values
+    and exact per-plane means through the feature path."""
+    f0 = bytes(range(12))  # planes: Y=0..3, U=4..7, V=8..11
+    raw = (
+        b"YUV4MPEG2 W2 H2 F4:1 Ip A1:1 C444\n"
+        + b"".join(b"FRAME\n" + f0 for _ in range(3))
+    )
+    info = multimodal.probe_y4m(raw)
+    assert (info.width, info.height) == (2, 2)
+    assert (info.fps_num, info.fps_den) == (4, 1)
+    assert info.n_frames == 3
+    assert info.duration_ms == 750
+    assert info.frame_bytes == 12
+    assert raw[info.first_frame_offset : info.first_frame_offset + 12] == f0
+    feats, dims = multimodal._decode_features(
+        pd.Series([raw]), pd.Series(["video/y4m"])
+    )
+    assert dims.tolist() == [[2, 2]]
+    assert feats[0].tolist() == [
+        2, 2, 255, 6 / 4, 22 / 4, 38 / 4, 66 / 12, 4
+    ]
+
+
+def test_probe_y4m_colorspaces_and_rejects():
+    """Frame byte counts follow the header colorspace; malformed streams
+    are explicit errors, not silent misreads."""
+    for cs, fb in ((b"C420jpeg", 6), (b"C422", 8), (b"C444", 12),
+                   (b"Cmono", 4)):
+        raw = (b"YUV4MPEG2 W2 H2 F30:1 " + cs + b"\n"
+               + b"FRAME\n" + bytes(fb))
+        info = multimodal.probe_y4m(raw)
+        assert (info.frame_bytes, info.n_frames) == (fb, 1)
+    # default colorspace is 420
+    raw = b"YUV4MPEG2 W2 H2 F30:1\nFRAME\n" + bytes(6)
+    assert multimodal.probe_y4m(raw).frame_bytes == 6
+    with pytest.raises(ValueError, match="magic"):
+        multimodal.probe_y4m(b"JUNK")
+    with pytest.raises(ValueError, match="missing W/H"):
+        multimodal.probe_y4m(b"YUV4MPEG2 F30:1\n")
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.probe_y4m(b"YUV4MPEG2 W4 H4 C444\nFRAME\n\x00\x00")
+    with pytest.raises(ValueError, match="frame marker"):
+        multimodal.probe_y4m(b"YUV4MPEG2 W2 H2 C444\nBOGUS\n" + bytes(12))
+    with pytest.raises(ValueError, match="colorspace"):
+        multimodal.probe_y4m(b"YUV4MPEG2 W2 H2 C411\nFRAME\n" + bytes(6))
 
 
 def test_decode_ppm_header_tolerance():
