@@ -39,17 +39,37 @@ _ROT_DUCK = (
 )
 
 # pseudonym lexicons (stand-ins for resources/lexicon/PERSNAME_ANONYM.txt /
-# ADDRESS_ANONYM.txt — same mechanism, self-contained deterministic lists)
-_FIRST = ["Camille", "Dominique", "Claude", "Maxime", "Sacha",
-          "Morgan", "Alix", "Noa", "Lou"]
-_LAST = ["MARTIN", "BERNARD", "THOMAS", "PETIT", "ROBERT",
-         "RICHARD", "DURAND", "DUBOIS", "MOREAU"]
+# ADDRESS_ANONYM.txt — same mechanism, self-contained deterministic lists;
+# 64 × 64 = 4096 first/last combos, VERDICT r4 next #5: 81 combos collide
+# distinct real names to one pseudonym far too often at corpus scale)
+_FIRST = [
+    "Camille", "Dominique", "Claude", "Maxime", "Sacha", "Morgan", "Alix",
+    "Noa", "Lou", "Jean", "Marie", "Pierre", "Sophie", "Luc", "Anne",
+    "Paul", "Julie", "Marc", "Claire", "Louis", "Emma", "Hugo", "Léa",
+    "Jules", "Chloé", "Théo", "Manon", "Nathan", "Inès", "Lucas", "Jade",
+    "Tom", "Zoé", "Arthur", "Lina", "Gabriel", "Eva", "Raphaël", "Alice",
+    "Adam", "Rose", "Noé", "Anna", "Liam", "Mila", "Ethan", "Nina",
+    "Axel", "Romy", "Robin", "Maya", "Simon", "Iris", "Victor", "Lucie",
+    "Oscar", "Nora", "Félix", "Livia", "Marius", "Celia", "Rémi",
+    "Diane", "Bruno",
+]
+_LAST = [
+    "MARTIN", "BERNARD", "THOMAS", "PETIT", "ROBERT", "RICHARD", "DURAND",
+    "DUBOIS", "MOREAU", "LAURENT", "SIMON", "MICHEL", "LEFEBVRE", "LEROY",
+    "CARON", "DAVID", "BERTRAND", "MOREL", "FOURNIER", "GIRARD", "BONNET",
+    "DUPONT", "LAMBERT", "FONTAINE", "ROUSSEAU", "VINCENT", "MULLER",
+    "LEFEVRE", "FAURE", "ANDRE", "MERCIER", "BLANC", "GUERIN", "BOYER",
+    "GARNIER", "CHEVALIER", "FRANCOIS", "LEGRAND", "GAUTHIER", "GARCIA",
+    "PERRIN", "ROBIN", "CLEMENT", "MORIN", "NICOLAS", "HENRY", "ROUSSEL",
+    "MATHIEU", "GAUTIER", "MASSON", "MARCHAND", "DUVAL", "DENIS",
+    "DUMONT", "MARIE", "LEMAIRE", "NOEL", "MEYER", "DUFOUR", "MEUNIER",
+    "BRUN", "BLANCHARD", "GIRAUD", "JOLY",
+]
+assert len(_FIRST) == 64 and len(set(_FIRST)) == 64
+assert len(_LAST) == 64 and len(set(_LAST)) == 64
 _CITY = ["VILLENEUVE", "BEAUMONT", "MONTREUIL", "SAINT-CLAIR", "LAVALLE",
          "ROCHEFORT", "BELLEVUE", "CASTELNAU", "MIRABEL"]
 
-# first/last drawn INDEPENDENTLY from two hash nibbles → 81 distinct
-# pseudonyms, not 9 (ADVICE r3: 9 buckets let two distinct real names
-# collide to one pseudonym far too often — birthday bound ~50% at 4 names)
 _FIRST_SPARK = "array(" + ",".join(f"'{f}'" for f in _FIRST) + ")"
 _LAST_SPARK = "array(" + ",".join(f"'{s}'" for s in _LAST) + ")"
 _FIRST_DUCK = "[" + ",".join(f"'{f}'" for f in _FIRST) + "]"
@@ -85,24 +105,34 @@ _DIGITS2 = "01234567890123456789"
 # stripped), not the doc id — two distinct medics in one document get
 # distinct pseudonyms and the same person co-refers across mentions/titles
 # (AnonymizeData.java:34-61 draws per name; VERDICT r2 'missing #5').
-# First and last name indexed by two INDEPENDENT hash nibbles (81 combos).
-def _nib9(engine_pos: str, h: str, k: int) -> str:
-    return f"(({engine_pos}('0123456789abcdef', substring({h}, {k}, 1)) - 1) % 9 + 1)"
+# First and last name indexed by two INDEPENDENT 2-hex-digit hash slices
+# mod 64 → 4096 combos (md5 hex is bit-identical across engines, so the
+# oracle reconstructs the exact same indices).
+def _hex64_spark(h: str, k: int) -> str:
+    return (
+        f"(cast(conv(substring({h}, {k}, 2), 16, 10) as int) % 64 + 1)"
+    )
+
+
+def _hex64_duck(h: str, k: int) -> str:
+    return (
+        f"(CAST(CONCAT('0x', substring({h}, {k}, 2)) AS INT) % 64 + 1)"
+    )
 
 
 def _pseudo_spark(arg: str) -> str:
     h = f"md5({arg})"
     return (
-        f"concat(element_at({_FIRST_SPARK}, {_nib9('instr', h, 1)}), ' ',"
-        f" element_at({_LAST_SPARK}, {_nib9('instr', h, 2)}))"
+        f"concat(element_at({_FIRST_SPARK}, {_hex64_spark(h, 1)}), ' ',"
+        f" element_at({_LAST_SPARK}, {_hex64_spark(h, 3)}))"
     )
 
 
 def _pseudo_duck(arg: str) -> str:
     h = f"md5({arg})"
     return (
-        f"CONCAT(({_FIRST_DUCK})[{_nib9('strpos', h, 1)}], ' ',"
-        f" ({_LAST_DUCK})[{_nib9('strpos', h, 2)}])"
+        f"CONCAT(({_FIRST_DUCK})[{_hex64_duck(h, 1)}], ' ',"
+        f" ({_LAST_DUCK})[{_hex64_duck(h, 3)}])"
     )
 
 
