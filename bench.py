@@ -215,8 +215,25 @@ def headline() -> dict:
         "sec": round(sec1, 3),
         "docs_per_sec": round(n1 / sec1, 1),
     }
+    # sf1 text tier covers the shuffle-bearing corpus ops too (VERDICT r4
+    # next #7): corpus-keyed aggregations (corpus_filter's word agg,
+    # lm_quality's bigram LM) and the iterative components closure, not
+    # just extraction + two dedups. The tier's true data ratio vs the
+    # sf0.1 table is emitted (char volume, not doc count — the synthetic
+    # sf1 docs are longer), so wall ratios compare against the right
+    # denominator.
     tdir = text_corpus_dir(50_000)
-    for name in ["dedup_exact", "dedup_neardup_pairs"]:
+    chars_small = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .selectExpr("sum(length(text)) as c").collect()[0]["c"]
+    )
+    chars_big = (
+        spark.read.parquet(f"{tdir}/documents.parquet")
+        .selectExpr("sum(length(text)) as c").collect()[0]["c"]
+    )
+    sf1["text_data_ratio"] = round(chars_big / max(chars_small, 1), 2)
+    for name in ["dedup_exact", "dedup_neardup_pairs", "corpus_filter",
+                 "lm_quality", "dedup_components"]:
         t0 = time.monotonic()
         qs[name](spark, tdir).write.format("noop").mode("overwrite").save()
         sf1[name] = round(time.monotonic() - t0, 3)

@@ -199,3 +199,31 @@ def tei_to_spans(tei: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["doc_id", "kind", "text", "media_ref", "offset"]
     )
+
+
+def merge_tei_corpora(corpora):
+    """A4 — XML corpus merge (`XMLMerger.java:23-60`): the reference
+    concatenates many per-batch TEI training files into one corpus file.
+    Spark-side a corpus is a [doc_id, tei] table, so merging is a
+    unionByName across batches with FIRST-WINS dedup on doc_id (re-exported
+    batches overlap; the earliest batch is the canonical copy, matching the
+    merger's in-order concatenation). Scale shape: one union (no shuffle)
+    plus one doc_id-keyed window over the merged table — the same single
+    shuffle a groupBy-dedup would pay.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    tagged = [
+        df.select("doc_id", "tei").withColumn("_src", F.lit(i))
+        for i, df in enumerate(corpora)
+    ]
+    merged = reduce(lambda a, b: a.unionByName(b), tagged)
+    w = Window.partitionBy("doc_id").orderBy("_src")
+    return (
+        merged.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "_src")
+    )

@@ -26,10 +26,17 @@ def get_spark(
     """
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle = shuffle_partitions or max(cpus, 8)
-    # above ~16 concurrent Python workers this box's memory bus saturates
-    # (bandwidth-bound pandas kernels) — claim 2 cores per task so task slots
-    # halve while the JVM keeps serialization headroom
-    task_cpus = 2 if cpus >= 32 else 1
+    # task_cpus is re-measured each round (SPARK_GRAFT_TASK_CPUS overrides
+    # for the A/B). The r2-r4 setting claimed 2 cores/task at local[32]
+    # (memory-bus saturation above ~16 pandas workers, measured with the r2
+    # kernels). r5 A/B at local[32], best-of-2, both run orders: the
+    # flagship extraction cascade flipped to task_cpus=1 (4.29-4.53s vs
+    # 5.51-5.83s, ~21% faster — the vectorized kernels spend less wall per
+    # byte, so halving task slots now idles cores more than the bus
+    # contention it avoids), while the heavier NER pass still prefers 2
+    # (9.55s vs 11.68s). Default follows the flagship metric
+    # (extraction docs/sec, BASELINE.json): 1.
+    task_cpus = int(os.environ.get("SPARK_GRAFT_TASK_CPUS", "1"))
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.task.cpus", str(task_cpus))

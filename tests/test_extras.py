@@ -960,3 +960,35 @@ def test_tei_roundtrip_adversarial_content():
     )
     want = [(k, t, m or "") for k, t, m in cases]
     assert got == want
+
+
+def test_tei_corpus_merge_first_wins(spark):
+    """A4 (XMLMerger.java:23-60 analog, VERDICT r4 next #8): merging two
+    TEI corpus tables unions them with first-wins dedup on doc_id, and the
+    merged corpus reads back to the exact span tables of its sources."""
+    from grobid_clinical_report_spark.kernels import tei as tei_k
+
+    def corpus(docs):
+        flat = pd.DataFrame(
+            [
+                {"doc_id": d, "kind": "paragraph", "text": t,
+                 "media_ref": None, "offset": i}
+                for d, lines in docs.items()
+                for i, t in enumerate(lines)
+            ]
+        )
+        return spark.createDataFrame(tei_k.spans_to_tei(flat))
+
+    # d2 appears in BOTH corpora with different content — batch 0 wins
+    c0 = corpus({"d1": ["un texte"], "d2": ["version originale"]})
+    c1 = corpus({"d2": ["version réexportée"], "d3": ["autre document"]})
+    merged = tei_k.merge_tei_corpora([c0, c1])
+    pdf = merged.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(pdf["doc_id"]) == ["d1", "d2", "d3"]
+    back = tei_k.tei_to_spans(pdf)
+    texts = dict(zip(back["doc_id"], back["text"]))
+    assert texts == {
+        "d1": "un texte",
+        "d2": "version originale",
+        "d3": "autre document",
+    }

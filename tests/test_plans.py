@@ -209,3 +209,19 @@ def test_corpus_filter_plan_hygiene(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_corpus_filter_and_gopher_share_word_explode(spark):
+    """VERDICT r4 next #4: corpus_filter and gopher_repetition route their
+    word explode through session.materialize under one shared name, so in
+    a combined run the SECOND query reads the first's cached explode (an
+    InMemoryTableScan in its plan) instead of re-exploding the corpus."""
+    from grobid_clinical_report_spark import textops
+
+    spark.catalog.clearCache()
+    try:
+        textops.q_corpus_filter(spark, SF).count()
+        plan = _plan(textops.q_gopher_repetition(spark, SF))
+        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    finally:
+        spark.catalog.clearCache()
