@@ -1175,14 +1175,15 @@ FX_NER_TRAINING = {
 # pinned ANONYMIZED segmenter training lines (createTrainingAnonym
 # analog): the A2 supervision table with the A1 pseudonymization chain
 # applied to the line text — pseudonyms/rotations audited against the
-# anonymize_text semantics (doc-keyed digits, per-person names)
+# anonymize_text semantics (doc-keyed digits, per-person names drawn
+# from the r5 64×64 pseudonym space)
 FX_ANON_TRAINING = {
     "fx-cover-0011": [
         (0, "COMPTE RENDU D'HOSPITALISATION", "titlePage"),
         (1, "Hôpital de BEAUMONT", "titlePage"),
         (2, "Le 37.28.4243", "titlePage"),
         (5, "N° 4243-222345", "header"),
-        (6, "Dr Noa PETIT", "header"),
+        (6, "Dr Simon PETIT", "header"),
         (8, "SYNTHÈSE MÉDICALE", "body"),
         (10, "EVOLUTION :", "body"),
         (11, "L'évolution clinique est favorable sous traitement adapté.", "body"),
@@ -1193,11 +1194,11 @@ FX_ANON_TRAINING = {
         (2, "Le 96.71.9777", "header"),
         (4, "Pôle Femmes-Adolescents-Mères-Enfants SERVICE DE GYNECOLOGIE OBSTETRIQUE", "header"),
         (5, "28, Avenue du Mal de Lattre de Tassigny 61787 BELLEVUE Cedex", "header"),
-        (7, "Opérateur : Dr Claude RICHARD ; Assistant : Dr Claude THOMAS ; Anesthésiste : Dr Lou ROBERT", "header"),
+        (7, "Opérateur : Dr Victor GARCIA ; Assistant : Dr Lina LAURENT ; Anesthésiste : Dr Sacha LAMBERT", "header"),
         (8, "IPP 577766778", "header"),
-        (9, "Madame Sacha RICHARD, née le 78/78/8667, 94 ans", "header"),
+        (9, "Madame Morgan MICHEL, née le 78/78/8667, 94 ans", "header"),
         (10, "333, Avenue de la République LE BELLEVUE BELLEVUE", "header"),
-        (12, "Chef de Service : Pr. Noa DURAND. Gautier", "leftnote"),
+        (12, "Chef de Service : Pr. Bruno RICHARD. Gautier", "leftnote"),
         (13, "Secrétariat : 78 77 77 77 77", "leftnote"),
         (14, "Fax : 78 77 77 77 77", "leftnote"),
         (16, "HYSTÉRECTOMIE PAR COELIOSCOPIE", "body"),
@@ -1211,7 +1212,7 @@ FX_ANON_TRAINING = {
         (27, "La patiente présente des douleurs pelviennes.", "body"),
         (29, "INTERVENTION :", "body"),
         (30, "Incision et exérèse réalisées sans complication.", "body"),
-        (31, "Avis pris auprès du Dr Alix DUBOIS.", "body"),
+        (31, "Avis pris auprès du Dr Adam GIRARD.", "body"),
         (32, "Les suites opératoires sont simples.", "body"),
         (33, "", "body"),
         (34, "Figure 8 : vue opératoire.", "body"),

@@ -60,10 +60,11 @@ def test_query_matches_oracle(spark, con, name):
 
 def test_media_decode_feature_values_exact(spark):
     """Independent reconstruction of the synthetic payloads in pure Python —
-    build the exact byte strings from (doc_id, text) for BOTH containers
-    (P6 stills and C444 Y4M video), decode with a from-first-principles
-    reference (no shared code path beyond numpy), and pin the raw float64
-    features (a stronger check than the ×4096 floor)."""
+    build the exact byte strings from (doc_id, text) for ALL THREE
+    containers (P6 stills, C444 Y4M video, RIFF/WAVE PCM audio), decode
+    with a from-first-principles reference (no shared code path beyond
+    numpy), and pin the raw float64 features (a stronger check than the
+    ×4096 floor)."""
     import hashlib
 
     import numpy as np
@@ -86,6 +87,7 @@ def test_media_decode_feature_values_exact(spark):
         hx = hashlib.md5(row["text"].encode()).hexdigest()
         pix = (hx * (n3 // 32 + 2))[:n3].encode("ascii")
         a = np.frombuffer(pix, dtype=np.uint8)
+        d0, d1, units = float(w), float(h), float(w * h)
         if did % 4 == 3:
             nf = 8 + (did * 3) % 25
             raw = (
@@ -97,15 +99,31 @@ def test_media_decode_feature_values_exact(spark):
             assert (info.width, info.height, info.n_frames) == (w, h, nf)
             # planar: channel p covers bytes [p·w·h, (p+1)·w·h)
             s = a.reshape(3, -1).sum(axis=1, dtype=np.int64)
+        elif did % 4 == 2:
+            import struct
+
+            ch = 1 + (did // 4) % 2
+            fmt = struct.pack("<HHIIHH", 1, ch, 500, 500 * ch, ch, 8)
+            raw = (
+                b"RIFF" + struct.pack("<I", 36 + n3) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", n3) + pix
+            )
+            ai = multimodal.probe_wav(raw)
+            assert (ai.channels, ai.sample_rate, ai.data_size) == (
+                ch, 500, n3,
+            )
+            s = a.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            d0, d1, units = float(ch), 500.0, float(n3 // ch)
         else:
             raw = f"P6\n{w} {h}\n255\n".encode() + pix
             dw, dh, mx, plane = multimodal.decode_ppm(raw)
             assert (dw, dh, mx) == (w, h, 255)
             s = a.reshape(-1, 3).sum(axis=0, dtype=np.int64)
         want = [
-            float(w), float(h), 255.0,
-            s[0] / (w * h), s[1] / (w * h), s[2] / (w * h),
-            s.sum() / n3, float(w * h),
+            d0, d1, 255.0,
+            3 * s[0] / n3, 3 * s[1] / n3, 3 * s[2] / n3,
+            s.sum() / n3, units,
         ]
         got = list(feats.loc[str(did)]["feature"])
         assert got == want, did

@@ -17,14 +17,16 @@ def test_media_table_schema(spark):
     assert dict(m.dtypes)["width"] == "int"
 
 
-def test_media_table_payloads_are_valid_ppm(spark):
-    """The synthesized still payloads must be REAL P6 images the decoder
-    (or any netpbm reader) opens, with dims matching the metadata columns;
-    video payloads must be REAL Y4M streams the probe walks end-to-end."""
+def test_media_table_payloads_are_valid_containers(spark):
+    """Every synthesized payload must be REAL and type-correct: P6 images
+    the decoder (or any netpbm reader) opens with dims matching the
+    metadata columns, Y4M streams the video probe walks end-to-end, and
+    RIFF/WAVE PCM files the audio probe parses."""
     rows = multimodal.media_table(spark, SF).limit(16).collect()
-    saw_vid = saw_still = False
+    seen = set()
     for r in rows:
-        if r["media_type"].startswith("video/"):
+        mt = r["media_type"]
+        if mt.startswith("video/"):
             info = multimodal.probe_y4m(bytes(r["payload"]))
             assert (info.width, info.height) == (r["width"], r["height"])
             assert (info.fps_num, info.fps_den) == multimodal._Y4M_FPS
@@ -33,14 +35,22 @@ def test_media_table_payloads_are_valid_ppm(spark):
                 info.duration_ms
                 == info.n_frames * multimodal._FRAME_MS
             )
-            saw_vid = True
+        elif mt.startswith("audio/"):
+            ai = multimodal.probe_wav(bytes(r["payload"]))
+            assert ai.channels in (1, 2)
+            assert (ai.sample_rate, ai.bits) == (multimodal._WAV_RATE, 8)
+            assert ai.data_size == r["width"] * r["height"] * 3
+            assert (
+                ai.duration_ms
+                == ai.n_frames * 1000 // multimodal._WAV_RATE
+            )
         else:
             w, h, maxval, px = multimodal.decode_ppm(bytes(r["payload"]))
             assert (w, h) == (r["width"], r["height"])
             assert maxval == 255
             assert px.shape == (h, w, 3) and px.dtype == np.uint8
-            saw_still = True
-    assert saw_vid and saw_still
+        seen.add(mt.split("/")[0])
+    assert seen == {"image", "audio", "video"}
 
 
 def test_feature_extraction_shape_and_determinism(spark):
@@ -99,6 +109,61 @@ def test_probe_y4m_known_stream():
     assert feats[0].tolist() == [
         2, 2, 255, 6 / 4, 22 / 4, 38 / 4, 66 / 12, 4
     ]
+
+
+def _wav_bytes(ch, rate, bits, data, extra_chunk=b""):
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, rate, rate * ch * (bits // 8), ch * (bits // 8),
+        bits,
+    )
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + extra_chunk
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_probe_wav_known_file():
+    """Hand-built stereo 8-bit PCM file (with an unknown odd-length chunk
+    the walker must word-align past) → exact probe values and exact
+    3-phase byte means through the feature path."""
+    data = bytes(range(12))
+    raw = _wav_bytes(2, 1000, 8, data, extra_chunk=b"LIST\x03\x00\x00\x00abc\x00")
+    info = multimodal.probe_wav(raw)
+    assert (info.channels, info.sample_rate, info.bits) == (2, 1000, 8)
+    assert info.n_frames == 6
+    assert info.duration_ms == 6
+    assert raw[info.data_offset : info.data_offset + info.data_size] == data
+    feats, dims = multimodal._decode_features(
+        pd.Series([raw]), pd.Series(["audio/wav"])
+    )
+    # phases: 0+3+6+9, 1+4+7+10, 2+5+8+11 over 4 rows each
+    assert feats[0].tolist() == [
+        2, 1000, 255, 18 / 4, 22 / 4, 26 / 4, 66 / 12, 6
+    ]
+    assert dims.tolist() == [[2, 1000]]
+
+
+def test_probe_wav_rejects():
+    import struct
+
+    with pytest.raises(ValueError, match="magic"):
+        multimodal.probe_wav(b"RIFX\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="missing fmt or data"):
+        multimodal.probe_wav(b"RIFF\x04\x00\x00\x00WAVE")
+    # non-PCM format code is an explicit error
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000, 1, 8)
+    raw = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+    with pytest.raises(ValueError, match="PCM only"):
+        multimodal.probe_wav(raw)
+    # truncated data chunk is clamped, not overread
+    raw = _wav_bytes(1, 100, 8, bytes(10))
+    info = multimodal.probe_wav(raw[:-4])
+    assert info.data_size == 6 and info.n_frames == 6
 
 
 def test_probe_y4m_colorspaces_and_rejects():
