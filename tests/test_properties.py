@@ -482,3 +482,94 @@ def test_cross_engine_parity_random_corpora(spark, tmp_path):
             want = con.sql(oracles[name]).df()
             assert len(got) == len(want), (seed, name)
             assert canon(got) == canon(want), (seed, name)
+
+
+def test_stream_sessionize_matches_batch_twin_out_of_order(spark, tmp_path):
+    """Randomized streaming↔batch equivalence for the gap-session operator
+    (ADVICE r4 follow-through): random per-user session structures whose
+    events arrive SHUFFLED WITHIN EACH TRUE SESSION and split across
+    micro-batches (so late-but-in-watermark events can precede the open
+    session's carried start and cross batch boundaries), streamed with a
+    generous watermark, must reproduce the batch lag+cumsum sessionization
+    of the fully-sorted log exactly: same (user, start, end, n_events)
+    sets. Within-session shuffling is the equivalence envelope: the
+    operator emits gap-closed sessions eagerly, so an event arriving after
+    a LATER session already closed could never retro-merge (the documented
+    eager-emission semantics); inside the open session, order must not
+    matter at all."""
+    import glob
+    import os
+    import shutil
+
+    import numpy as np
+
+    from grobid_clinical_report_spark.streaming import stream_sessionize
+
+    rng = np.random.RandomState(20260817)
+    gap_min = 30
+    t0 = pd.Timestamp("2026-02-01 00:00:00")
+
+    def make_trial(trial):
+        rows = []  # arrival order
+        truth = []
+        eid = 0
+        for u in range(1, 5):
+            minute = int(rng.randint(0, 60))
+            for _s in range(int(rng.randint(1, 4))):
+                n_ev = int(rng.randint(1, 7))
+                offs = np.sort(rng.randint(0, gap_min - 2, size=n_ev))
+                sess_ts = [minute + int(o) for o in offs]
+                truth.append(
+                    (u, min(sess_ts), max(sess_ts), n_ev)
+                )
+                order = rng.permutation(n_ev)
+                for k in order:
+                    rows.append((eid + int(k), u, sess_ts[int(k)]))
+                eid += n_ev
+                minute = max(sess_ts) + gap_min + 1 + int(rng.randint(0, 30))
+        return rows, truth
+
+    for trial in range(2):
+        rows, truth = make_trial(trial)
+        in_dir = tmp_path / f"ev{trial}"
+        out_dir = str(tmp_path / f"out{trial}")
+        in_dir.mkdir()
+
+        def write_batch(name, batch_rows):
+            pdf = pd.DataFrame(
+                [
+                    {"event_id": e, "ts": t0 + pd.Timedelta(minutes=m),
+                     "user_id": u, "event_type": "clk", "value": 1.0,
+                     "props": ""}
+                    for e, u, m in batch_rows
+                ]
+            )
+            tmp = in_dir / f"_{name}"
+            spark.createDataFrame(pdf).coalesce(1).write.parquet(str(tmp))
+            for f in glob.glob(str(tmp / "part*")):
+                shutil.move(f, str(in_dir / f"{name}.parquet"))
+
+        # split the arrival sequence into 3 micro-batches + a flush batch
+        cuts = sorted(rng.choice(range(1, len(rows)), 2, replace=False))
+        batches = [rows[: cuts[0]], rows[cuts[0]: cuts[1]], rows[cuts[1]:]]
+        batches.append([(10**6, 999, 10**5)])  # watermark flush
+        for bi, batch_rows in enumerate(batches):
+            write_batch(f"b{bi}", batch_rows)
+            q = stream_sessionize(
+                spark, str(in_dir), out_dir, gap_minutes=gap_min,
+                late_threshold="12 hours",
+            )
+            q.awaitTermination()
+
+        got = spark.read.parquet(
+            os.path.join(out_dir, "sessions", "epoch=*")
+        ).toPandas()
+        got = got[got.user_id != 999]
+        to_min = lambda s: (  # noqa: E731
+            (s - t0).dt.total_seconds() / 60
+        ).astype(int)
+        got_set = sorted(
+            zip(got["user_id"], to_min(got["session_start"]),
+                to_min(got["session_end"]), got["n_events"])
+        )
+        assert got_set == sorted(truth), f"trial {trial}"
