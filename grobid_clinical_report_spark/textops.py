@@ -24,6 +24,8 @@ quadratic on non-duplicate data).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1123,14 +1125,29 @@ FROM scored
 _CC_MAX_ITERS = 20
 
 
-def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cc_materialize(df: DataFrame, name: str) -> DataFrame:
+    """Materialization for ITERATIVE loops: unlike plain .cache(), the
+    result's lineage must be TRUNCATED — each round of an iterative graph
+    algorithm references its input several times (union + join branches),
+    so cached-but-linated plans grow exponentially in rounds and Spark
+    OOMs building the plan string alone. With SPARK_GRAFT_MATERIALIZE_DIR
+    set this is the parquet round-trip (session.materialize — the
+    production shape, replayable on executor loss); locally it is
+    localCheckpoint (lineage cut, partitions pinned)."""
+    if os.environ.get("SPARK_GRAFT_MATERIALIZE_DIR"):
+        from .session import materialize
+
+        return materialize(df, name)
+    return df.localCheckpoint(eager=False)
+
+
+def _symmetric_edges(pairs: DataFrame):
+    """Materialized symmetric distinct edge list from an (a, b) pair table."""
     from pyspark.sql import functions as F
 
-    pairs = q_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    # symmetric edge list + self-loops; cached — every iteration joins it
     from .session import materialize
 
-    edges = materialize(
+    return materialize(
         pairs.union(
             pairs.select(
                 F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -1138,6 +1155,14 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).distinct(),
         "cc_edges",
     )
+
+
+def cc_labels_propagate(edges: DataFrame) -> DataFrame:
+    """Min-label propagation to fixpoint over a SYMMETRIC edge table →
+    [doc, lab]. Rounds = graph diameter (small for dup clusters); each
+    round is one bounded join + agg on the pair table, ≪ corpus."""
+    from pyspark.sql import functions as F
+
     labels = edges.select(F.col("doc_a").alias("doc")).distinct().withColumn(
         "lab", F.col("doc")
     )
@@ -1160,14 +1185,17 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same box. The per-iteration count is an anti-join of two cached
     # label tables (tiny); the propagation shuffle dominates, so halving
     # counts while adding cache materializations loses. Kept: the explicit
-    # non-convergence raise below (ADVICE r4).
+    # non-convergence raise below (ADVICE r4). For graphs whose DIAMETER
+    # breaks the round budget, cc_labels_star below is the O(log n)-round
+    # path.
     converged = False
     for i in range(_CC_MAX_ITERS):
         nxt = _propagate(labels)
-        # materialize FIRST (alternating names so an iteration never reads
-        # the path it writes), then probe convergence: changed = rows whose
-        # label improved (anti-join on equality) — a tiny driver count
-        nxt = materialize(nxt, f"cc_labels_{i % 2}")
+        # lineage-truncating materialize FIRST (alternating names so an
+        # iteration never reads the path it writes), then probe
+        # convergence: changed = rows whose label improved (anti-join on
+        # equality) — a tiny driver count
+        nxt = _cc_materialize(nxt, f"cc_labels_{i % 2}")
         changed = (
             nxt.alias("n")
             .join(
@@ -1189,9 +1217,90 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             "dedup_components: min-label propagation did not converge in "
             f"{_CC_MAX_ITERS} rounds ({changed} labels still improving); "
-            "raise _CC_MAX_ITERS or switch to large-star/small-star for "
-            "this graph"
+            "raise _CC_MAX_ITERS or use cc_labels_star for this graph"
         )
+    return labels
+
+
+_CC_STAR_MAX_ROUNDS = 40
+
+
+def cc_labels_star(edges: DataFrame) -> DataFrame:
+    """Alternating large-star / small-star connected components (Kiveris
+    et al. 2014, 'Connected Components in MapReduce and Beyond') over a
+    SYMMETRIC edge table → [doc, lab] with lab = component min.
+
+    The at-scale alternative to cc_labels_propagate: rounds are
+    O(log n) in COMPONENT SIZE instead of O(diameter), so a
+    1000-link chain of incrementally-edited near-dups converges in ~10
+    rounds where propagation needs 1000. Each round is two bounded
+    groupBy+join passes over the shrinking edge list:
+      large-star: every node points its LARGER neighbors at the min of
+        its closed neighborhood (emitted from the smaller endpoint, so
+        each edge is processed exactly once);
+      small-star: every node folds its SMALLER neighbors (and itself)
+        onto the min of that set.
+    Fixpoint = the edge set stops changing; the graph is then a star per
+    component centered on the component min, and the label read-off is
+    one aggregation. Equality with cc_labels_propagate (and with the
+    exact DuckDB recursive-CTE closure) is pinned by pytest."""
+    from pyspark.sql import functions as F
+
+    E = _cc_materialize(
+        edges.selectExpr(
+            "least(doc_a, doc_b) as a", "greatest(doc_a, doc_b) as b"
+        ).filter("a <> b").distinct(),
+        "ccs_edges_0",
+    )
+    n_edges = E.count()
+    for i in range(_CC_STAR_MAX_ROUNDS):
+        sym = E.union(E.selectExpr("b as a", "a as b"))
+        # large-star: from node a, min over closed neighborhood; larger
+        # neighbors b > a re-attach to it
+        mins = sym.groupBy("a").agg(F.min("b").alias("mb")).selectExpr(
+            "a", "least(mb, a) as m"
+        )
+        large = (
+            sym.join(mins, "a")
+            .filter("b > a")
+            .selectExpr("least(b, m) as a", "greatest(b, m) as b")
+        )
+        E1 = _cc_materialize(
+            large.filter("a <> b").distinct(), f"ccs_edges_l{i % 2}"
+        )
+        # small-star: from node a, fold the smaller neighbors (and a
+        # itself) onto their min
+        sym1 = E1.union(E1.selectExpr("b as a", "a as b"))
+        small_n = sym1.filter("b < a")
+        mins2 = small_n.groupBy("a").agg(F.min("b").alias("mb"))
+        small = (
+            small_n.join(mins2, "a")
+            .selectExpr("least(b, mb) as a", "greatest(b, mb) as b")
+            .union(mins2.selectExpr("mb as a", "a as b"))
+        )
+        E2 = _cc_materialize(
+            small.filter("a <> b").distinct(), f"ccs_edges_s{i % 2}"
+        )
+        n2 = E2.count()
+        if n2 == n_edges and E2.exceptAll(E).count() == 0:
+            E = E2
+            break
+        E, n_edges = E2, n2
+    else:
+        raise RuntimeError(
+            "cc_labels_star did not converge in "
+            f"{_CC_STAR_MAX_ROUNDS} rounds"
+        )
+    # converged: star per component → label = min(neighbor ∪ self)
+    sym = E.union(E.selectExpr("b as a", "a as b"))
+    return sym.groupBy("a").agg(
+        F.least(F.min("b"), F.first("a")).alias("lab")
+    ).selectExpr("a as doc", "lab")
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = cc_labels_propagate(_symmetric_edges(pairs))
     return labels.selectExpr(
         "doc as doc_id", "lab as component"
     ).orderBy("doc_id")

@@ -992,3 +992,82 @@ def test_tei_corpus_merge_first_wins(spark):
         "d2": "version originale",
         "d3": "autre document",
     }
+
+
+def _uf_components(edges):
+    """Union-find reference: {node: component min}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_cc_star_matches_propagation_and_unionfind(spark):
+    """cc_labels_star (large-star/small-star, the O(log n)-round scale
+    path) must produce exactly the same [doc, lab] table as the default
+    min-label propagation AND a pure-python union-find, on seeded random
+    graphs with mixed component shapes (cliques, chains, singles-by-
+    absence)."""
+    import numpy as np
+
+    from grobid_clinical_report_spark.textops import (
+        _symmetric_edges, cc_labels_propagate, cc_labels_star,
+    )
+
+    rng = np.random.RandomState(5)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.randint(0, n, size=(45, 2))
+            if a != b
+        ]
+        pairs = spark.createDataFrame(
+            [(f"d{a:03d}", f"d{b:03d}") for a, b in edges],
+            "doc_a string, doc_b string",
+        )
+        sym = _symmetric_edges(pairs)
+        prop = {
+            r["doc"]: r["lab"]
+            for r in cc_labels_propagate(sym).collect()
+        }
+        star = {
+            r["doc"]: r["lab"] for r in cc_labels_star(sym).collect()
+        }
+        ref = {
+            f"d{k:03d}": f"d{v:03d}"
+            for k, v in _uf_components(edges).items()
+        }
+        assert prop == ref, f"trial {trial} (propagation)"
+        assert star == ref, f"trial {trial} (star)"
+
+
+def test_cc_star_converges_where_propagation_cannot(spark):
+    """A 50-link near-dup chain (diameter ≫ _CC_MAX_ITERS — the versioned/
+    incrementally-edited document shape): min-label propagation must FAIL
+    LOUDLY (the ADVICE r4 raise), while large-star/small-star converges in
+    O(log n) rounds to the single correct component."""
+    import pytest as _pytest
+
+    from grobid_clinical_report_spark.textops import (
+        _symmetric_edges, cc_labels_propagate, cc_labels_star,
+    )
+
+    chain = [(f"v{i:03d}", f"v{i + 1:03d}") for i in range(50)]
+    pairs = spark.createDataFrame(chain, "doc_a string, doc_b string")
+    sym = _symmetric_edges(pairs)
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        cc_labels_propagate(sym)
+    star = cc_labels_star(sym).collect()
+    assert len(star) == 51
+    assert {r["lab"] for r in star} == {"v000"}
