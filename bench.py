@@ -346,7 +346,14 @@ Measurement notes (honest caveats, profiled in round 1):
   running in this VM). Observed warm range for the 1→4 pair: 0.83-0.99
   (round 1), 0.85-1.07 (round 2), 0.80-1.03 (round 3, low end measured
   under external load 5+), 0.843-0.967 (round 4 — 0.843 under moderate
-  co-tenant load, 0.967 idle); every run clears the 0.8 target.
+  co-tenant load, 0.967 idle), 0.88-1.13 (round 5 — the >1 reading came
+  from a cold-page-cache 1-core leg; the warm repeat, reported here, read
+  0.88); every run clears the 0.8 target.
+- spark.task.cpus A/B (re-measured each round, r5): extraction best-of-2
+  at local[32], both run orders — task_cpus=1: 4.29-4.53s vs task_cpus=2:
+  5.51-5.83s (~21% slower); the heavier NER pass prefers 2 (9.55s vs
+  11.68s). Default follows the flagship extraction metric: task_cpus=1
+  (override via SPARK_GRAFT_TASK_CPUS).
 - Data scaling (round 4 sf1 tier): the identical job at 10× the corpus
   (200k docs) holds per-doc throughput within a few percent of sf0.1 on
   an idle box (5266 vs 5371 docs/s), and the near-dup banding pipeline
