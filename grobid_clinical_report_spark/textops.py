@@ -1323,8 +1323,78 @@ FROM reach GROUP BY doc ORDER BY doc
 """
 
 
+# ---------------------------------------------------------------------------
+# END-TO-END CURATION DECISION TABLE — the composed workflow a training-data
+# pipeline actually runs (FineWeb/Gopher shape): quality+language filter →
+# exact dedup keep-one → near-dup connected-components keep-one, emitted as
+# one auditable decision row per document. Each stage is an already-
+# oracle-verified operator; this pins that they COMPOSE correctly (shared
+# materialized intermediates, kill-lists joined without re-scanning the
+# corpus) — the composed oracle nests the per-stage SQL verbatim.
+# Scale shape: corpus_filter's one agg pass + exact dedup's one md5 shuffle
+# + the components closure on the (tiny) pair table; the decision joins are
+# doc-keyed and the near-dup table (pair-graph docs only) is ≪ corpus.
+# Note q_neardup_pairs pre-collapses exact dups, so near-dup verdicts live
+# on each exact-group's representative; non-representatives are already
+# dropped by exact_canonical, which keeps the two stages composable.
+# ---------------------------------------------------------------------------
+
+
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cf = q_corpus_filter(spark, sf_dir).select(
+        "doc_id", "n_tokens", "reason_mask"
+    )
+    exact = q_exact_dedup(spark, sf_dir).select("fp", "keeper")
+    doc_fp = _load_wide(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"md5({_NORM}) as fp"
+    )
+    exact_flag = doc_fp.join(exact, "fp").selectExpr(
+        "doc_id", "doc_id = keeper as exact_canonical"
+    )
+    comp = q_dedup_components(spark, sf_dir).selectExpr(
+        "doc_id", "component = doc_id as nd_can"
+    )
+    return (
+        cf.join(exact_flag, "doc_id")
+        .join(F.broadcast(comp), "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "reason_mask",
+            "exact_canonical",
+            "coalesce(nd_can, true) as nd_canonical",
+            "reason_mask = 0 and exact_canonical"
+            " and coalesce(nd_can, true) as kept",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_curate() -> str:
+    return f"""
+WITH cf AS ({ORACLE_CORPUS_FILTER}),
+exact AS (
+  SELECT md5({_NORM}) AS fp, MIN(doc_id) AS keeper
+  FROM documents GROUP BY 1
+),
+doc_fp AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+comp AS (SELECT * FROM ({_oracle_components()}) AS t)
+SELECT cf.doc_id, cf.n_tokens, cf.reason_mask,
+  doc_fp.doc_id = exact.keeper AS exact_canonical,
+  COALESCE(comp.component = comp.doc_id, TRUE) AS nd_canonical,
+  (cf.reason_mask = 0 AND doc_fp.doc_id = exact.keeper
+   AND COALESCE(comp.component = comp.doc_id, TRUE)) AS kept
+FROM cf
+JOIN doc_fp ON cf.doc_id = doc_fp.doc_id
+JOIN exact ON doc_fp.fp = exact.fp
+LEFT JOIN comp ON cf.doc_id = comp.doc_id
+ORDER BY cf.doc_id
+"""
+
+
 OPS = {
     "rawtext": q_rawtext,
+    "curate_corpus": q_curate,
     "corpus_filter": q_corpus_filter,
     "guardrail_filter": q_guardrail,
     "dedup_exact": q_exact_dedup,
@@ -1345,6 +1415,7 @@ OPS = {
 
 ORACLES = {
     "rawtext": ORACLE_RAWTEXT,
+    "curate_corpus": _oracle_curate(),
     "corpus_filter": ORACLE_CORPUS_FILTER,
     "guardrail_filter": ORACLE_GUARDRAIL,
     "dedup_exact": ORACLE_EXACT_DEDUP,

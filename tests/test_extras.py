@@ -1071,3 +1071,47 @@ def test_cc_star_converges_where_propagation_cannot(spark):
     star = cc_labels_star(sym).collect()
     assert len(star) == 51
     assert {r["lab"] for r in star} == {"v000"}
+
+
+def test_curate_semantics_small(spark, tmp_path):
+    """Curation keep/drop on a hand-built corpus: the exact-dup group keeps
+    its min doc, the near-dup pair keeps its component min, the filtered
+    junk doc is dropped by reason_mask, and every decision row is
+    auditable (flags present for every doc)."""
+    base = (
+        "the patient arrived early and doctors reviewed complete care "
+        "plans while nurses recorded observations, family members stayed "
+        "informed, specialists joined morning rounds, discharge planning "
+        "began, follow up instructions printed, medication schedules "
+        "confirmed, laboratory results filed, imaging reports archived"
+    )
+    near = base.replace("arrived early", "arrived very early")
+    other = (
+        "quarterly maintenance of ventilation equipment requires "
+        "calibrated sensors, certified technicians inspect filters, "
+        "replace worn gaskets, log pressure readings, verify alarm "
+        "thresholds, schedule next service visits, order spare parts, "
+        "update compliance records for safety audits in the building"
+    )
+    rows = [
+        (1, base, "fr", "s", 0),
+        (2, base, "fr", "s", 0),          # exact dup of 1 → dropped
+        (3, near, "fr", "s", 0),          # near-dup of 1 → dropped
+        (4, "word " * 300, "fr", "s", 0), # repetitive → reason_mask
+        (5, other, "fr", "s", 0),         # independent doc → kept
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    from grobid_clinical_report_spark.textops import q_curate
+
+    out = q_curate(spark, str(tmp_path)).toPandas().set_index("doc_id")
+    assert len(out) == 5
+    assert bool(out.loc[1, "kept"])
+    assert not bool(out.loc[2, "exact_canonical"])   # exact-dup loser
+    assert not bool(out.loc[4, "kept"])
+    assert out.loc[4, "reason_mask"] > 0             # filtered, not deduped
+    # near-dup: exactly one of the 1/3 pair survives nd-canonically and
+    # it is the component min (doc 1)
+    assert not bool(out.loc[3, "nd_canonical"])
+    assert bool(out.loc[1, "nd_canonical"])

@@ -225,3 +225,13 @@ def test_corpus_filter_and_gopher_share_word_explode(spark):
         assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
     finally:
         spark.catalog.clearCache()
+
+
+def test_curate_plan_hygiene(spark):
+    """The composed curation decision table must stay join-clean: the
+    near-dup component kill-list (pair-graph docs only, ≪ corpus) joins
+    broadcast, and nothing degenerates to a cartesian/nested-loop."""
+    plan = _plan(textops.q_curate(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
