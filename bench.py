@@ -165,6 +165,7 @@ def headline() -> dict:
         "dedup_simhash",
         "dedup_neardup_pairs",
         "dedup_components",
+        "curate_corpus",
         "dedup_substring",
         "dedup_embedding",
         "langid",
