@@ -790,8 +790,6 @@ def _top_word_counts(docs: DataFrame) -> DataFrame:
 
 
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
     docs = _load_wide(spark, sf_dir, "documents")
     grams = docs.selectExpr(
         "doc_id",
@@ -997,8 +995,6 @@ _D_QUALITY_MILLI = (
 
 
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
     docs = _load_wide(spark, sf_dir, "documents")
     base = docs.selectExpr(
         "doc_id",
