@@ -1115,3 +1115,29 @@ def test_curate_semantics_small(spark, tmp_path):
     # it is the component min (doc 1)
     assert not bool(out.loc[3, "nd_canonical"])
     assert bool(out.loc[1, "nd_canonical"])
+
+
+def test_cc_star_parquet_materialization_matches_local(spark, tmp_path,
+                                                       monkeypatch):
+    """cc_labels_star's per-round lineage truncation has two shapes:
+    localCheckpoint (local default) and the parquet round-trip
+    (SPARK_GRAFT_MATERIALIZE_DIR — the production shape, replayable on
+    executor loss). Both must yield identical components."""
+    from grobid_clinical_report_spark.textops import (
+        _symmetric_edges, cc_labels_star,
+    )
+
+    chain = [(f"w{i:02d}", f"w{i + 1:02d}") for i in range(30)]
+    chain += [("z1", "z2"), ("z2", "z3"), ("q8", "q9")]
+    pairs = spark.createDataFrame(chain, "doc_a string, doc_b string")
+    local = {
+        r["doc"]: r["lab"]
+        for r in cc_labels_star(_symmetric_edges(pairs)).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE_DIR", str(tmp_path / "m"))
+    mat = {
+        r["doc"]: r["lab"]
+        for r in cc_labels_star(_symmetric_edges(pairs)).collect()
+    }
+    assert local == mat
+    assert mat["w30"] == "w00" and mat["z3"] == "z1" and mat["q9"] == "q8"
