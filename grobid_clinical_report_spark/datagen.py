@@ -564,7 +564,9 @@ FX_TABLE_EXPECTED = [
 # fx-hdr-0019 — token-MORPHOLOGY-only header fields (F3 per-token 1-4-char
 # prefix/suffix depth, FeaturesVectorHeaderMedical.java:63-73): the docnum
 # has no N° shape ('Réf' prefix class), the medic has no Dr/Pr title and no
-# name-shape line (profession suffix 'Chirurgienne' — only 'ch' precedes\n# the 'irurgien' suffix, pinning the {2,} prefix bound — + initial 'C.'),\n# and the
+# name-shape line (profession suffix 'Chirurgienne' — only 'ch' precedes
+# the 'irurgien' suffix, pinning the {2,} prefix bound — + initial 'C.'),
+# and the
 # dateline's place is out-of-gazetteer (toponym suffix 'Boisville') with a
 # TEXTUAL French date — every cue is token morphology, none is a keyword or
 # line shape

@@ -20,6 +20,8 @@ k rows per query survive the exchange (partial top-k via AQE/codegen).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -459,13 +461,34 @@ def _ivf_cos_milli(Q: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
     return np.floor(1000.0 * (Q @ C.T) / np.outer(qn, cn))
 
 
-# trained quantizers, keyed by sf_dir: training is deterministic (fixed
-# seeds, fixed iteration count), so ann_ivf_topk / embedding_clusters /
-# semantic_prune sharing one training run returns bit-identical centroids
-# to retraining — and a production IVF persists the trained coarse
-# quantizer once rather than re-running k-means per query (VERDICT r4
-# next #2: the bench retrained it three times per round).
-_IVF_CENT_CACHE: dict[str, "np.ndarray"] = {}
+# trained quantizers, keyed by (sf_dir, corpus fingerprint): training is
+# deterministic (fixed seeds, fixed iteration count), so ann_ivf_topk /
+# embedding_clusters / semantic_prune sharing one training run returns
+# bit-identical centroids to retraining — and a production IVF persists the
+# trained coarse quantizer once rather than re-running k-means per query
+# (VERDICT r4 next #2: the bench retrained it three times per round). The
+# fingerprint (file names + sizes + mtimes of the embeddings parquet dir)
+# invalidates the cache when a tier is regenerated in-process at the same
+# path (ADVICE r5: path-only keying served stale centroids after a datagen
+# overwrite).
+_IVF_CENT_CACHE: dict[tuple, "np.ndarray"] = {}
+
+
+def _emb_fingerprint(sf_dir: str) -> tuple:
+    """(name, size, mtime_ns) triples for the embeddings parquet files."""
+    root = f"{sf_dir}/embeddings.parquet"
+    out = []
+    try:
+        if os.path.isdir(root):
+            for name in sorted(os.listdir(root)):
+                st = os.stat(os.path.join(root, name))
+                out.append((name, st.st_size, st.st_mtime_ns))
+        else:
+            st = os.stat(root)
+            out.append((os.path.basename(root), st.st_size, st.st_mtime_ns))
+    except OSError:
+        pass  # unreadable → empty fingerprint → still keyed by path
+    return tuple(out)
 
 
 def _ivf_train(spark: SparkSession, sf_dir: str) -> "np.ndarray":
@@ -474,7 +497,8 @@ def _ivf_train(spark: SparkSession, sf_dir: str) -> "np.ndarray":
     broadcast 'coarse quantizer' every production IVF ships to executors).
     Assignment never shuffles; the mean update shuffles C×DIM partial rows
     per partition after map-side combine."""
-    cached = _IVF_CENT_CACHE.get(sf_dir)
+    key = (sf_dir, _emb_fingerprint(sf_dir))
+    cached = _IVF_CENT_CACHE.get(key)
     if cached is not None:
         return cached
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
@@ -507,7 +531,7 @@ def _ivf_train(spark: SparkSession, sf_dir: str) -> "np.ndarray":
             cnt = rows[0].cnt
             new[c] = np.floor(s.astype(float) / cnt).astype(np.int64)
         cent = new
-    _IVF_CENT_CACHE[sf_dir] = cent
+    _IVF_CENT_CACHE[key] = cent
     return cent
 
 

@@ -43,6 +43,17 @@ def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _corpus_key(name: str, sf_dir: str) -> str:
+    """Materialization name keyed by the corpus dir: runs over different
+    tiers in one process/materialize-dir must not share a slot (ADVICE r5:
+    the fixed name 'corpus_words' made the sf0.1 headline run and the sf1
+    text-tier run overwrite each other's parquet materialization, so the
+    claimed cross-query reuse never happened there)."""
+    import hashlib
+
+    return f"{name}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+
+
 def _load_wide(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load + spread IF NEEDED: the test tiers are single small parquet files
     (one row group → one scan task), so compute-heavy per-row ops would
@@ -621,9 +632,15 @@ FROM s LEFT JOIN dup ON s.doc_id = dup.doc_id
 # ---------------------------------------------------------------------------
 
 _LM_TOP = 256
-_BIGRAMS = (
-    f"filter(transform(sequence(1, greatest(length({_NORM}) - 1, 1)),"
-    f" i -> substring({_NORM}, i, 2)), b -> length(b) = 2)"
+# bigrams over the BOUND column `nt`, never the inline _NORM expression: a
+# SQL text macro re-evaluates at every textual occurrence, and inside the
+# transform lambda that occurrence is PER CHARACTER POSITION — the inlined
+# form re-ran the normalization regex O(len) times per doc, i.e. O(len²)
+# total, the r5 sf1 superlinearity (29.8s at 16.6× data = 25.9×; hoisted:
+# linear). Same rule the shingle expressions follow (_SHINGLES_OF_W above).
+_BIGRAMS_OF_NT = (
+    "filter(transform(sequence(1, greatest(length(nt) - 1, 1)),"
+    " i -> substring(nt, i, 2)), b -> length(b) = 2)"
 )
 
 
@@ -651,14 +668,24 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = _load_wide(spark, sf_dir, "documents")
-    # consumed by both the model build and the scoring join: cache locally,
-    # parquet at scale (session.materialize switches on env)
+    # One corpus pass: explode bigrams (over the projected `nt` column) and
+    # fold straight to per-(doc, bigram) COUNTS — the explode pipelines into
+    # the partial aggregation inside one codegen stage, so the corpus-sized
+    # occurrence stream is never cached or shuffled. Only the compact count
+    # table (≤ docs × charset² rows; 179 distinct bigrams on the synthetic
+    # tiers) is materialized for the two consumers (model build + scoring).
+    # r5 cached the raw occurrence explode instead: 24.5M rows, 21s of the
+    # 29s sf1 wall went into building that cache.
     from .session import materialize
 
-    bi = materialize(
-        docs.selectExpr("doc_id", f"explode({_BIGRAMS}) as bg"), "lm_bigrams"
+    dc = materialize(
+        docs.selectExpr("doc_id", f"{_NORM} as nt")
+        .selectExpr("doc_id", f"explode({_BIGRAMS_OF_NT}) as bg")
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("dcnt")),
+        _corpus_key("lm_doc_bigrams", sf_dir),
     )
-    counts = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = dc.groupBy("bg").agg(F.sum("dcnt").alias("cnt"))
     # deterministic top-K: (count desc, bigram asc); the window is a single
     # task over ≤ charset² rows — scale-independent. Partition key
     # `bg is null` is constant-but-non-foldable: single partition by
@@ -695,11 +722,13 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     model_ppm = m.selectExpr("bg", "q0 + qr as bg_ppm")
     return (
-        bi.join(F.broadcast(model_ppm), "bg", "left")
+        dc.join(F.broadcast(model_ppm), "bg", "left")
         .groupBy("doc_id")
         .agg(
-            F.sum(F.coalesce(F.col("bg_ppm"), F.lit(0))).alias("s_ppm"),
-            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.coalesce(F.col("bg_ppm"), F.lit(0)) * F.col("dcnt")
+            ).alias("s_ppm"),
+            F.sum("dcnt").alias("n"),
         )
         .selectExpr(
             "doc_id",
@@ -756,13 +785,16 @@ ORACLE_LM_QUALITY = _lm_oracle_sql()
 # oracle equality.
 # ---------------------------------------------------------------------------
 
-_GRAM5 = (
-    f"transform(sequence(0, greatest(size({_WORDS}) - 5, 0)),"
-    f" i -> concat_ws(' ', slice({_WORDS}, i + 1, 5)))"
+# 5-grams over the BOUND column `words` — inlining _WORDS into the lambda
+# body would re-run the split+normalization regex once per gram position
+# (the same O(len²) trap the bigram LM hit at sf1; see _BIGRAMS_OF_NT)
+_GRAM5_OF_WORDS = (
+    "transform(sequence(0, greatest(size(words) - 5, 0)),"
+    " i -> concat_ws(' ', slice(words, i + 1, 5)))"
 )
 
 
-def _top_word_counts(docs: DataFrame) -> DataFrame:
+def _top_word_counts(docs: DataFrame, sf_dir: str) -> DataFrame:
     """Per-doc top-word count over the exploded corpus words.
 
     The explode routes through session.materialize under ONE shared name
@@ -778,7 +810,7 @@ def _top_word_counts(docs: DataFrame) -> DataFrame:
 
     toks = materialize(
         docs.selectExpr("doc_id", f"explode({_WORDS}) as w"),
-        "corpus_words",
+        _corpus_key("corpus_words", sf_dir),
     )
     return (
         toks.groupBy("doc_id", "w")
@@ -791,20 +823,23 @@ def _top_word_counts(docs: DataFrame) -> DataFrame:
 
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load_wide(spark, sf_dir, "documents")
-    grams = docs.selectExpr(
+    # n_grams = size(words) - 4 for size >= 5: exactly size(_GRAM5_OF_WORDS)
+    # without materializing the gram array a second time (the DuckDB oracle
+    # already computes it this way)
+    grams = docs.selectExpr("doc_id", f"{_WORDS} as words").selectExpr(
         "doc_id",
-        f"size({_WORDS}) as n_words",
-        f"case when size({_WORDS}) >= 5 then size({_GRAM5})"
+        "size(words) as n_words",
+        "case when size(words) >= 5 then size(words) - 4"
         " else 0 end as n_grams",
-        f"case when size({_WORDS}) >= 5 then"
-        f" size(array_distinct({_GRAM5})) else 0 end as n_distinct",
+        f"case when size(words) >= 5 then"
+        f" size(array_distinct({_GRAM5_OF_WORDS})) else 0 end as n_distinct",
     ).selectExpr(
         "doc_id", "n_words", "cast(n_grams as bigint) as n_grams",
         "case when n_grams > 0 then"
         " cast((1000 * (n_grams - n_distinct)) div n_grams as bigint)"
         " else cast(0 as bigint) end as dup_gram_milli",
     )
-    top = _top_word_counts(docs)
+    top = _top_word_counts(docs, sf_dir)
     return grams.join(top, "doc_id").selectExpr(
         "doc_id", "n_grams", "dup_gram_milli",
         "cast((1000 * top_cnt) div n_words as bigint) as top_word_milli",
@@ -855,9 +890,11 @@ FROM g JOIN top ON g.doc_id = top.doc_id
 # draws from a ~30-word vocabulary where 8-grams never collide, so the
 # demonstrative scale here is 4-grams (same plan shape, non-trivial output)
 _DECONTAM_N = 4
-_GRAMD = (
-    f"transform(sequence(0, greatest(size({_WORDS}) - {_DECONTAM_N}, 0)),"
-    f" i -> concat_ws(' ', slice({_WORDS}, i + 1, {_DECONTAM_N})))"
+# n-grams over the bound `words` column (see _GRAM5_OF_WORDS for why the
+# inline-split form is O(len²))
+_GRAMD_OF_WORDS = (
+    f"transform(sequence(0, greatest(size(words) - {_DECONTAM_N}, 0)),"
+    f" i -> concat_ws(' ', slice(words, i + 1, {_DECONTAM_N})))"
 )
 
 
@@ -867,8 +904,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load_wide(spark, sf_dir, "documents")
     grams = (
         docs.filter("length(text) > 0")
-        .filter(f"size({_WORDS}) >= {_DECONTAM_N}")
-        .selectExpr("doc_id", f"explode(array_distinct({_GRAMD})) as g")
+        .selectExpr("doc_id", f"{_WORDS} as words")
+        .filter(f"size(words) >= {_DECONTAM_N}")
+        .selectExpr(
+            "doc_id", f"explode(array_distinct({_GRAMD_OF_WORDS})) as g"
+        )
     )
     ev = grams.filter("doc_id % 100 = 0").select("g").distinct()
     return (
@@ -984,10 +1024,6 @@ FILTER_MIN_QUALITY_MILLI = 20
 # (documented): the synthetic tiers' quality_milli median is ~60, so the
 # floor cuts the bottom tail, not the body.
 
-_QUALITY_MILLI = (
-    f"greatest(least(floor(1000 * {_N_STOP} / {_N_TOKS})"
-    f" - floor(500 * {_N_PUNCT} / length({_NORM})), 1000), 0)"
-)
 _D_QUALITY_MILLI = (
     f"GREATEST(LEAST(FLOOR(1000 * {_DN_STOP} / {_DN_TOKS})"
     f" - FLOOR(500 * {_DN_PUNCT} / LENGTH({_NORM})), 1000), 0)"
@@ -996,16 +1032,35 @@ _D_QUALITY_MILLI = (
 
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load_wide(spark, sf_dir, "documents")
+    # normalize + tokenize ONCE into bound columns; every signal below reads
+    # `nt`/`words` instead of re-running the _NORM regex (eight textual
+    # occurrences) — and the gram lambda reads the bound array, never the
+    # inline split (the O(len²) trap; see _BIGRAMS_OF_NT)
+    stop_nt = f"regexp_count(nt, '\\\\b{_STOP_EN}\\\\b')"
+    punct_nt = "length(regexp_replace(nt, '[^.,;:!?]', ''))"
+    quality_nt = (
+        f"greatest(least(floor(1000 * {stop_nt} / size(words))"
+        f" - floor(500 * {punct_nt} / length(nt)), 1000), 0)"
+    )
+    lang_nt = [
+        f"cast(regexp_count(nt, '\\\\b{p}\\\\b') as bigint) as s_{lang}"
+        for lang, p in [
+            ("en", _STOP_EN), ("fr", _STOP_FR),
+            ("de", _STOP_DE), ("es", _STOP_ES),
+        ]
+    ]
     base = docs.selectExpr(
+        "doc_id", f"{_NORM} as nt", f"{_WORDS} as words"
+    ).selectExpr(
         "doc_id",
-        *_lang_scores(),
-        f"cast({_N_TOKS} as bigint) as n_tokens",
-        f"cast({_QUALITY_MILLI} as bigint) as quality_milli",
-        f"size({_WORDS}) as n_words",
-        f"case when size({_WORDS}) >= 5 then size({_GRAM5})"
+        *lang_nt,
+        "cast(size(words) as bigint) as n_tokens",
+        f"cast({quality_nt} as bigint) as quality_milli",
+        "size(words) as n_words",
+        "case when size(words) >= 5 then size(words) - 4"
         " else 0 end as n_grams",
-        f"case when size({_WORDS}) >= 5 then"
-        f" size(array_distinct({_GRAM5})) else 0 end as n_distinct",
+        f"case when size(words) >= 5 then"
+        f" size(array_distinct({_GRAM5_OF_WORDS})) else 0 end as n_distinct",
     ).selectExpr(
         "doc_id", "s_en", "s_fr", "s_de", "s_es", "n_tokens",
         "quality_milli", "n_words",
@@ -1013,7 +1068,7 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         " cast((1000 * (n_grams - n_distinct)) div n_grams as bigint)"
         " else cast(0 as bigint) end as dup_gram_milli",
     )
-    top = _top_word_counts(docs)
+    top = _top_word_counts(docs, sf_dir)
     lang_bad = (
         "(s_fr > s_en or s_de > s_en or s_es > s_en"
         " or s_en + s_fr + s_de + s_es = 0)"

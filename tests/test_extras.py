@@ -890,8 +890,12 @@ def test_materialized_intermediates_match_cached(spark, tmp_path,
             drop=True
         )
         assert a.equals(b), k
-    # the parquet tables really exist (the env var was honored)
-    assert (tmp_path / "mat" / "lm_bigrams").exists()
+    # the parquet tables really exist (the env var was honored) — names are
+    # corpus-keyed (ADVICE r5), so match by prefix
+    import os
+
+    names = os.listdir(tmp_path / "mat")
+    assert any(n.startswith("lm_doc_bigrams_") for n in names), names
 
 
 def test_dedup_components_transitive(spark, tmp_path):
