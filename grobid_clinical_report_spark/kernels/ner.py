@@ -38,57 +38,65 @@ _LEX_TO_LABEL = {
 
 
 def ner_emissions(t: pd.DataFrame) -> np.ndarray:
-    # float32: every weight is a multiple of 0.5 with path sums << 2^23, so
-    # scores (and therefore every argmax/tie decision) are EXACT in f32 —
-    # identical labels to f64 — while the Viterbi gather/DP memory traffic
-    # halves (this kernel feeds the corpus-NER hot loop)
-    em = np.zeros((len(t), len(NER_LABELS)), dtype=np.float32)
+    # int16 at DOUBLED weights: every weight is a multiple of 0.5, so 2×
+    # weights are exact small integers and path sums stay << 2^15 — every
+    # argmax/tie decision is identical to the f64 math (uniform scaling
+    # preserves all comparisons) while the Viterbi gather/DP memory traffic
+    # is half of even f32 (this kernel feeds the corpus-NER hot loop on a
+    # bandwidth-bound box; confidence margins are halved back to the
+    # original scale in ner_entities). Transitions double in lockstep:
+    # label_ner_tokens/ner_entities pass stay=4.0 (= 2 × the modeled 2.0).
+    em = np.zeros((len(t), len(NER_LABELS)), dtype=np.int16)
+
+    def w(x: float) -> np.int16:
+        return np.int16(int(2 * x))
+
     for lex, lab in _LEX_TO_LABEL.items():
-        em[:, _IX[lab]] += 4.0 * t[f"lex_{lex}"].to_numpy()
+        em[:, _IX[lab]] += w(4.0) * t[f"lex_{lex}"].to_numpy()
 
     # suffix-morphology evidence for out-of-gazetteer entities (the
     # reference's prefix/suffix CRF features): weaker than a gazetteer hit,
     # stronger than the plain-word 'other' default
-    em[:, _IX["medicament"]] += 3.5 * t["suf_drug"].to_numpy()
-    em[:, _IX["pathology"]] += 3.0 * t["suf_patho"].to_numpy()
+    em[:, _IX["medicament"]] += w(3.5) * t["suf_drug"].to_numpy()
+    em[:, _IX["pathology"]] += w(3.0) * t["suf_patho"].to_numpy()
 
-    em[:, _IX["date"]] += 6.0 * t["is_date"].to_numpy()
-    em[:, _IX["time"]] += 6.0 * t["is_time"].to_numpy()
-    em[:, _IX["persname"]] += 5.0 * (
+    em[:, _IX["date"]] += w(6.0) * t["is_date"].to_numpy()
+    em[:, _IX["time"]] += w(6.0) * t["is_time"].to_numpy()
+    em[:, _IX["persname"]] += w(5.0) * (
         t["is_medic_title"] | t["is_patient_title"]
     ).to_numpy()
-    em[:, _IX["persname"]] += 2.0 * (t["is_cap"] | t["is_allcaps"]).to_numpy()
-    em[:, _IX["persname"]] += 4.0 * (t["is_period"] & t["prev_abbrev"]).to_numpy()
-    em[:, _IX["rolename"]] += 3.0 * t["is_role"].to_numpy()
+    em[:, _IX["persname"]] += w(2.0) * (t["is_cap"] | t["is_allcaps"]).to_numpy()
+    em[:, _IX["persname"]] += w(4.0) * (t["is_period"] & t["prev_abbrev"]).to_numpy()
+    em[:, _IX["rolename"]] += w(3.0) * t["is_role"].to_numpy()
     # fax/phone numbers: digit tokens inside the Fax/Tél keyword window
     # (FrenchMedicalNERParser <fax>/<phone>; the keyword itself stays other)
     num = t["is_num"].to_numpy()
-    em[:, _IX["fax"]] += 6.0 * (num & t["near_fax_kw"].to_numpy())
-    em[:, _IX["phone"]] += 6.0 * (
+    em[:, _IX["fax"]] += w(6.0) * (num & t["near_fax_kw"].to_numpy())
+    em[:, _IX["phone"]] += w(6.0) * (
         num & t["near_tel_kw"].to_numpy() & ~t["near_fax_kw"].to_numpy()
     )
     # location: gazetteer city or toponym-suffix morphology (<location>)
-    em[:, _IX["location"]] += 4.0 * (t["is_city"] | t["suf_city"]).to_numpy()
+    em[:, _IX["location"]] += w(4.0) * (t["is_city"] | t["suf_city"]).to_numpy()
     # person-TYPE mentions ('la patiente', 'le médecin') — standalone
     # descriptors, NOT titles attached to a following name (<persType>)
     perstype_word = t["low"].isin(
         ["patient", "patiente", "patients", "patientes", "médecin",
          "medecin", "médecins", "infirmier", "infirmière"]
     ).to_numpy()
-    em[:, _IX["perstype"]] += 6.0 * (
+    em[:, _IX["perstype"]] += w(6.0) * (
         perstype_word & ~t["next_is_cap"].to_numpy()
     )
 
     # age: '50 ans'
     same_line = t["line_key"].eq(t["line_key"].shift(-1))
     age_num = t["is_num"] & t["low"].shift(-1).eq("ans") & same_line
-    em[:, _IX["age"]] += 6.0 * (t["low"].eq("ans") | age_num).to_numpy()
+    em[:, _IX["age"]] += w(6.0) * (t["low"].eq("ans") | age_num).to_numpy()
 
     # dose attachment: numbers/units right after a drug extend the medicament
     dose_tok = (t["is_num"] | t["is_unit"]).to_numpy()
-    em[:, _IX["medicament"]] += 3.0 * (dose_tok & t["near_medicament"].to_numpy())
-    em[:, _IX["dose"]] += 2.0 * (dose_tok & ~t["near_medicament"].to_numpy()
-                                 & t["is_unit"].to_numpy())
+    em[:, _IX["medicament"]] += w(3.0) * (dose_tok & t["near_medicament"].to_numpy())
+    em[:, _IX["dose"]] += w(2.0) * (dose_tok & ~t["near_medicament"].to_numpy()
+                                    & t["is_unit"].to_numpy())
 
     # side adjectives continue the open entity: neutral emission (sticky
     # transition wins) — explicitly zero other-score for them
@@ -96,28 +104,33 @@ def ner_emissions(t: pd.DataFrame) -> np.ndarray:
     not_abbrev_period = ~(t["is_period"] & t["prev_abbrev"]).to_numpy()
     # stopwords break entity runs hard (4.5 > 2× entity stickiness): 'et'
     # between two procedures must not fuse them
-    em[:, _IX["other"]] += 4.5 * (t["is_stop"].to_numpy() & ~side)
-    em[:, _IX["other"]] += 3.0 * (
+    em[:, _IX["other"]] += w(4.5) * (t["is_stop"].to_numpy() & ~side)
+    em[:, _IX["other"]] += w(3.0) * (
         t["is_punct"].to_numpy() & ~side & not_abbrev_period
     )
-    em[:, _IX["other"]] += 6.0 * t["is_sent_period"].to_numpy()
+    em[:, _IX["other"]] += w(6.0) * t["is_sent_period"].to_numpy()
     # plain words default to other (beats bare stickiness, loses to any
     # lexicon/pattern evidence)
-    em[:, _IX["other"]] += 2.5 * ~(side | dose_tok)
+    em[:, _IX["other"]] += w(2.5) * ~(side | dose_tok)
     return em
 
 
 def label_ner_tokens(t: pd.DataFrame) -> pd.Series:
     em = ner_emissions(t)
-    trans = sticky_transitions(NER_LABELS, stay=2.0)
+    # stay=4.0 = 2 × the modeled 2.0: transitions scale with the doubled
+    # int16 emissions so every path comparison is unchanged
+    trans = sticky_transitions(NER_LABELS, stay=4.0)
     _, starts = _doc_slices(t["line_key"].to_numpy())
     flat = viterbi_segments(em, starts[:-1], trans)
     return pd.Series(np.array(NER_LABELS, dtype=object)[flat], index=t.index)
 
 
 def ner_spans(t: pd.DataFrame) -> pd.DataFrame:
-    """Entities as flat spans [doc_id, kind, text, media_ref, offset]."""
-    t = t.copy()
+    """Entities as flat spans [doc_id, kind, text, media_ref, offset].
+
+    Mutates `t` (adds the label column): the only caller (pipeline.flat_ner)
+    owns its freshly-built token frame, and a defensive deep copy of the
+    ~50-column corpus-sized frame costs ~6% of the NER wall."""
     t["label"] = label_ner_tokens(t)
     return tokens_to_spans(t, drop=("other",))
 
@@ -134,18 +147,24 @@ def ner_entities(t: pd.DataFrame) -> pd.DataFrame:
     """
     t = t.copy()
     em = ner_emissions(t)
-    trans = sticky_transitions(NER_LABELS, stay=2.0)
+    trans = sticky_transitions(NER_LABELS, stay=4.0)  # 2 × 2.0, see above
     _, starts = _doc_slices(t["line_key"].to_numpy())
     flat_lab = viterbi_segments(em, starts[:-1], trans)
     t["label"] = pd.Series(
         np.array(NER_LABELS, dtype=object)[flat_lab], index=t.index
     )
     # per-token margin: emission of the decoded label minus the best OTHER
-    # emission (negative when the transition prior carried the token)
+    # emission (negative when the transition prior carried the token).
+    # Emissions are 2×-scaled int16 — mask with the int sentinel, then
+    # halve back to the modeled scale (exact: margins are small integers)
     decoded_em = np.take_along_axis(em, flat_lab[:, None], axis=1)[:, 0]
     masked = em.copy()
-    np.put_along_axis(masked, flat_lab[:, None], -np.inf, axis=1)
-    margin = decoded_em - masked.max(axis=1)
+    np.put_along_axis(
+        masked, flat_lab[:, None], np.iinfo(np.int16).min >> 1, axis=1
+    )
+    margin = (
+        decoded_em.astype(np.float64) - masked.max(axis=1)
+    ) / 2.0
     t["_margin"] = np.clip(margin, 0.0, None)
 
     flat = tokens_to_spans(t, drop=("other",), with_char_offsets=True)

@@ -111,39 +111,62 @@ def viterbi_segments(
     return out
 
 
+def _neg_sentinel(dtype: np.dtype):
+    """A 'minus infinity' that survives a few additions without wrapping:
+    integer emissions (the NER kernel ships doubled-weight int16 scores —
+    half the memory traffic of f32 on a bandwidth-bound box) have no inf."""
+    if np.issubdtype(dtype, np.integer):
+        return np.iinfo(dtype).min >> 1
+    return -np.inf
+
+
 def _decode_dense(emis: np.ndarray, transitions: np.ndarray) -> np.ndarray:
     """Batched Viterbi over a dense (B, T, L) tensor — no padding/mask.
     Shares the structured (sticky-transition) O(L) fast path with
-    _decode_padded; tie resolution is argmax-first-index in both."""
+    _decode_padded; tie resolution is argmax-first-index in both.
+
+    The structured step materializes no (B, L) candidate tensors for the
+    best-other branch: since `move` is constant, the best/second-best
+    predecessors are the top-2 of dp itself, every column's off-diagonal
+    candidate is (m1, i1), and only the single i1 column per row needs the
+    (m2, i2) fallback — one fancy-index fix-up instead of three full
+    `where` passes (the old is_i1/bo_val/bo_idx masks; measured ~25% of
+    the corpus-NER decode wall)."""
     b, max_t, n_lab = emis.shape
     dp = emis[:, 0, :].copy()
     back = np.empty((b, max_t, n_lab), dtype=np.int32)
+    neg = _neg_sentinel(emis.dtype)
 
     off_mask = ~np.eye(n_lab, dtype=bool)
     off = transitions[off_mask]
     structured = off.size > 0 and np.all(off == off[0])
     if structured:
-        move = float(off[0])
+        move = transitions.dtype.type(off[0])
         diag = np.diag(transitions)[None, :]
         col = np.arange(n_lab, dtype=np.int32)[None, :]
         rows = np.arange(b)
         for t in range(1, max_t):
-            m_all = dp + move
-            i1 = m_all.argmax(axis=1)
-            m1 = m_all[rows, i1]
-            m_all2 = m_all.copy()
-            m_all2[rows, i1] = -np.inf
-            i2 = m_all2.argmax(axis=1).astype(np.int32)
-            m2 = m_all2[rows, i2]
-            is_i1 = col == i1[:, None].astype(np.int32)
-            bo_val = np.where(is_i1, m2[:, None], m1[:, None])
-            bo_idx = np.where(is_i1, i2[:, None], i1[:, None].astype(np.int32))
+            i1 = dp.argmax(axis=1)
+            m1 = dp[rows, i1] + move
+            dp2 = dp.copy()
+            dp2[rows, i1] = neg
+            i2 = dp2.argmax(axis=1).astype(np.int32)
+            m2 = dp2[rows, i2] + move
             self_val = dp + diag
-            take_self = (self_val > bo_val) | (
-                (self_val == bo_val) & (col < bo_idx)
+            m1b = m1[:, None]
+            take_self = (self_val > m1b) | (
+                (self_val == m1b) & (col < i1[:, None].astype(np.int32))
             )
-            back[:, t, :] = np.where(take_self, col, bo_idx)
-            dp = np.maximum(self_val, bo_val) + emis[:, t, :]
+            bt = np.where(take_self, col, i1[:, None].astype(np.int32))
+            ndp = np.maximum(self_val, m1b)
+            # per-row fix of the i1 column, where the off-diagonal
+            # candidate is the runner-up (m2, i2) instead of (m1, i1)
+            sv1 = self_val[rows, i1]
+            ts1 = (sv1 > m2) | ((sv1 == m2) & (i1 < i2))
+            bt[rows, i1] = np.where(ts1, i1.astype(np.int32), i2)
+            ndp[rows, i1] = np.maximum(sv1, m2)
+            back[:, t, :] = bt
+            dp = ndp + emis[:, t, :]
     else:
         trans = transitions[None, :, :]
         for t in range(1, max_t):
@@ -199,27 +222,32 @@ def _decode_padded(
     off = transitions[off_mask]
     structured = off.size > 0 and np.all(off == off[0])
     if structured:
-        move = float(off[0])
+        move = transitions.dtype.type(off[0])
         diag = np.diag(transitions)[None, :]  # (1, L)
         col = np.arange(n_lab, dtype=np.int32)[None, :]
         rows = np.arange(b)
+        neg = _neg_sentinel(transitions.dtype)
         for t in range(1, max_t):
-            m_all = dp + move  # candidate from any prev ≠ c
-            i1 = m_all.argmax(axis=1)
-            m1 = m_all[rows, i1]
-            m_all2 = m_all.copy()
-            m_all2[rows, i1] = -np.inf
-            i2 = m_all2.argmax(axis=1).astype(np.int32)
-            m2 = m_all2[rows, i2]
-            is_i1 = col == i1[:, None].astype(np.int32)
-            bo_val = np.where(is_i1, m2[:, None], m1[:, None])
-            bo_idx = np.where(is_i1, i2[:, None], i1[:, None].astype(np.int32))
+            # top-2 of dp replace the full (B, L) best-other candidate
+            # tensors (see _decode_dense: only the i1 column per row needs
+            # the runner-up, fixed up by fancy indexing)
+            i1 = dp.argmax(axis=1)
+            m1 = dp[rows, i1] + move
+            dp2 = dp.copy()
+            dp2[rows, i1] = neg
+            i2 = dp2.argmax(axis=1).astype(np.int32)
+            m2 = dp2[rows, i2] + move
             self_val = dp + diag  # candidate from prev == c
-            take_self = (self_val > bo_val) | (
-                (self_val == bo_val) & (col < bo_idx)
+            m1b = m1[:, None]
+            take_self = (self_val > m1b) | (
+                (self_val == m1b) & (col < i1[:, None].astype(np.int32))
             )
-            best_prev = np.where(take_self, col, bo_idx)
-            best_score = np.maximum(self_val, bo_val)
+            best_prev = np.where(take_self, col, i1[:, None].astype(np.int32))
+            best_score = np.maximum(self_val, m1b)
+            sv1 = self_val[rows, i1]
+            ts1 = (sv1 > m2) | ((sv1 == m2) & (i1 < i2))
+            best_prev[rows, i1] = np.where(ts1, i1.astype(np.int32), i2)
+            best_score[rows, i1] = np.maximum(sv1, m2)
             ndp = best_score + emis[:, t, :]
             alive = mask[:, t]
             dp = np.where(alive[:, None], ndp, dp)
