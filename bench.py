@@ -35,6 +35,8 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 # overheads at 16 cores (a prerequisite for a meaningful scaling measurement)
 _DOCS_PER_SF = 200_000
 
+LOAD_AT_START = 0.0  # set by headline() before the first query runs
+
 
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
@@ -126,6 +128,8 @@ def headline() -> dict:
     import __spark_entry__ as E
     from grobid_clinical_report_spark.session import get_spark
 
+    global LOAD_AT_START
+    LOAD_AT_START = round(os.getloadavg()[0], 2)
     sf = _sf_from_dir(SF_DIR)
     spark = get_spark(app="bench", cpus=CPUS, max_partition_bytes="4m")
     queries: dict[str, float] = {}
@@ -233,11 +237,23 @@ def headline() -> dict:
         .selectExpr("sum(length(text)) as c").collect()[0]["c"]
     )
     sf1["text_data_ratio"] = round(chars_big / max(chars_small, 1), 2)
+    # curate_corpus joins the tier (VERDICT r5 next #5): the composed
+    # filter→exact→components decision table is the workload a real
+    # curation run executes at scale, so its wall must track the data
+    # ratio like its ingredients do
     for name in ["dedup_exact", "dedup_neardup_pairs", "corpus_filter",
-                 "lm_quality", "dedup_components"]:
+                 "lm_quality", "dedup_components", "curate_corpus"]:
         t0 = time.monotonic()
         qs[name](spark, tdir).write.format("noop").mode("overwrite").save()
         sf1[name] = round(time.monotonic() - t0, 3)
+    # NER at 10× docs (VERDICT r5 next #5): the second-most-expensive
+    # headline query, over the sf1 span corpus
+    t0 = time.monotonic()
+    docs1 = spark.read.parquet(corpus1).select("doc_id", "spans")
+    run_mode(split_guardrail(docs1)[0], "ner").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    sf1["ner_entities"] = round(time.monotonic() - t0, 3)
     spark.stop()
 
     total = round(sum(queries.values()), 3)
@@ -249,6 +265,13 @@ def headline() -> dict:
         "sf": sf,
         "extraction": extraction,
         "sf1": sf1,
+        # 1-min host load BEFORE/AFTER the run (VERDICT r5 next #6): this
+        # box has co-tenants, so jitter-vs-real regressions must be
+        # adjudicable from the artifact itself
+        "load_avg": {
+            "start": LOAD_AT_START,
+            "end": round(os.getloadavg()[0], 2),
+        },
     }
 
 

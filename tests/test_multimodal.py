@@ -207,3 +207,76 @@ def test_decode_ppm_rejects_malformed():
         multimodal.decode_ppm(b"P6\n1 1\n65535\n" + bytes(6))
     with pytest.raises(ValueError, match="malformed"):
         multimodal.decode_ppm(b"P6\nabc\n")
+
+
+# ---------------------------------------------------------------------------
+# Byte-flip fuzz (VERDICT r5 next #7): a single mutated byte must either
+# still parse — to a structurally sane result — or raise ValueError. Any
+# other exception (unhandled struct/numpy/index error) or a result whose
+# fields contradict the buffer is a parser bug. Matches the adversarial-
+# robustness bar the string parsers already meet.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _sane_y4m(info, raw: bytes) -> None:
+    assert info.width > 0 and info.height > 0
+    assert info.fps_num > 0 and info.fps_den > 0
+    assert info.n_frames >= 0
+    assert info.duration_ms == info.n_frames * 1000 * info.fps_den // info.fps_num
+    assert info.frame_bytes > 0
+    if info.n_frames:
+        assert 0 <= info.first_frame_offset <= len(raw) - info.frame_bytes
+
+
+def _sane_wav(info, raw: bytes) -> None:
+    assert info.channels > 0 and info.sample_rate > 0
+    assert 0 <= info.data_size <= len(raw) - info.data_offset
+    assert info.n_frames * 1000 // info.sample_rate == info.duration_ms
+    block = info.channels * max(info.bits // 8, 1)
+    assert info.n_frames == info.data_size // block
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.data())
+def test_probe_y4m_byte_flip_fuzz(data):
+    f0 = bytes(range(12))
+    raw = bytearray(
+        b"YUV4MPEG2 W2 H2 F4:1 Ip A1:1 C444\n"
+        + b"".join(b"FRAME\n" + f0 for _ in range(3))
+    )
+    i = data.draw(st.integers(0, len(raw) - 1))
+    v = data.draw(st.integers(0, 255))
+    orig = multimodal.probe_y4m(bytes(raw))
+    raw[i] = v
+    try:
+        info = multimodal.probe_y4m(bytes(raw))
+    except ValueError:
+        return
+    _sane_y4m(info, bytes(raw))
+    # a flip strictly inside frame payload bytes never changes the probe
+    if i >= orig.first_frame_offset and all(
+        not (s <= i < s + 6)  # the FRAME\n markers between payloads
+        for s in range(orig.first_frame_offset + 12, len(raw), 18)
+    ):
+        assert info == orig
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.data())
+def test_probe_wav_byte_flip_fuzz(data):
+    raw = bytearray(_wav_bytes(2, 8000, 8, bytes(range(64))))
+    i = data.draw(st.integers(0, len(raw) - 1))
+    v = data.draw(st.integers(0, 255))
+    orig = multimodal.probe_wav(bytes(raw))
+    raw[i] = v
+    try:
+        info = multimodal.probe_wav(bytes(raw))
+    except ValueError:
+        return
+    _sane_wav(info, bytes(raw))
+    # a flip inside the sample payload never changes the probe
+    if i >= orig.data_offset:
+        assert info == orig
