@@ -134,12 +134,15 @@ def headline() -> dict:
     spark = get_spark(app="bench", cpus=CPUS, max_partition_bytes="4m")
     queries: dict[str, float] = {}
 
+    load_samples = {"start": LOAD_AT_START}
+
     corpus = corpus_path(sf)
     n_docs, sec = run_extraction(spark, corpus, tasks=CPUS * 4)
     _, sec2 = run_extraction(spark, corpus, tasks=CPUS * 4)
     sec = min(sec, sec2)  # best-of-2: host IO jitter, not engine cost
     queries["extract_full_cascade"] = round(sec, 3)
     extraction = {"n_docs": n_docs, "docs_per_sec": round(n_docs / sec, 1)}
+    load_samples["after_extraction"] = round(os.getloadavg()[0], 2)
 
     from grobid_clinical_report_spark.pipeline import run_mode
     from grobid_clinical_report_spark.runner import split_guardrail
@@ -207,6 +210,7 @@ def headline() -> dict:
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
         queries[name] = round(best, 3)
+    load_samples["after_queries"] = round(os.getloadavg()[0], 2)
 
     # sf1 tier (VERDICT r3 #9): 10× the data through the SAME plans — the
     # wall must scale ~linearly with data before the 100× claim rests on
@@ -265,13 +269,13 @@ def headline() -> dict:
         "sf": sf,
         "extraction": extraction,
         "sf1": sf1,
-        # 1-min host load BEFORE/AFTER the run (VERDICT r5 next #6): this
+        # 1-min host load at section boundaries (VERDICT r5 next #6): this
         # box has co-tenants, so jitter-vs-real regressions must be
-        # adjudicable from the artifact itself
-        "load_avg": {
-            "start": LOAD_AT_START,
-            "end": round(os.getloadavg()[0], 2),
-        },
+        # adjudicable from the artifact itself. Caveat: mid-run samples
+        # include the bench's own local[32] work, so only 'start' reads a
+        # quiet box directly; a mid-run co-tenant spike still shows as an
+        # out-of-family jump between sections.
+        "load_avg": {**load_samples, "end": round(os.getloadavg()[0], 2)},
     }
 
 

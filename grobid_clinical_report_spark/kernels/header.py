@@ -21,7 +21,7 @@ import pandas as pd
 
 from .labels import HEADER_LABELS, label_index, sticky_transitions
 from .normalize import normalize_text, to_iso_date
-from .viterbi import viterbi_batch
+from .viterbi import viterbi_segments
 from .segmenter import _doc_slices
 
 _IX = label_index(HEADER_LABELS)
@@ -29,7 +29,8 @@ _IX = label_index(HEADER_LABELS)
 
 def header_emissions(df: pd.DataFrame) -> np.ndarray:
     n = len(df)
-    em = np.zeros((n, len(HEADER_LABELS)), dtype=np.float64)
+    # f32: weights are 0.5-multiples with tiny path sums — exact (see body)
+    em = np.zeros((n, len(HEADER_LABELS)), dtype=np.float32)
     all_caps = df["all_caps"].to_numpy()
     long_line = (df["line_len"] > 25).to_numpy()
 
@@ -110,8 +111,7 @@ def label_header_lines(df: pd.DataFrame) -> pd.Series:
     em = header_emissions(df)
     trans = sticky_transitions(HEADER_LABELS, stay=1.0)
     _, starts = _doc_slices(df["doc_id"].to_numpy())
-    seqs = [em[s:e] for s, e in zip(starts[:-1], starts[1:])]
-    flat = np.concatenate(viterbi_batch(seqs, trans)) if seqs else np.zeros(0, int)
+    flat = viterbi_segments(em, starts[:-1], trans)
     return pd.Series(
         np.array(HEADER_LABELS, dtype=object)[flat], index=df.index, name="label"
     )

@@ -16,14 +16,15 @@ import pandas as pd
 from .labels import LEFTNOTE_LABELS, label_index, sticky_transitions
 from .normalize import normalize_text
 from .segmenter import _doc_slices
-from .viterbi import viterbi_batch
+from .viterbi import viterbi_segments
 
 _IX = label_index(LEFTNOTE_LABELS)
 
 
 def leftnote_emissions(df: pd.DataFrame) -> np.ndarray:
     n = len(df)
-    em = np.zeros((n, len(LEFTNOTE_LABELS)), dtype=np.float64)
+    # f32: weights are 0.5-multiples with tiny path sums — exact (see body)
+    em = np.zeros((n, len(LEFTNOTE_LABELS)), dtype=np.float32)
     em[:, _IX["organization"]] += 4.0 * (
         df["all_caps"] & df["has_org_word"]
     ).to_numpy()
@@ -54,10 +55,10 @@ def label_leftnote_lines(df: pd.DataFrame) -> pd.Series:
     em = leftnote_emissions(df)
     trans = sticky_transitions(LEFTNOTE_LABELS, stay=1.0)
     _, starts = _doc_slices(df["doc_id"].to_numpy())
-    seqs = [em[s:e] for s, e in zip(starts[:-1], starts[1:])]
-    flat = np.concatenate(viterbi_batch(seqs, trans)) if seqs else np.zeros(0, int)
+    flat = viterbi_segments(em, starts[:-1], trans)
     return pd.Series(
-        np.array(LEFTNOTE_LABELS, dtype=object)[flat], index=df.index, name="label"
+        np.array(LEFTNOTE_LABELS, dtype=object)[flat], index=df.index,
+        name="label"
     )
 
 

@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 
 from .labels import SEG_LABELS, label_index, sticky_transitions
-from .viterbi import viterbi_batch
+from .viterbi import viterbi_segments
 
 _IX = label_index(SEG_LABELS)
 
@@ -34,7 +34,8 @@ def segment_emissions(df: pd.DataFrame) -> np.ndarray:
     terms for auditability; it is still a linear model over F2's features).
     """
     n = len(df)
-    em = np.zeros((n, len(SEG_LABELS)), dtype=np.float64)
+    # f32: weights are 0.5-multiples with tiny path sums — exact (see body)
+    em = np.zeros((n, len(SEG_LABELS)), dtype=np.float32)
 
     fp = df["first_page"].to_numpy()
     blank = (df["is_blank"] | df["is_page_break"]).to_numpy()
@@ -216,11 +217,11 @@ def segment_lines(df: pd.DataFrame) -> pd.Series:
     ordered by (doc_id, seq). Returns a string Series aligned with df."""
     em = segment_emissions(df)
     trans = segment_transitions()
-    # split the emission tensor per document (numpy slices, no copies of df)
-    doc_codes, doc_starts = _doc_slices(df["doc_id"].to_numpy())
-    seqs = [em[s:e] for s, e in zip(doc_starts[:-1], doc_starts[1:])]
-    decoded = viterbi_batch(seqs, trans)
-    flat = np.concatenate(decoded) if decoded else np.zeros(0, dtype=np.int64)
+    # dense sorted decode over contiguous per-doc segments (no padding; the
+    # zone-order transition matrix is non-sticky, so this runs the general
+    # O(L^2) step — L=7, still one small tensor per time step)
+    _, doc_starts = _doc_slices(df["doc_id"].to_numpy())
+    flat = viterbi_segments(em, doc_starts[:-1], trans)
     lab = np.array(SEG_LABELS, dtype=object)[flat]
     return pd.Series(lab, index=df.index, name="zone")
 

@@ -28,7 +28,6 @@ from .labels import (
     sticky_transitions,
 )
 from .segmenter import _doc_slices
-from .viterbi import viterbi_batch
 
 _MEDIC_TITLES = {"dr", "pr", "docteur", "professeur", "dr.", "pr."}
 _PATIENT_TITLES = {"madame", "monsieur", "mme", "mlle", "mademoiselle", "m"}

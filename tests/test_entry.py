@@ -127,3 +127,27 @@ def test_media_decode_feature_values_exact(spark):
         ]
         got = list(feats.loc[str(did)]["feature"])
         assert got == want, did
+
+
+def test_verification_window_policy():
+    """The sharded driver-verification window (ADVICE r5): deterministic
+    per-round rotation, churned queries pinned inside the first-50 window,
+    every query eventually rotates back in."""
+    names = list(entrymod._canonical())
+    # deterministic and consistent with queries() ordering
+    out = entrymod.rotated_out()
+    assert entrymod.rotated_out() == out
+    assert list(entrymod.queries())[-len(out):] == out
+    # churn-pinned queries never rotate out, any round
+    for r in range(1, 20):
+        assert not set(entrymod.rotated_out(r)) & entrymod._CHURNED_THIS_ROUND
+    # over enough rounds, every UNPINNED query takes its turn outside the
+    # window (no query can be parked outside forever either: the excluded
+    # set changes every round)
+    unpinned = set(names) - entrymod._CHURNED_THIS_ROUND
+    cover = set()
+    for r in range(1, 40):
+        got = entrymod.rotated_out(r)
+        assert len(got) == len(names) - entrymod._DRIVER_CAP
+        cover |= set(got)
+    assert cover == unpinned
