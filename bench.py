@@ -144,7 +144,10 @@ def headline() -> dict:
     extraction = {"n_docs": n_docs, "docs_per_sec": round(n_docs / sec, 1)}
     load_samples["after_extraction"] = round(os.getloadavg()[0], 2)
 
-    from grobid_clinical_report_spark.pipeline import run_mode
+    from grobid_clinical_report_spark.pipeline import (
+        apply_split_hint,
+        run_mode,
+    )
     from grobid_clinical_report_spark.runner import split_guardrail
 
     def _corpus_mode(mode):
@@ -155,6 +158,10 @@ def headline() -> dict:
         # round-2 salt_partition here injected a full-corpus shuffle that
         # run_extraction never pays (VERDICT r2 'what's wrong #2')
         def q(spark, _sf_dir):
+            # per-mode scan-split hint (pipeline.MODE_SPLIT_BYTES): the
+            # token models want ~1m splits for task granularity; the timing
+            # loop below restores the session default after every query
+            apply_split_hint(spark, mode)
             docs = spark.read.parquet(corpus).select("doc_id", "spans")
             ok, _bad = split_guardrail(docs)
             return run_mode(ok, mode)
@@ -209,6 +216,8 @@ def headline() -> dict:
             ).save()
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
+            # undo any per-mode scan-split hint before the next query
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
         queries[name] = round(best, 3)
     load_samples["after_queries"] = round(os.getloadavg()[0], 2)
 
@@ -252,6 +261,7 @@ def headline() -> dict:
         sf1[name] = round(time.monotonic() - t0, 3)
     # NER at 10× docs (VERDICT r5 next #5): the second-most-expensive
     # headline query, over the sf1 span corpus
+    apply_split_hint(spark, "ner")
     t0 = time.monotonic()
     docs1 = spark.read.parquet(corpus1).select("doc_id", "spans")
     run_mode(split_guardrail(docs1)[0], "ner").write.format("noop").mode(

@@ -61,6 +61,9 @@ def main(argv: list[str] | None = None) -> int:
     from .session import get_spark
 
     spark = get_spark(app=f"extract-{args.mode}", cpus=args.cpus)
+    from .pipeline import apply_split_hint
+
+    apply_split_hint(spark, args.mode)
     try:
         metrics = run_extraction_job(
             spark,

@@ -65,6 +65,34 @@ _MODE_PROFILE = {
     "parse_org": "minimal",
 }
 
+# Preferred input-split size per mode (spark.sql.files.maxPartitionBytes, a
+# RUNTIME SQL conf — settable per job, unlike spark.task.cpus). The token
+# models cost ~3× the line cascade per document, so their ideal split is
+# ~1/3 the bytes: at local[32] on the 20k-doc corpus, 4m splits give the
+# NER pass only 43 tasks (11 workers run 2 batches → wall = 2 batches),
+# while 1m gives 172 and halves the wall (measured 7.7-13.1s → 4.0-4.4s);
+# the extraction cascade is fastest at 2-4m (1m reads 4.9s vs 3.7-4.3s —
+# per-task overhead outweighs the balance win). Consumers (runner CLI,
+# bench) apply this before the scan; on a cluster the submitter scales it
+# with executor count.
+MODE_SPLIT_BYTES = {
+    "ner": "1m",
+    "parse_dateline": "1m",
+    "parse_medic": "1m",
+    "parse_patient": "1m",
+    "parse_name": "1m",
+    "parse_address": "1m",
+    "parse_org": "1m",
+}
+
+
+def apply_split_hint(spark, mode: str) -> None:
+    """Set the mode's preferred scan-split size on the session (no-op for
+    modes without a hint). Call before building the scan DataFrame."""
+    hint = MODE_SPLIT_BYTES.get(mode)
+    if hint is not None:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", hint)
+
 
 def prepare_lines(lines: pd.DataFrame, profile: str = "all") -> pd.DataFrame:
     """Raw flat lines → sanitized, block/page-structured, featurized lines.
