@@ -163,64 +163,99 @@ def _neg_sentinel(dtype: np.dtype):
     return -np.inf
 
 
+def _col_move(transitions: np.ndarray):
+    """(move, scalar) for column-structured transitions, else (None, False).
+
+    Column-structured: trans[p, c] == move[c] for every p != c — the max
+    over predecessors then decomposes to max(top-other + move[c],
+    dp[c] + diag[c]), O(L) per step instead of the O(L²) scores tensor.
+    The sticky_transitions matrices are the constant-vector special case
+    (`scalar` True keeps their best-other candidate at (B, 1) instead of
+    materializing (B, L) — the NER hot loop); body_transitions is the
+    genuine vector case (each label has its own entry cost)."""
+    n_lab = transitions.shape[0]
+    if n_lab < 2:
+        return None, False
+    probe = transitions.copy()
+    idx = np.arange(n_lab)
+    # overwrite the diagonal with another off-diagonal value from the same
+    # column, then column-structure ⇔ every column is constant
+    probe[idx, idx] = transitions[(idx + 1) % n_lab, idx]
+    if not np.array_equiv(probe, probe[0:1, :]):
+        return None, False
+    move = probe[0].copy()
+    return move, bool(np.all(move == move[0]))
+
+
+def _step_structured(dp, mv, scalar, diag, col, rows, neg):
+    """One structured Viterbi step: (best_score, best_prev) before emission
+    add / masking. Tie resolution replicates np.argmax's first-index rule.
+
+    Materializes no (B, L) candidate tensors beyond the score update
+    itself: the best/second-best predecessors are the top-2 of dp, every
+    column's off-diagonal candidate is (m1, i1), and only the single i1
+    column per row needs the (m2, i2) fallback — one fancy-index fix-up
+    instead of three full `where` passes."""
+    i1 = dp.argmax(axis=1)
+    m1 = dp[rows, i1]
+    dp2 = dp.copy()
+    dp2[rows, i1] = neg
+    i2 = dp2.argmax(axis=1).astype(np.int32)
+    m2 = dp2[rows, i2]
+    self_val = dp + diag
+    if scalar:
+        m1b = (m1 + mv[0])[:, None]
+        m2c = m2 + mv[0]
+    else:
+        m1b = m1[:, None] + mv[None, :]
+        m2c = m2 + mv[i1]
+    i1c = i1[:, None].astype(np.int32)
+    take_self = (self_val > m1b) | ((self_val == m1b) & (col < i1c))
+    best_prev = np.where(take_self, col, i1c)
+    best = np.maximum(self_val, m1b)
+    # per-row fix of the i1 column, where the off-diagonal candidate is
+    # the runner-up (m2, i2) instead of (m1, i1)
+    sv1 = self_val[rows, i1]
+    ts1 = (sv1 > m2c) | ((sv1 == m2c) & (i1 < i2))
+    best_prev[rows, i1] = np.where(ts1, i1.astype(np.int32), i2)
+    best[rows, i1] = np.maximum(sv1, m2c)
+    return best, best_prev
+
+
 def _decode_dense(emis: np.ndarray, transitions: np.ndarray) -> np.ndarray:
     """Batched Viterbi over a dense (B, T, L) tensor — no padding/mask.
     Shares the structured (sticky-transition) O(L) fast path with
     _decode_padded; tie resolution is argmax-first-index in both.
 
-    The structured step materializes no (B, L) candidate tensors for the
-    best-other branch: since `move` is constant, the best/second-best
-    predecessors are the top-2 of dp itself, every column's off-diagonal
-    candidate is (m1, i1), and only the single i1 column per row needs the
-    (m2, i2) fallback — one fancy-index fix-up instead of three full
-    `where` passes (the old is_i1/bo_val/bo_idx masks; measured ~25% of
-    the corpus-NER decode wall)."""
+    The structured step is _step_structured (top-2 of dp + one fix-up
+    column); column-structured matrices (body model: per-label entry
+    costs) take it too, with a vector move."""
     b, max_t, n_lab = emis.shape
     dp = emis[:, 0, :].copy()
     back = np.empty((b, max_t, n_lab), dtype=np.int32)
     neg = _neg_sentinel(emis.dtype)
 
-    off_mask = ~np.eye(n_lab, dtype=bool)
-    off = transitions[off_mask]
-    structured = off.size > 0 and np.all(off == off[0])
-    if structured:
-        move = transitions.dtype.type(off[0])
+    mv, scalar = _col_move(transitions)
+    if mv is not None:
         diag = np.diag(transitions)[None, :]
         col = np.arange(n_lab, dtype=np.int32)[None, :]
         rows = np.arange(b)
         for t in range(1, max_t):
-            i1 = dp.argmax(axis=1)
-            m1 = dp[rows, i1] + move
-            dp2 = dp.copy()
-            dp2[rows, i1] = neg
-            i2 = dp2.argmax(axis=1).astype(np.int32)
-            m2 = dp2[rows, i2] + move
-            self_val = dp + diag
-            m1b = m1[:, None]
-            take_self = (self_val > m1b) | (
-                (self_val == m1b) & (col < i1[:, None].astype(np.int32))
-            )
-            bt = np.where(take_self, col, i1[:, None].astype(np.int32))
-            ndp = np.maximum(self_val, m1b)
-            # per-row fix of the i1 column, where the off-diagonal
-            # candidate is the runner-up (m2, i2) instead of (m1, i1)
-            sv1 = self_val[rows, i1]
-            ts1 = (sv1 > m2) | ((sv1 == m2) & (i1 < i2))
-            bt[rows, i1] = np.where(ts1, i1.astype(np.int32), i2)
-            ndp[rows, i1] = np.maximum(sv1, m2)
+            best, bt = _step_structured(dp, mv, scalar, diag, col, rows, neg)
             back[:, t, :] = bt
-            dp = ndp + emis[:, t, :]
+            dp = best + emis[:, t, :]
     else:
+        # general O(L²) step: preallocated scores buffer + direct fancy
+        # gather (np.take_along_axis builds its index tuple in Python per
+        # call — profiled at ~0.8s over a 54k-step cascade decode)
         trans = transitions[None, :, :]
+        scores = np.empty((b, n_lab, n_lab), dtype=dp.dtype)
+        rows_ix = np.arange(b)[:, None]
+        cols_ix = np.arange(n_lab)[None, :]
         for t in range(1, max_t):
-            scores = dp[:, :, None] + trans
+            np.add(dp[:, :, None], trans, out=scores)
             best_prev = scores.argmax(axis=1)
-            dp = (
-                np.take_along_axis(scores, best_prev[:, None, :], axis=1)[
-                    :, 0, :
-                ]
-                + emis[:, t, :]
-            )
+            dp = scores[rows_ix, best_prev, cols_ix] + emis[:, t, :]
             back[:, t, :] = best_prev
 
     labels = np.empty((b, max_t), dtype=np.int64)
@@ -267,55 +302,35 @@ def _dp_padded(
     dp = emis[:, 0, :].copy()  # (B, L)
     back = np.zeros((b, max_t, n_lab), dtype=np.int32)
 
-    # structured fast path: sticky_transitions matrices are `move` constant
-    # everywhere except the diagonal, so the (prev→next) max decomposes to
-    # max(top-other + move, dp[c] + diag[c]) — O(L) per label instead of the
-    # full O(L²) scores tensor. Tie resolution replicates np.argmax's
-    # first-index rule exactly (token models run 10-27 labels over millions
-    # of tokens; this is the NER-at-corpus-scale hot loop).
-    off_mask = ~np.eye(n_lab, dtype=bool)
-    off = transitions[off_mask]
-    structured = off.size > 0 and np.all(off == off[0])
-    if structured:
-        move = transitions.dtype.type(off[0])
+    # structured fast path (_step_structured): constant-move (sticky) and
+    # column-structured (body model) matrices decompose the prev→next max
+    # to O(L) per step — the token-models-at-corpus-scale hot loop.
+    mv, scalar = _col_move(transitions)
+    if mv is not None:
         diag = np.diag(transitions)[None, :]  # (1, L)
         col = np.arange(n_lab, dtype=np.int32)[None, :]
         rows = np.arange(b)
         neg = _neg_sentinel(transitions.dtype)
         for t in range(1, max_t):
-            # top-2 of dp replace the full (B, L) best-other candidate
-            # tensors (see _decode_dense: only the i1 column per row needs
-            # the runner-up, fixed up by fancy indexing)
-            i1 = dp.argmax(axis=1)
-            m1 = dp[rows, i1] + move
-            dp2 = dp.copy()
-            dp2[rows, i1] = neg
-            i2 = dp2.argmax(axis=1).astype(np.int32)
-            m2 = dp2[rows, i2] + move
-            self_val = dp + diag  # candidate from prev == c
-            m1b = m1[:, None]
-            take_self = (self_val > m1b) | (
-                (self_val == m1b) & (col < i1[:, None].astype(np.int32))
+            best_score, best_prev = _step_structured(
+                dp, mv, scalar, diag, col, rows, neg
             )
-            best_prev = np.where(take_self, col, i1[:, None].astype(np.int32))
-            best_score = np.maximum(self_val, m1b)
-            sv1 = self_val[rows, i1]
-            ts1 = (sv1 > m2) | ((sv1 == m2) & (i1 < i2))
-            best_prev[rows, i1] = np.where(ts1, i1.astype(np.int32), i2)
-            best_score[rows, i1] = np.maximum(sv1, m2)
             ndp = best_score + emis[:, t, :]
             alive = mask[:, t]
             dp = np.where(alive[:, None], ndp, dp)
             back[:, t, :] = np.where(alive[:, None], best_prev, 0)
     else:
+        # general O(L²) step (segmenter: zone-order constraints make a few
+        # columns non-constant): preallocated scores buffer + direct fancy
+        # gather instead of np.take_along_axis's per-call Python indexing
         trans = transitions[None, :, :]  # (1, L, L) prev → next
+        scores = np.empty((b, n_lab, n_lab), dtype=dp.dtype)
+        rows_ix = np.arange(b)[:, None]
+        cols_ix = np.arange(n_lab)[None, :]
         for t in range(1, max_t):
-            scores = dp[:, :, None] + trans  # (B, prev, next)
+            np.add(dp[:, :, None], trans, out=scores)
             best_prev = scores.argmax(axis=1)  # (B, L)
-            best_score = np.take_along_axis(
-                scores, best_prev[:, None, :], axis=1
-            )[:, 0, :]
-            ndp = best_score + emis[:, t, :]
+            ndp = scores[rows_ix, best_prev, cols_ix] + emis[:, t, :]
             alive = mask[:, t]
             dp = np.where(alive[:, None], ndp, dp)
             back[:, t, :] = np.where(alive[:, None], best_prev, 0)
