@@ -50,6 +50,68 @@ def test_viterbi_empty_and_batching():
     assert len(out[0]) == 0 and len(out[1]) == 3
 
 
+def _rand_transitions(rng, L, kind):
+    """kind 0: scalar sticky, 1: column-structured (per-label entry cost,
+    the body-model shape), 2: general (the segmenter shape)."""
+    if kind == 0:
+        tr = np.full((L, L), -1.0)
+        np.fill_diagonal(tr, float(rng.integers(0, 3)))
+    elif kind == 1:
+        tr = np.tile(rng.integers(-3, 4, size=(1, L)).astype(float), (L, 1))
+        np.fill_diagonal(tr, rng.integers(-3, 4, size=L))
+    else:
+        tr = rng.integers(-3, 4, size=(L, L)).astype(float)
+    return tr
+
+
+def test_viterbi_structured_shapes_optimal_and_consistent():
+    """All three transition structures hit distinct decode branches
+    (scalar top-2, vector-move top-2, general scores tensor); each must be
+    score-optimal vs brute force, and the segments decoder (dense short /
+    bucketed-padded long) must agree exactly with viterbi_batch."""
+    from grobid_clinical_report_spark.kernels.viterbi import (
+        viterbi_segments,
+        viterbi_single,
+    )
+
+    rng = np.random.default_rng(11)
+    for trial in range(24):
+        L = int(rng.integers(2, 5))
+        T = int(rng.integers(1, 6))
+        em = rng.integers(-4, 5, size=(T, L)).astype(float)
+        tr = _rand_transitions(rng, L, trial % 3)
+        got = viterbi_single(em, tr)
+        ts = np.arange(T)
+        gs = em[ts, got].sum() + sum(tr[got[t - 1], got[t]] for t in range(1, T))
+        want = _brute(em, tr)
+        ws = em[ts, want].sum() + sum(
+            tr[want[t - 1], want[t]] for t in range(1, T)
+        )
+        assert gs == ws, (trial, got, want)
+    for trial in range(12):
+        L = int(rng.integers(2, 16))
+        lens = rng.choice(
+            [0, 1, 3, 7, 40, 64, 65, 90, 150, 300],
+            size=int(rng.integers(1, 30)),
+        )
+        n = int(lens.sum())
+        em = rng.integers(-8, 9, size=(n, L)).astype(
+            rng.choice([np.float32, np.float64])
+        )
+        tr = _rand_transitions(rng, L, trial % 3)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+        got = viterbi_segments(em, starts, tr)
+        seqs = [
+            em[s : s + ln].astype(np.float64) for s, ln in zip(starts, lens)
+        ]
+        want = (
+            np.concatenate(viterbi_batch(seqs, tr))
+            if n
+            else np.zeros(0, int)
+        )
+        assert np.array_equal(got, want), (trial, trial % 3)
+
+
 # --- normalization -----------------------------------------------------------
 
 def test_iso_dates():
