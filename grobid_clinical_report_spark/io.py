@@ -26,11 +26,23 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def _is_jsonl(path: str) -> bool:
+    base = path.rstrip("/").rsplit("/", 1)[-1]
+    return base.endswith(".jsonl") or base.endswith(".json")
+
+
 def read_documents(spark: SparkSession, path: str) -> DataFrame:
     """Read the documents table: Iceberg table identifier (contains no '/')
-    when the runtime is present, parquet path otherwise."""
+    when the runtime is present; `.jsonl`/`.json` paths read as JSON-lines
+    (the LLM-corpus interchange shape — one document object per line) with
+    the schema ENFORCED, not inferred: inference would both double-scan the
+    input and silently widen types on dirty corpora; parquet otherwise."""
     if "/" not in path and iceberg_available(spark):
         return spark.read.format("iceberg").load(path)
+    if _is_jsonl(path):
+        from .schema import DOCUMENTS_SCHEMA
+
+        return spark.read.schema(DOCUMENTS_SCHEMA).json(path)
     return spark.read.parquet(path)
 
 
@@ -47,5 +59,11 @@ def write_spans(
             w.overwritePartitions()
         else:
             w.append()
+        return
+    if _is_jsonl(path):
+        # ignoreNullFields=false keeps the span struct shape stable across
+        # rows (text-only spans still carry "media_ref": null), so a reader
+        # with the enforced schema round-trips exactly
+        df.write.mode(mode).option("ignoreNullFields", "false").json(path)
         return
     df.write.mode(mode).parquet(path)

@@ -297,3 +297,40 @@ def test_quarantine_zone_continuity(spark, tmp_path):
         for s in want["spans"].iloc[0]
     ]
     assert got_spans == want_spans
+
+
+def test_jsonl_documents_round_trip_and_extraction(spark, tmp_path):
+    """JSON-lines source/sink (io.py): the LLM-corpus interchange shape.
+    Write the documents table as .jsonl, read it back with the ENFORCED
+    schema, and the rows — and a full extraction pass over them — must
+    match the parquet path exactly (including null media_ref fields on
+    text spans, which ignoreNullFields would otherwise drop)."""
+    from grobid_clinical_report_spark import datagen
+    from grobid_clinical_report_spark.io import read_documents, write_spans
+    from grobid_clinical_report_spark.pipeline import run_mode
+
+    pq_dir = str(tmp_path / "docs_pq")
+    datagen.write_documents_parquet(pq_dir, n_docs=40, shards=2)
+    docs_pq = read_documents(spark, pq_dir).select("doc_id", "spans")
+
+    jl_dir = str(tmp_path / "docs.jsonl")
+    write_spans(docs_pq, jl_dir)
+    docs_jl = read_documents(spark, jl_dir).select("doc_id", "spans")
+
+    def rows(df):
+        return sorted(
+            (
+                r["doc_id"],
+                tuple(
+                    (s["kind"], s["text"], s["media_ref"], s["offset"])
+                    for s in r["spans"]
+                ),
+            )
+            for r in df.collect()
+        )
+
+    assert rows(docs_jl) == rows(docs_pq)
+    got = rows(run_mode(docs_jl, "extract_full"))
+    want = rows(run_mode(docs_pq, "extract_full"))
+    # 40 synthetic + the embedded fixture corpus
+    assert got == want and len(got) == docs_pq.count()
