@@ -29,13 +29,15 @@ def get_spark(
     # task_cpus is re-measured each round (SPARK_GRAFT_TASK_CPUS overrides
     # for the A/B). The r2-r4 setting claimed 2 cores/task at local[32]
     # (memory-bus saturation above ~16 pandas workers, measured with the r2
-    # kernels). r5 A/B at local[32], best-of-2, both run orders: the
-    # flagship extraction cascade flipped to task_cpus=1 (4.29-4.53s vs
-    # 5.51-5.83s, ~21% faster — the vectorized kernels spend less wall per
-    # byte, so halving task slots now idles cores more than the bus
-    # contention it avoids), while the heavier NER pass still prefers 2
-    # (9.55s vs 11.68s). Default follows the flagship metric
-    # (extraction docs/sec, BASELINE.json): 1.
+    # kernels); r5 flipped the default to 1 for the flagship extraction
+    # cascade (~21% faster). r6 A/B (fresh process per leg, best-of-2,
+    # interleaved): extraction 3.83-4.98s at 1 vs 5.34s at 2; NER 7.99s at
+    # 1 vs 6.20-6.98s at 2 — still opposite preferences, but the r6 NER
+    # kernel (int16 emissions, hybrid decode) plus the per-mode scan-split
+    # hint (pipeline.MODE_SPLIT_BYTES) put the default-config NER wall at
+    # ~5s, so the session default stays with the flagship: 1. On a real
+    # cluster the two job families run as separate applications with their
+    # own spark.task.cpus.
     task_cpus = int(os.environ.get("SPARK_GRAFT_TASK_CPUS", "1"))
     return (
         SparkSession.builder.master(f"local[{cpus}]")
