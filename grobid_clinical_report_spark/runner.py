@@ -44,9 +44,20 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
 def split_guardrail(
     df: DataFrame, max_spans: int = DEFAULT_MAX_SPANS
 ) -> tuple[DataFrame, DataFrame]:
-    """(processable, quarantined) — S4 QoS caps."""
+    """(processable, quarantined) — S4 QoS caps.
+
+    Malformed rows (null doc_id / null spans — e.g. a corrupt line in a
+    JSONL corpus read with the enforced schema) also go to the quarantine
+    side: size(NULL) is NULL, so both filters used to drop them SILENTLY —
+    at corpus scale a bad input line must stay visible and counted, not
+    vanish. They sit in `_quarantine` as evidence; process_quarantined's
+    size() filters skip them (they cannot be re-processed)."""
     n = F.size("spans")
-    return df.filter(n <= max_spans), df.filter(n > max_spans)
+    malformed = F.isnull("spans") | F.isnull("doc_id")
+    return (
+        df.filter(~malformed & (n <= max_spans)),
+        df.filter(malformed | (n > max_spans)),
+    )
 
 
 def salt_partition(df: DataFrame, tasks: int) -> DataFrame:

@@ -334,3 +334,37 @@ def test_jsonl_documents_round_trip_and_extraction(spark, tmp_path):
     want = rows(run_mode(docs_pq, "extract_full"))
     # 40 synthetic + the embedded fixture corpus
     assert got == want and len(got) == docs_pq.count()
+
+
+def test_jsonl_corrupt_lines_quarantined_not_dropped(spark, tmp_path):
+    """A corrupt line in a JSONL corpus must neither crash the job nor
+    vanish: it lands on the quarantine side of split_guardrail (counted,
+    stored) while the well-formed documents extract normally."""
+    import json as _json
+
+    from grobid_clinical_report_spark import runner
+    from grobid_clinical_report_spark.io import read_documents
+
+    jl = tmp_path / "docs.jsonl"
+    good = {
+        "doc_id": "ok-1",
+        "spans": [
+            {"kind": "line", "text": "DIAGNOSTIC :", "media_ref": None,
+             "offset": 0}
+        ],
+    }
+    jl.write_text(
+        _json.dumps(good)
+        + "\nTHIS IS NOT JSON\n"
+        + '{"doc_id": "bad-spans", "spans": "nope"}\n'
+    )
+    docs = read_documents(spark, str(jl)).select("doc_id", "spans")
+    ok, bad = runner.split_guardrail(docs)
+    assert [r["doc_id"] for r in ok.collect()] == ["ok-1"]
+    assert sorted(
+        (r["doc_id"] or "<corrupt>") for r in bad.collect()
+    ) == ["<corrupt>", "bad-spans"]
+
+    out = str(tmp_path / "out")
+    m = runner.run_extraction_job(spark, str(jl), out, n_buckets=1)
+    assert m["docs"] == 1 and m["quarantined"] == 2
