@@ -262,12 +262,20 @@ def headline() -> dict:
     # NER at 10× docs (VERDICT r5 next #5): the second-most-expensive
     # headline query, over the sf1 span corpus
     apply_split_hint(spark, "ner")
-    t0 = time.monotonic()
     docs1 = spark.read.parquet(corpus1).select("doc_id", "spans")
-    run_mode(split_guardrail(docs1)[0], "ner").write.format("noop").mode(
-        "overwrite"
-    ).save()
-    sf1["ner_entities"] = round(time.monotonic() - t0, 3)
+    # best-of-2 like the sf0.1 leg it is ratio'd against: the first run
+    # carries the 32-way first-call worker dilation (~2x on the Python
+    # kernels), which the warm sf0.1 best-of-2 number excludes — a
+    # single-shot sf1 wall would read superlinear for warm-up, not data
+    best = None
+    for _ in range(2):
+        t0 = time.monotonic()
+        run_mode(split_guardrail(docs1)[0], "ner").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        dt = time.monotonic() - t0
+        best = dt if best is None else min(best, dt)
+    sf1["ner_entities"] = round(best, 3)
     spark.stop()
 
     total = round(sum(queries.values()), 3)

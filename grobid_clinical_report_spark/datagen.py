@@ -957,7 +957,7 @@ def write_documents_parquet(
     )
     table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
     if shards <= 1:
-        pq.write_table(table, path)
+        pq.write_table(table, path, row_group_size=256)
         return
     import os
 
@@ -968,8 +968,16 @@ def write_documents_parquet(
         lo = s * step
         if lo >= n:
             break
+        # bounded row groups: parquet splits only at row-group boundaries,
+        # so one whole-file row group caps a scan's effective parallelism
+        # at ONE task per file no matter what maxPartitionBytes asks for
+        # (measured: the sf1 bench corpus at 128 files x 1 row group gave
+        # the 1m-split NER pass only 128 tasks). 256 docs ≈ 2 MB here —
+        # the knob a real table tunes as write.parquet.row-group-size.
         pq.write_table(
-            table.slice(lo, step), os.path.join(path, f"part-{s:05d}.parquet")
+            table.slice(lo, step),
+            os.path.join(path, f"part-{s:05d}.parquet"),
+            row_group_size=256,
         )
 
 
