@@ -394,9 +394,10 @@ Measurement notes (honest caveats, profiled in round 1):
   under external load 5+), 0.843-0.967 (round 4 — 0.843 under moderate
   co-tenant load, 0.967 idle), 0.88-1.13 (round 5 — the >1 reading came
   from a cold-page-cache 1-core leg; the warm repeat, reported here, read
-  0.88), 0.93-1.23 (round 6 — same artifact: the first ladder's 1-core
-  leg ran while co-tenant load was still draining and read 79.5s; the
-  warm repeat, reported here, read 0.934); every run clears the 0.8
+  0.88), 0.88-1.23 (round 6 — same artifact: the first ladder's 1-core
+  leg ran while co-tenant load was still draining and read 79.5s; warm
+  repeats read 0.934 and, after the round's kernel work landed, 0.883
+  with the 1-core wall down 29% to 47.4s); every run clears the 0.8
   target.
 - spark.task.cpus A/B (re-measured each round, r6: fresh process per leg,
   best-of-2, interleaved order): extraction task_cpus=1 3.83-4.98s vs
