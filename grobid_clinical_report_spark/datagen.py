@@ -1056,8 +1056,14 @@ def write_text_documents_parquet(
         lo = s * step
         if lo >= n:
             break
+        # bounded row groups — same reason as write_documents_parquet: a
+        # whole-file row group caps the scan (and its fused map stage) at
+        # one task per file; 16 files on 32 cores halved the sf1 textops
+        # tier's scan-stage parallelism
         pq.write_table(
-            table.slice(lo, step), os.path.join(path, f"part-{s:05d}.parquet")
+            table.slice(lo, step),
+            os.path.join(path, f"part-{s:05d}.parquet"),
+            row_group_size=512,
         )
 
 
