@@ -1056,14 +1056,18 @@ def write_text_documents_parquet(
         lo = s * step
         if lo >= n:
             break
-        # bounded row groups — same reason as write_documents_parquet: a
-        # whole-file row group caps the scan (and its fused map stage) at
-        # one task per file; 16 files on 32 cores halved the sf1 textops
-        # tier's scan-stage parallelism
+        # whole-shard row groups ON PURPOSE, unlike write_documents_parquet:
+        # row-group sizing follows the CONSUMER. The span corpus feeds
+        # Python-kernel map stages (fine 256-doc groups let split hints
+        # fan out fully — sf1 NER 95s → 32s); this text corpus feeds
+        # JVM shuffle pipelines (explode → minhash → band self-join) whose
+        # bottleneck is post-shuffle, and finer groups measurably HURT:
+        # 512-doc groups read 20.9s cold / 5.9s warm on the sf1 neardup
+        # leg vs 8.7 / 4.7 with whole-shard groups (more scan tasks →
+        # more, smaller cached partitions for every materialized
+        # intermediate, no kernel to feed).
         pq.write_table(
-            table.slice(lo, step),
-            os.path.join(path, f"part-{s:05d}.parquet"),
-            row_group_size=512,
+            table.slice(lo, step), os.path.join(path, f"part-{s:05d}.parquet")
         )
 
 
