@@ -382,7 +382,7 @@ NEARDUP_ROWS = 2
 NEARDUP_BUCKET_CAP = 64
 
 
-def _neardup_candidates(docs: DataFrame):
+def _neardup_candidates(docs: DataFrame, key: str = "local"):
     """Candidate-pair stage of the near-dup pipeline, factored for the skew
     test. Input: (doc_id, text). Returns (shingled_reps, cand) where ``cand``
     is the deduped candidate-pair DataFrame (doc_a < doc_b).
@@ -416,7 +416,7 @@ def _neardup_candidates(docs: DataFrame):
     # branch: cache locally, parquet at scale (session.materialize)
     from .session import materialize
 
-    shingled = materialize(shingled, "neardup_shingles")
+    shingled = materialize(shingled, f"neardup_shingles_{key}")
 
     # 2. b×r banding: band j = hash of minhashes [j*r, (j+1)*r)
     band_exprs = ", ".join(
@@ -459,7 +459,10 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     over union of distinct shingles). Exact-duplicate membership itself is
     the dedup_exact operator's output (fp → keeper) — re-emitting the O(c²)
     pairs inside each exact cluster is the scale bug this split avoids."""
-    shingled, cand = _neardup_candidates(_load_wide(spark, sf_dir, "documents"))
+    shingled, cand = _neardup_candidates(
+        _load_wide(spark, sf_dir, "documents"),
+        key=_corpus_key("nd", sf_dir),
+    )
     sh = shingled.selectExpr("doc_id", "explode(sha) as sh")
     sizes = shingled.selectExpr("doc_id", "size(sha) as n_sh")
     inter = (
@@ -569,7 +572,7 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three consumers (flat x2, sizes): cache locally, parquet at scale
     sh = materialize(
         base.selectExpr("doc_id", f"array_distinct({_SUBWINS_OF_W}) as hs"),
-        "substring_windows",
+        _corpus_key("substring_windows", sf_dir),
     )
     flat = sh.selectExpr("doc_id", "explode(hs) as h")
     shared = (
