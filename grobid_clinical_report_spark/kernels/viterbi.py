@@ -26,8 +26,23 @@ _LEN_BUCKETS = (16, 64, 256, 1024, 4096, 16384, 65536, 1 << 30)
 # viterbi_segments: lengths up to this decode dense (zero padding); longer
 # segments decode in padded geometric buckets (see the docstring's cost
 # model — the crossover is where per-length numpy call overhead on small
-# (B, L) blocks outgrows ≤25% padding waste on big batched tensors)
+# (B, L) blocks outgrows the ≤2× padded-work bound of factor-2 buckets)
 _DENSE_MAX_T = 64
+
+
+def _acc_dtype(em_dtype: np.dtype) -> np.dtype:
+    """DP accumulator dtype for a given emission dtype.
+
+    Integer emissions (the NER kernel ships int16 doubled-weight scores for
+    memory bandwidth) must NOT accumulate in int16: dp grows ~9-16 per token,
+    so a single segment beyond ~2000-3600 tokens silently wraps int16 and
+    decodes wrong labels. The DP runs in int32 instead — emission GATHERS
+    stay int16 (that is where the bandwidth win lives; the (B, L) dp tensor
+    is tiny), and int32 holds ~10^8 tokens of worst-case real emissions
+    (2^31 / 16), far past any guardrail-passing document."""
+    if np.issubdtype(em_dtype, np.integer):
+        return np.dtype(np.int32)
+    return np.dtype(em_dtype)
 
 
 def viterbi_single(emissions: np.ndarray, transitions: np.ndarray) -> np.ndarray:
@@ -81,8 +96,9 @@ def viterbi_segments(
       (B, T, L) blocks — zero padding, no mask. This is the token-model
       shape (millions of short per-line sequences, few distinct lengths);
       switching NER to it measured 14.5s → ~5s at local[32].
-    - longer lengths run PADDED in greedy geometric buckets (≤ 25%
-      padding waste): the line-model shape (tens of thousands of ~50-400
+    - longer lengths run PADDED in greedy geometric buckets (factor-2
+      growth, so padded work ≤ 2× the live work — see the cap comment
+      below): the line-model shape (tens of thousands of ~50-400
       line documents, hundreds of DISTINCT lengths) would otherwise decode
       as thousands of tiny per-length numpy steps where call overhead
       dominates — measured 5.9s → 9.2s on the extraction cascade when
@@ -237,9 +253,11 @@ def _decode_dense(emis: np.ndarray, transitions: np.ndarray) -> np.ndarray:
     column); column-structured matrices (body model: per-label entry
     costs) take it too, with a vector move."""
     b, max_t, n_lab = emis.shape
-    dp = emis[:, 0, :].copy()
+    # dp accumulates in _acc_dtype (int32 for integer emissions — int16 dp
+    # wraps past ~2-3k tokens); emission reads stay in the caller's dtype
+    dp = emis[:, 0, :].astype(_acc_dtype(emis.dtype), copy=True)
     back = np.empty((b, max_t, n_lab), dtype=np.int32)
-    neg = _neg_sentinel(emis.dtype)
+    neg = _neg_sentinel(dp.dtype)
 
     mv, scalar = _col_move(transitions)
     if mv is not None:
@@ -302,10 +320,14 @@ def _dp_padded(
     (B, max_t) labels (padding positions hold arbitrary values — callers
     gather only live cells)."""
     b, max_t, n_lab = emis.shape
-    transitions = np.asarray(transitions, dtype=emis.dtype)
+    # transitions + dp in the accumulator dtype (== emis dtype for floats;
+    # int32 for integer emissions, whose int16 dp would wrap on long
+    # segments). Emission gathers keep the caller's dtype.
+    acc = _acc_dtype(emis.dtype)
+    transitions = np.asarray(transitions, dtype=acc)
 
     # forward max-product
-    dp = emis[:, 0, :].copy()  # (B, L)
+    dp = emis[:, 0, :].astype(acc, copy=True)  # (B, L)
     back = np.zeros((b, max_t, n_lab), dtype=np.int32)
 
     # structured fast path (_step_structured): constant-move (sticky) and

@@ -112,6 +112,35 @@ def test_viterbi_structured_shapes_optimal_and_consistent():
         assert np.array_equal(got, want), (trial, trial % 3)
 
 
+def test_viterbi_int16_long_segment_no_overflow():
+    """ADVICE r6 (medium): int16 emissions must NOT accumulate the DP in
+    int16 — dp grows ~9-16/token, wrapping past ~2-3k tokens on a single
+    long line (nothing upstream caps tokens-per-line). The decoder now
+    accumulates in int32; int16 and float64 decodes must agree at T=5000
+    (they diverged at T=5000 while matching at T=300 before the fix)."""
+    from grobid_clinical_report_spark.kernels.viterbi import viterbi_segments
+
+    rng = np.random.default_rng(7)
+    L = 12
+    trans = np.full((L, L), -2, dtype=np.float64)
+    np.fill_diagonal(trans, 4)  # sticky shape, like the NER kernel
+    for T in (300, 5000):
+        em_f = rng.integers(0, 17, size=(T, L)).astype(np.float64)
+        starts = np.array([0], dtype=np.int64)
+        lab_f = viterbi_segments(em_f, starts, trans)
+        lab_i = viterbi_segments(
+            em_f.astype(np.int16), starts, trans.astype(np.int16)
+        )
+        assert np.array_equal(lab_f, lab_i), T
+    # mixed segment lengths cross the dense/padded split too
+    em2 = rng.integers(-8, 17, size=(6000, L)).astype(np.float64)
+    st2 = np.array([0, 40, 4040, 5000], dtype=np.int64)
+    assert np.array_equal(
+        viterbi_segments(em2, st2, trans),
+        viterbi_segments(em2.astype(np.int16), st2, trans.astype(np.int16)),
+    )
+
+
 # --- normalization -----------------------------------------------------------
 
 def test_iso_dates():
