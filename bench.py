@@ -37,6 +37,47 @@ _DOCS_PER_SF = 200_000
 
 LOAD_AT_START = 0.0  # set by headline() before the first query runs
 
+# Idle gate (VERDICT r6 next #1): the r6 headline ran at external load
+# 11→29.5 and recorded regressions the controlled A/Bs contradicted. The
+# bench now refuses to start hot: if the 1-min load exceeds the threshold
+# (external work — our own executors are not running yet), sleep-poll up
+# to the budget and record how long we waited in the artifact.
+IDLE_GATE_LOAD = float(os.environ.get("SPARK_GRAFT_IDLE_GATE", "6.0"))
+IDLE_GATE_MAX_WAIT = int(os.environ.get("SPARK_GRAFT_IDLE_WAIT", "900"))
+
+
+def _gate_idle() -> dict:
+    """Wait (bounded) for the box to go idle before measuring."""
+    t0 = time.monotonic()
+    waited = 0.0
+    while os.getloadavg()[0] > IDLE_GATE_LOAD:
+        if time.monotonic() - t0 > IDLE_GATE_MAX_WAIT:
+            break
+        time.sleep(15)
+        waited = time.monotonic() - t0
+    return {
+        "threshold": IDLE_GATE_LOAD,
+        "waited_sec": round(waited, 1),
+        "load_after_gate": round(os.getloadavg()[0], 2),
+    }
+
+
+def _timed_leg(fn, runs: int = 2, spread: float = 0.4) -> float:
+    """best-of-N wall for one leg, with ONE extra run if the first N
+    disagree by more than `spread` (a co-tenant spike during a run shows
+    as an out-of-family time; the min of three is then the honest
+    contention-free measurement)."""
+    times = []
+    for _ in range(runs):
+        t0 = time.monotonic()
+        fn()
+        times.append(time.monotonic() - t0)
+    if min(times) > 0 and (max(times) / min(times) - 1.0) > spread:
+        t0 = time.monotonic()
+        fn()
+        times.append(time.monotonic() - t0)
+    return min(times)
+
 
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
@@ -128,18 +169,32 @@ def headline() -> dict:
     import __spark_entry__ as E
     from grobid_clinical_report_spark.session import get_spark
 
+    gate = _gate_idle()
     global LOAD_AT_START
     LOAD_AT_START = round(os.getloadavg()[0], 2)
     sf = _sf_from_dir(SF_DIR)
     spark = get_spark(app="bench", cpus=CPUS, max_partition_bytes="4m")
     queries: dict[str, float] = {}
+    load_per_leg: dict[str, float] = {}
 
     load_samples = {"start": LOAD_AT_START}
 
     corpus = corpus_path(sf)
+    # warm-up (same as extract_only): JIT/codegen + the 32-way python
+    # worker pool spin-up on a small slice — the first full run otherwise
+    # carries ~2-3× first-batch dilation and best-of-2 never reaches the
+    # steady-state engine cost the leg is meant to record
+    from grobid_clinical_report_spark.pipeline import run_mode as _rm
+
+    warm = spark.read.parquet(corpus).limit(CPUS * 8).repartition(CPUS)
+    _rm(warm, "extract_full").write.format("noop").mode("overwrite").save()
+    load_per_leg["extract_full_cascade"] = round(os.getloadavg()[0], 2)
     n_docs, sec = run_extraction(spark, corpus, tasks=CPUS * 4)
     _, sec2 = run_extraction(spark, corpus, tasks=CPUS * 4)
     sec = min(sec, sec2)  # best-of-2: host IO jitter, not engine cost
+    if sec2 / max(sec, 1e-9) > 1.4 or sec / max(sec2, 1e-9) > 1.4:
+        _, sec3 = run_extraction(spark, corpus, tasks=CPUS * 4)
+        sec = min(sec, sec3)  # out-of-family pair → one more run
     queries["extract_full_cascade"] = round(sec, 3)
     extraction = {"n_docs": n_docs, "docs_per_sec": round(n_docs / sec, 1)}
     load_samples["after_extraction"] = round(os.getloadavg()[0], 2)
@@ -208,17 +263,18 @@ def headline() -> dict:
         "media_decode_features",
         "media_frame_sample",
     ]:
-        best = None
-        for _ in range(2):  # best-of-2 per query (host IO jitter guard)
-            t0 = time.monotonic()
+        load_per_leg[name] = round(os.getloadavg()[0], 2)
+
+        def leg(name=name):
             qs[name](spark, SF_DIR).write.format("noop").mode(
                 "overwrite"
             ).save()
-            dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
-            # undo any per-mode scan-split hint before the next query
+            # undo any per-mode scan-split hint before the next run
             spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
-        queries[name] = round(best, 3)
+
+        # best-of-2 per query, +1 run when the pair is out-of-family
+        # (> 40% apart — a co-tenant spike hit one of the runs)
+        queries[name] = round(_timed_leg(leg), 3)
     load_samples["after_queries"] = round(os.getloadavg()[0], 2)
 
     # sf1 tier (VERDICT r3 #9): 10× the data through the SAME plans — the
@@ -254,11 +310,29 @@ def headline() -> dict:
     # filter→exact→components decision table is the workload a real
     # curation run executes at scale, so its wall must track the data
     # ratio like its ingredients do
-    for name in ["dedup_exact", "dedup_neardup_pairs", "corpus_filter",
-                 "lm_quality", "dedup_components", "curate_corpus"]:
-        t0 = time.monotonic()
-        qs[name](spark, tdir).write.format("noop").mode("overwrite").save()
-        sf1[name] = round(time.monotonic() - t0, 3)
+    # Two passes over the WHOLE sequence, caches cleared between passes,
+    # per-leg min across passes (VERDICT r6 next #1: the single-shot sf1
+    # legs burned the r6 record under co-tenant load). Why not best-of-2
+    # per leg: a leg's second run would hit its own corpus-keyed caches
+    # (e.g. the near-dup pair materialization) and report cache-hit time;
+    # re-running the sequence cold preserves the in-order semantics —
+    # each leg measured with only the PRIOR queries' shared
+    # materializations warm, exactly the shape a curation run executes.
+    sf1_loads: dict[str, float] = {}
+    seq_names = ["dedup_exact", "dedup_neardup_pairs", "corpus_filter",
+                 "lm_quality", "dedup_components", "curate_corpus"]
+    per: dict[str, list[float]] = {n: [] for n in seq_names}
+    for rep in range(2):
+        spark.catalog.clearCache()
+        for name in seq_names:
+            sf1_loads[name] = round(os.getloadavg()[0], 2)
+            t0 = time.monotonic()
+            qs[name](spark, tdir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            per[name].append(time.monotonic() - t0)
+    for name in seq_names:
+        sf1[name] = round(min(per[name]), 3)
     # NER at 10× docs (VERDICT r5 next #5): the second-most-expensive
     # headline query, over the sf1 span corpus
     apply_split_hint(spark, "ner")
@@ -287,6 +361,15 @@ def headline() -> dict:
         "sf": sf,
         "extraction": extraction,
         "sf1": sf1,
+        # idle gate + per-leg 1-min load stamps (VERDICT r6 next #1): the
+        # artifact itself shows whether any leg ran hot. Caveat: mid-run
+        # samples include the bench's own local[32] work decaying through
+        # the 1-min average, so a stamp ≈ CPUS after a heavy leg is
+        # normal; what flags contamination is a stamp far above CPUS or a
+        # hot 'start'/gate reading.
+        "load_gate": gate,
+        "load_per_leg": load_per_leg,
+        "sf1_load_per_leg": sf1_loads,
         # 1-min host load at section boundaries (VERDICT r5 next #6): this
         # box has co-tenants, so jitter-vs-real regressions must be
         # adjudicable from the artifact itself. Caveat: mid-run samples
@@ -311,6 +394,7 @@ def scaling(n_small: int = 1, ladder: tuple[int, ...] = (1, 2, 4, 8, 16)) -> dic
     levels = sorted(set(ladder) | {n_small, n_big})
     res = {}
     for cpus in levels:
+        _gate_idle()  # each ladder leg starts on an idle box (or times out)
         out = subprocess.run(
             [sys.executable, __file__, "--extract-only", str(cpus)],
             capture_output=True,

@@ -253,9 +253,22 @@ def _decode_dense(emis: np.ndarray, transitions: np.ndarray) -> np.ndarray:
     column); column-structured matrices (body model: per-label entry
     costs) take it too, with a vector move."""
     b, max_t, n_lab = emis.shape
-    # dp accumulates in _acc_dtype (int32 for integer emissions — int16 dp
-    # wraps past ~2-3k tokens); emission reads stay in the caller's dtype
-    dp = emis[:, 0, :].astype(_acc_dtype(emis.dtype), copy=True)
+    # Integer emissions: dp may keep the narrow int16 dtype ONLY when a
+    # per-block bound proves it cannot wrap — |dp| ≤ max_t · (max|em| +
+    # max|trans|), checked against the sentinel headroom (2^14). The dense
+    # path handles ≤64-step blocks (the NER corpus shape), so the check
+    # almost always passes and the int16 dp bandwidth win is kept; blocks
+    # that could overflow accumulate in int32 (_acc_dtype). The bound
+    # costs two allocation-free reduction passes over a block about to be
+    # read max_t times.
+    acc = emis.dtype
+    if np.issubdtype(emis.dtype, np.integer):
+        step = max(int(emis.max()), -int(emis.min()), 0) + max(
+            int(np.max(transitions)), -int(np.min(transitions)), 0
+        )
+        safe16 = emis.dtype == np.int16 and max_t * step < (1 << 14) - 64
+        acc = emis.dtype if safe16 else _acc_dtype(emis.dtype)
+    dp = emis[:, 0, :].astype(acc, copy=True)
     back = np.empty((b, max_t, n_lab), dtype=np.int32)
     neg = _neg_sentinel(dp.dtype)
 

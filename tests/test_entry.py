@@ -138,16 +138,44 @@ def test_verification_window_policy():
     out = entrymod.rotated_out()
     assert entrymod.rotated_out() == out
     assert list(entrymod.queries())[-len(out):] == out
-    # churn-pinned queries never rotate out, any round
+    # pinned queries (code churned this round, or rotated out last round —
+    # nothing misses two consecutive windows) never rotate out, any round
+    pinned = (
+        entrymod._CHURNED_THIS_ROUND | entrymod._ROTATED_OUT_LAST_ROUND
+    )
     for r in range(1, 20):
-        assert not set(entrymod.rotated_out(r)) & entrymod._CHURNED_THIS_ROUND
+        assert not set(entrymod.rotated_out(r)) & pinned
     # over enough rounds, every UNPINNED query takes its turn outside the
     # window (no query can be parked outside forever either: the excluded
     # set changes every round)
-    unpinned = set(names) - entrymod._CHURNED_THIS_ROUND
+    unpinned = set(names) - pinned
     cover = set()
     for r in range(1, 40):
         got = entrymod.rotated_out(r)
         assert len(got) == len(names) - entrymod._DRIVER_CAP
         cover |= set(got)
     assert cover == unpinned
+
+
+def test_verification_window_infeasible_pins_raise(monkeypatch):
+    """ADVICE r6: the rotation walk is bounded — over-pinning must raise a
+    clear error instead of spinning forever."""
+    import pytest
+
+    monkeypatch.setattr(
+        entrymod,
+        "_CHURNED_THIS_ROUND",
+        frozenset(entrymod._canonical()),
+    )
+    with pytest.raises(RuntimeError, match="rotation infeasible"):
+        entrymod.rotated_out(3)
+
+
+def test_current_round_reads_committed_file():
+    """ADVICE r6: the round number comes from the tracked ROUND file, so
+    the rotation is a pure function of the committed tree."""
+    import os
+
+    here = os.path.dirname(os.path.abspath(entrymod.__file__))
+    with open(os.path.join(here, "ROUND")) as f:
+        assert entrymod._current_round() == int(f.read().strip())

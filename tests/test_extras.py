@@ -1145,3 +1145,185 @@ def test_cc_star_parquet_materialization_matches_local(spark, tmp_path,
     }
     assert local == mat
     assert mat["w30"] == "w00" and mat["z3"] == "z1" and mat["q9"] == "q8"
+
+
+# --- sequence-labeling evaluation (trainer eval analog) ----------------------
+
+
+def test_eval_labels_hand_computed(spark):
+    """Token- and field-level P/R/F1 pinned against hand-computed values on
+    a 6-token fixture (MedicalReportTrainerRunner eval-mode analog).
+
+    gold: persname persname other date date other
+    pred: persname other    other date date persname
+    → token persname (2,2,1)=500/500/500, date (2,2,2)=1000s,
+      token micro excl other (4,4,3)=750/750/750;
+    fields gold = persname[0,1], date[3,4]; pred = persname[0,0],
+      date[3,4], persname[5,5] → field persname (1,2,0)=0s,
+      date (1,1,1)=1000s, field micro (2,3,1)=333/500/400."""
+    from grobid_clinical_report_spark.evaluate import evaluate_labels
+
+    rows = [
+        ("d1", 0, 0, "persname", "persname"),
+        ("d1", 0, 1, "persname", "other"),
+        ("d1", 0, 2, "other", "other"),
+        ("d1", 0, 3, "date", "date"),
+        ("d1", 0, 4, "date", "date"),
+        ("d1", 0, 5, "other", "persname"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, seq int, tok_idx int, gold string, pred string"
+    )
+    got = {
+        (r["level"], r["label"]): (
+            r["n_gold"], r["n_pred"], r["tp"], r["fp"], r["fn"],
+            r["precision_milli"], r["recall_milli"], r["f1_milli"],
+        )
+        for r in evaluate_labels(df).collect()
+    }
+    assert got[("token", "persname")] == (2, 2, 1, 1, 1, 500, 500, 500)
+    assert got[("token", "date")] == (2, 2, 2, 0, 0, 1000, 1000, 1000)
+    assert got[("token", "other")] == (2, 2, 1, 1, 1, 500, 500, 500)
+    assert got[("token", "__micro__")] == (4, 4, 3, 1, 1, 750, 750, 750)
+    assert got[("field", "persname")] == (1, 2, 0, 2, 1, 0, 0, 0)
+    assert got[("field", "date")] == (1, 1, 1, 0, 0, 1000, 1000, 1000)
+    assert got[("field", "__micro__")] == (2, 3, 1, 2, 1, 333, 500, 400)
+    assert len(got) == 7
+
+
+def test_eval_labels_run_gap_and_one_sided_labels(spark):
+    """A tok_idx GAP splits a field even when the label repeats (zone
+    projections make indices non-contiguous), and labels present on only
+    one side still get metric rows with zero-guarded divisions."""
+    from grobid_clinical_report_spark.evaluate import evaluate_labels
+
+    rows = [
+        # gold: one 'age' field broken by a tok_idx gap → TWO gold fields
+        ("d2", 1, 0, "age", "age"),
+        ("d2", 1, 2, "age", "fax"),  # gap: tok_idx 1 missing
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, seq int, tok_idx int, gold string, pred string"
+    )
+    got = {
+        (r["level"], r["label"]): (
+            r["n_gold"], r["n_pred"], r["tp"],
+            r["precision_milli"], r["recall_milli"], r["f1_milli"],
+        )
+        for r in evaluate_labels(df).collect()
+    }
+    assert got[("field", "age")] == (2, 1, 1, 1000, 500, 666)
+    # 'fax' exists only in pred: recall denominator 0 → guarded to 0
+    assert got[("field", "fax")] == (0, 1, 0, 0, 0, 0)
+    assert got[("token", "fax")] == (0, 1, 0, 0, 0, 0)
+
+
+# --- external-corpus importer (Quaero analog) ---------------------------------
+
+
+def test_import_ner_roundtrip_entities(spark):
+    """Round-trip invariant: for every SURVIVING (non-nested) fixture
+    entity, the supervision rows labeled with its mapped type are exactly
+    the tokens whose start offset falls inside the entity's [start, end) —
+    token starts recomputed here INDEPENDENTLY with re.finditer, not the
+    importer's Arrow tokenizer."""
+    import re
+
+    from grobid_clinical_report_spark.corpus_import import (
+        QUAERO_FIXTURE, QUAERO_TO_NER, fixture_corpus_df,
+        import_ner_supervision,
+    )
+    from grobid_clinical_report_spark.kernels.tokenize import TOKEN_RE
+
+    got = {
+        (r["doc_id"], r["seq"], r["tok_idx"]): (r["text"], r["label"])
+        for r in import_ner_supervision(fixture_corpus_df(spark)).collect()
+    }
+    n_checked = 0
+    for d in QUAERO_FIXTURE:
+        # independent reimplementation: nested drop + token offsets
+        ents = [
+            (e["start"], e["start"] + e["length"],
+             QUAERO_TO_NER.get(e["etype"], "other"))
+            for e in d["entities"]
+        ]
+        top = [
+            e for e in ents
+            if not any(
+                o[0] <= e[0] and o[1] >= e[1] and (o[1] - o[0]) > (e[1] - e[0])
+                for o in ents
+            )
+        ]
+        base = 0
+        for seq, line in enumerate(d["text"].split("\n")):
+            for tok_idx, m in enumerate(re.finditer(TOKEN_RE, line)):
+                abs_start = base + m.start()
+                want = next(
+                    (lab for s, e, lab in top if s <= abs_start < e), "other"
+                )
+                tok, lab = got[(d["doc_id"], seq, tok_idx)]
+                assert tok == m.group(0), (d["doc_id"], seq, tok_idx)
+                assert lab == want, (d["doc_id"], seq, tok_idx, tok, lab, want)
+                n_checked += 1
+            base += len(line) + 1
+    assert n_checked == len(got) == 29
+
+
+def test_import_nested_dropped_and_unmapped_types(spark):
+    """fx-qc-0003: the nested 'muscle' annotation is dropped, so all three
+    tokens of 'muscle grand droit' carry the OUTER entity's label;
+    fx-qc-0004: the unmapped XXXX type degrades to 'other'."""
+    from grobid_clinical_report_spark.corpus_import import (
+        fixture_corpus_df, import_lexicon, import_ner_supervision,
+    )
+
+    sup = import_ner_supervision(fixture_corpus_df(spark)).collect()
+    labs3 = {r["text"]: r["label"] for r in sup if r["doc_id"] == "fx-qc-0003"}
+    assert labs3["muscle"] == labs3["grand"] == labs3["droit"] == "anatomy"
+    labs4 = {r["text"]: r["label"] for r in sup if r["doc_id"] == "fx-qc-0004"}
+    assert labs4["ambulance"] == "other" and labs4["Paris"] == "location"
+
+    lex = {
+        (r["label"], r["term"])
+        for r in import_lexicon(fixture_corpus_df(spark)).collect()
+    }
+    assert lex == {
+        ("anatomy", "muscle grand droit"),  # nested 'muscle' NOT a term
+        ("anatomy", "poumon gauche"),
+        ("location", "paris"),
+        ("other", "ambulance"),
+        ("pathology", "angine de poitrine"),
+        ("pathology", "lésion"),
+        ("procedure", "scanner thoracique"),
+        ("substance", "aspirine"),
+    }
+
+
+def test_eval_nfold_partitions_the_micro_counts(spark):
+    """n-fold micro counts (reference eval modes 2/3) must PARTITION the
+    single-table micro counts: summing (n_gold, n_pred, tp) across folds
+    reproduces eval_labels' token-level '__micro__' row exactly."""
+    from grobid_clinical_report_spark.evaluate import (
+        evaluate_labels, nfold_micro,
+    )
+
+    rows = [
+        ("alpha", 0, 0, "persname", "persname"),
+        ("alpha", 0, 1, "other", "persname"),
+        ("bravo", 0, 0, "date", "date"),
+        ("bravo", 1, 0, "age", "other"),
+        ("charlie", 0, 0, "date", "age"),
+        ("delta", 0, 0, "other", "other"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, seq int, tok_idx int, gold string, pred string"
+    )
+    folds = nfold_micro(df, n_folds=3).filter("level = 'token'").collect()
+    assert {r["fold"] for r in folds} <= {0, 1, 2}
+    micro = {
+        r["label"]: r
+        for r in evaluate_labels(df).filter("level = 'token'").collect()
+    }["__micro__"]
+    assert sum(r["n_gold"] for r in folds) == micro["n_gold"]
+    assert sum(r["n_pred"] for r in folds) == micro["n_pred"]
+    assert sum(r["tp"] for r in folds) == micro["tp"]
