@@ -392,9 +392,9 @@ def scaling(n_small: int = 1, ladder: tuple[int, ...] = (1, 2, 4, 8, 16)) -> dic
     """
     n_big = n_small * 4
     levels = sorted(set(ladder) | {n_small, n_big})
-    res = {}
-    for cpus in levels:
-        _gate_idle()  # each ladder leg starts on an idle box (or times out)
+
+    def one_leg(cpus: int) -> dict:
+        _gate_idle()  # each attempt starts on an idle box (or times out)
         out = subprocess.run(
             [sys.executable, __file__, "--extract-only", str(cpus)],
             capture_output=True,
@@ -403,7 +403,22 @@ def scaling(n_small: int = 1, ladder: tuple[int, ...] = (1, 2, 4, 8, 16)) -> dic
             env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
             check=True,
         )
-        res[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    # best-of-2 per leg, fresh JVM each attempt (round 7: an interleaved
+    # HEAD-vs-r6 A/B showed same-code 1-core walls swinging 51-71s under
+    # co-tenant noise the 1-min load gate cannot see — a single-shot leg
+    # is not evidence). Third out-of-family attempt when the pair
+    # disagrees >40%, same policy as the headline legs.
+    res, attempts = {}, {}
+    for cpus in levels:
+        runs = [one_leg(cpus), one_leg(cpus)]
+        secs = sorted(r["sec"] for r in runs)
+        if secs[1] > 1.4 * secs[0]:
+            runs.append(one_leg(cpus))
+        best = min(runs, key=lambda r: r["sec"])
+        res[cpus] = best
+        attempts[cpus] = [round(r["sec"], 2) for r in runs]
     thr = {c: r["n_docs"] / r["sec"] for c, r in res.items()}
     eff = (thr[n_big] / thr[n_small]) / (n_big / n_small)
     return {
@@ -415,6 +430,7 @@ def scaling(n_small: int = 1, ladder: tuple[int, ...] = (1, 2, 4, 8, 16)) -> dic
         "docs_per_sec_small": round(thr[n_small], 1),
         "docs_per_sec_big": round(thr[n_big], 1),
         "scaling_efficiency": round(eff, 3),
+        "attempts_sec": {str(c): attempts[c] for c in levels},
         "ladder": {
             str(c): {
                 "sec": round(res[c]["sec"], 2),
@@ -430,6 +446,12 @@ def write_baseline_md(s: dict) -> None:
     ladder_rows = "\n".join(
         f"| {c} | {v['sec']} | {v['docs_per_sec']} |"
         for c, v in sorted(s["ladder"].items(), key=lambda kv: int(kv[0]))
+    )
+    attempt_rows = "\n".join(
+        f"- {c} cores: {', '.join(f'{a}s' for a in atts)}"
+        for c, atts in sorted(
+            s.get("attempts_sec", {}).items(), key=lambda kv: int(kv[0])
+        )
     )
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
@@ -454,6 +476,10 @@ Full ladder (same job, same corpus):
 | cores | wall (s) | docs/sec |
 |---|---|---|
 {ladder_rows}
+
+Per-leg attempts (best-of-2 + out-of-family third, fresh JVM each,
+idle-gated; the table above reports the per-leg best):
+{attempt_rows}
 
 Measurement notes (honest caveats, profiled in round 1):
 - The job is **zero-shuffle** (map-only over file splits) — the production
@@ -481,8 +507,18 @@ Measurement notes (honest caveats, profiled in round 1):
   0.88), 0.88-1.23 (round 6 — same artifact: the first ladder's 1-core
   leg ran while co-tenant load was still draining and read 79.5s; warm
   repeats read 0.934 and, after the round's kernel work landed, 0.883
-  with the 1-core wall down 29% to 47.4s); every run clears the 0.8
-  target.
+  with the 1-core wall down 29% to 47.4s); 0.97 (round 7 — a first
+  single-shot ladder read 1-core 63.8s, +35% vs r6 with no kernel change
+  on the cascade's float32 path, so the slowdown was adjudicated with an
+  interleaved HEAD-vs-r6 A/B, 3 rounds each, same corpus, same box: HEAD
+  51.3/56.8/70.1s vs r6 54.2/67.7/71.3s — same-code variance dwarfs any
+  code delta and HEAD's best is faster than r6's, i.e. box-level noise,
+  not a kernel regression. The ladder is now best-of-2 per leg with all
+  attempts recorded above; the serial leg, which has the longest noise
+  exposure window, additionally folds in every 1-core wall measured this
+  session (7 attempts, 51.3-75.2s). A naive best-of-2 read of the same
+  data gives 1.03 — superlinear, i.e. the serial leg never ran clean
+  even once in that pair); every run clears the 0.8 target.
 - spark.task.cpus A/B (re-measured each round, r6: fresh process per leg,
   best-of-2, interleaved order): extraction task_cpus=1 3.83-4.98s vs
   task_cpus=2 5.34s; NER task_cpus=1 7.99s vs task_cpus=2 6.20-6.98s.
