@@ -380,6 +380,61 @@ def headline() -> dict:
     }
 
 
+def sf10_tier() -> dict:
+    """Third data decade (round 7): the scale-critical corpus ops at ~100×
+    the sf0.1 char volume (500k synthetic docs). The sf1 tier proves the
+    wall tracks one decade of data; a 100× claim extrapolated from a single
+    decade can hide an O(n log n) or constant-dominated term — two decades
+    pin the exponent. Manual / --sf10, not part of the default driver bench:
+    the tier costs minutes and its value is the recorded ratio table
+    (BENCH/SF10.md), not a per-round re-measurement.
+
+    Same two-pass / per-leg-min / cache-cleared-between-passes shape as the
+    sf1 tier, same in-order semantics (each leg sees only PRIOR queries'
+    shared materializations warm).
+    """
+    import __spark_entry__ as entry
+    from grobid_clinical_report_spark.session import get_spark
+
+    qs = entry.queries()
+    tdir10 = text_corpus_dir(500_000)
+    gate = _gate_idle()
+    spark = get_spark(app="bench-sf10", cpus=CPUS)
+    chars_small = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .selectExpr("sum(length(text)) as c").collect()[0]["c"]
+    )
+    chars_big = (
+        spark.read.parquet(f"{tdir10}/documents.parquet")
+        .selectExpr("sum(length(text)) as c").collect()[0]["c"]
+    )
+    seq_names = ["dedup_exact", "dedup_neardup_pairs", "corpus_filter",
+                 "lm_quality", "dedup_components", "curate_corpus"]
+    loads: dict[str, float] = {}
+    per: dict[str, list[float]] = {n: [] for n in seq_names}
+    for _rep in range(2):
+        spark.catalog.clearCache()
+        for name in seq_names:
+            loads[name] = round(os.getloadavg()[0], 2)
+            t0 = time.monotonic()
+            qs[name](spark, tdir10).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            per[name].append(time.monotonic() - t0)
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+    out = {name: round(min(per[name]), 3) for name in seq_names}
+    spark.stop()
+    return {
+        "metric": "sf10_tier",
+        "unit": "sec",
+        "queries": out,
+        "text_data_ratio_vs_sf": round(chars_big / max(chars_small, 1), 2),
+        "load_gate": gate,
+        "load_per_leg": loads,
+        "end_load": round(os.getloadavg()[0], 2),
+    }
+
+
 def scaling(n_small: int = 1, ladder: tuple[int, ...] = (1, 2, 4, 8, 16)) -> dict:
     """Same job at several parallelism levels, fresh JVM each (subprocess).
 
@@ -544,6 +599,8 @@ Measurement notes (honest caveats, profiled in round 1):
 if __name__ == "__main__":
     if "--extract-only" in sys.argv:
         extract_only(int(sys.argv[sys.argv.index("--extract-only") + 1]))
+    elif "--sf10" in sys.argv:
+        print(json.dumps(sf10_tier()))
     elif "--scaling" in sys.argv:
         s = scaling()
         write_baseline_md(s)
