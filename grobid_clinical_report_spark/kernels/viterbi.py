@@ -219,11 +219,15 @@ def _step_structured(dp, mv, scalar, diag, col, rows, neg):
     column per row needs the (m2, i2) fallback — one fancy-index fix-up
     instead of three full `where` passes."""
     i1 = dp.argmax(axis=1)
-    m1 = dp[rows, i1]
-    dp2 = dp.copy()
-    dp2[rows, i1] = neg
-    i2 = dp2.argmax(axis=1).astype(np.int32)
-    m2 = dp2[rows, i2]
+    m1 = dp[rows, i1].copy()
+    # top-2 via poke/restore: overwrite the winners in place, argmax again,
+    # put the winners back — two (B,)-sized writes instead of a full (B, L)
+    # copy per step (the copy dominated the step at line-model shapes,
+    # B ≈ 50-150 · L = 12, where per-op overhead ≫ arithmetic)
+    dp[rows, i1] = neg
+    i2 = dp.argmax(axis=1).astype(np.int32)
+    m2 = dp[rows, i2]
+    dp[rows, i1] = m1
     self_val = dp + diag
     if scalar:
         m1b = (m1 + mv[0])[:, None]
@@ -346,6 +350,13 @@ def _dp_padded(
     # structured fast path (_step_structured): constant-move (sticky) and
     # column-structured (body model) matrices decompose the prev→next max
     # to O(L) per step — the token-models-at-corpus-scale hot loop.
+    # steps below the shortest live length need no masking at all — every
+    # lane is alive, so dp/backpointer writes are unconditional. Factor-2
+    # buckets guarantee min_len ≥ max_t/2, so this skips the two
+    # np.where passes for at least half of all steps (and for ALL steps
+    # of equal-length buckets, e.g. the whale documents).
+    min_len = int(mask.sum(axis=1).min()) if b else max_t
+
     mv, scalar = _col_move(transitions)
     if mv is not None:
         diag = np.diag(transitions)[None, :]  # (1, L)
@@ -356,6 +367,10 @@ def _dp_padded(
             best_score, best_prev = _step_structured(
                 dp, mv, scalar, diag, col, rows, neg
             )
+            if t < min_len:
+                dp = best_score + emis[:, t, :]
+                back[:, t, :] = best_prev
+                continue
             ndp = best_score + emis[:, t, :]
             alive = mask[:, t]
             dp = np.where(alive[:, None], ndp, dp)
@@ -372,6 +387,10 @@ def _dp_padded(
             np.add(dp[:, :, None], trans, out=scores)
             best_prev = scores.argmax(axis=1)  # (B, L)
             ndp = scores[rows_ix, best_prev, cols_ix] + emis[:, t, :]
+            if t < min_len:
+                dp = ndp
+                back[:, t, :] = best_prev
+                continue
             alive = mask[:, t]
             dp = np.where(alive[:, None], ndp, dp)
             back[:, t, :] = np.where(alive[:, None], best_prev, 0)

@@ -367,6 +367,49 @@ for _m in ("parse_name", "parse_address", "parse_org"):
 # ---------------------------------------------------------------------------
 
 
+# kernel-batch coalescing: the spans corpus ships 256-doc parquet row
+# groups so SCAN splits fan out at high core counts (round-6 row-group
+# finding), but the Python kernels amortize fixed cost with batch height —
+# the padded Viterbi DP's per-timestep loop runs once per batch, and taller
+# buckets cost the same number of steps for 4× the lanes. Interleaved
+# same-process A/B at 256 vs 1024 docs/batch: 63-67s vs 47-54s CPU for the
+# full 20k-doc cascade (~20-25%). 2048 measured flat vs 1024 (49.2 vs
+# 50.4s), so 1024 takes the memory low ground. Scan parallelism is
+# untouched: coalescing happens INSIDE the task, and a task whose split
+# holds a single row group sees exactly one batch either way. The span cap
+# bounds memory against whale documents (a 21k-span doc alone fills a
+# quarter of the cap).
+_COALESCE_DOCS = 1024
+_COALESCE_SPANS = 1 << 18
+
+
+def _coalesced(
+    batches: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    buf: list[pa.RecordBatch] = []
+    docs = spans = 0
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        buf.append(b)
+        docs += b.num_rows
+        s = pc.sum(pc.list_value_length(b.column("spans"))).as_py()
+        spans += int(s or 0)
+        if docs >= _COALESCE_DOCS or spans >= _COALESCE_SPANS:
+            yield (
+                buf[0]
+                if len(buf) == 1
+                else pa.Table.from_batches(buf).combine_chunks().to_batches()[0]
+            )
+            buf, docs, spans = [], 0, 0
+    if buf:
+        yield (
+            buf[0]
+            if len(buf) == 1
+            else pa.Table.from_batches(buf).combine_chunks().to_batches()[0]
+        )
+
+
 def _lines_from_batch(batch: pa.RecordBatch) -> tuple[pa.Array, pd.DataFrame]:
     """Arrow batch (doc_id, spans list<struct>) → (doc_id array, raw lines
     frame). pc.list_flatten/list_parent_indices do the explode in C++ —
@@ -450,7 +493,7 @@ def run_training_ner(df):
     shape as run_mode."""
 
     def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for batch in batches:
+        for batch in _coalesced(batches):
             if batch.num_rows == 0:
                 continue
             doc_ids, raw = _lines_from_batch(batch)
@@ -498,7 +541,7 @@ def run_training(df, model: str = "segmenter"):
     def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from .kernels.segmenter import segment_lines
 
-        for batch in batches:
+        for batch in _coalesced(batches):
             if batch.num_rows == 0:
                 continue
             doc_ids, raw = _lines_from_batch(batch)
@@ -552,7 +595,7 @@ def run_mode(df, mode: str):
     profile = _MODE_PROFILE.get(mode, "all")
 
     def mapper(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for batch in batches:
+        for batch in _coalesced(batches):
             if batch.num_rows == 0:
                 continue
             doc_ids, raw = _lines_from_batch(batch)
