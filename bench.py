@@ -562,18 +562,22 @@ Measurement notes (honest caveats, profiled in round 1):
   0.88), 0.88-1.23 (round 6 — same artifact: the first ladder's 1-core
   leg ran while co-tenant load was still draining and read 79.5s; warm
   repeats read 0.934 and, after the round's kernel work landed, 0.883
-  with the 1-core wall down 29% to 47.4s); 0.97 (round 7 — a first
+  with the 1-core wall down 29% to 47.4s); 0.94-0.97 (round 7 — a first
   single-shot ladder read 1-core 63.8s, +35% vs r6 with no kernel change
   on the cascade's float32 path, so the slowdown was adjudicated with an
   interleaved HEAD-vs-r6 A/B, 3 rounds each, same corpus, same box: HEAD
   51.3/56.8/70.1s vs r6 54.2/67.7/71.3s — same-code variance dwarfs any
-  code delta and HEAD's best is faster than r6's, i.e. box-level noise,
+  code delta and HEAD's best is faster than r6's, i.e. box-level drift,
   not a kernel regression. The ladder is now best-of-2 per leg with all
-  attempts recorded above; the serial leg, which has the longest noise
-  exposure window, additionally folds in every 1-core wall measured this
-  session (7 attempts, 51.3-75.2s). A naive best-of-2 read of the same
-  data gives 1.03 — superlinear, i.e. the serial leg never ran clean
-  even once in that pair); every run clears the 0.8 target.
+  attempts recorded above. A mid-round best-of-7 serial leg read 51.3s /
+  eff 0.97; the round's kernel work (Viterbi poke/restore top-2 +
+  all-alive masking skip + 1024-doc batch coalescing, verified -22% CPU
+  on the full 20k-doc cascade by interleaved SAME-PROCESS process_time
+  A/B, 63-67s → 47-54s) then re-cut the ladder at eff 0.943 with WALLS
+  UP across every leg — the box drifts ±30% over tens of minutes, so
+  wall-clock cannot resolve a 20% kernel change here; the CPU-time A/B
+  is the kernel evidence, the ladder the scaling evidence); every run
+  clears the 0.8 target.
 - spark.task.cpus A/B (re-measured each round, r6: fresh process per leg,
   best-of-2, interleaved order): extraction task_cpus=1 3.83-4.98s vs
   task_cpus=2 5.34s; NER task_cpus=1 7.99s vs task_cpus=2 6.20-6.98s.
