@@ -359,3 +359,57 @@ def test_ner_keyword_window_stays_on_its_line():
     assert ("fax", "01 45 17 80 01") not in kinds  # next line: no window
     # >8 tokens after the keyword: window expired, digits unlabeled
     assert not any(k == "fax" for k, _ in kinds)
+
+
+def test_coalesced_batches_merge_and_cap():
+    """_coalesced merges small scan batches up to the doc target, caps on
+    span volume (whale protection), drops empties, and passes a single
+    batch through without copying — and the merged stream carries exactly
+    the input rows in order."""
+    import pyarrow as pa
+
+    from grobid_clinical_report_spark import pipeline as pl
+
+    span_t = pa.list_(
+        pa.struct(
+            [
+                pa.field("kind", pa.string()),
+                pa.field("text", pa.string()),
+                pa.field("media_ref", pa.string()),
+                pa.field("offset", pa.int32()),
+            ]
+        )
+    )
+
+    def mk(n_docs, spans_per_doc, tag):
+        ids = [f"{tag}-{i:04d}" for i in range(n_docs)]
+        spans = [
+            [
+                {"kind": "text", "text": f"l{j}", "media_ref": None,
+                 "offset": j}
+                for j in range(spans_per_doc)
+            ]
+            for _ in range(n_docs)
+        ]
+        return pa.RecordBatch.from_arrays(
+            [pa.array(ids), pa.array(spans, type=span_t)],
+            names=["doc_id", "spans"],
+        )
+
+    # 6 × 256-doc batches → one 1024-doc batch + one 512-doc tail
+    batches = [mk(256, 3, f"b{k}") for k in range(6)]
+    out = list(pl._coalesced(iter(batches)))
+    assert [b.num_rows for b in out] == [1024, 512]
+    got = [i for b in out for i in b.column("doc_id").to_pylist()]
+    want = [i for b in batches for i in b.column("doc_id").to_pylist()]
+    assert got == want  # order preserved exactly
+
+    # span cap: a whale-heavy batch flushes early even far below the doc cap
+    whale = mk(2, pl._COALESCE_SPANS, "w")  # 2 docs, cap-sized span volume
+    out = list(pl._coalesced(iter([mk(10, 3, "a"), whale, mk(10, 3, "z")])))
+    assert [b.num_rows for b in out] == [12, 10]
+
+    # empties dropped; single batch passes through as the same object
+    single = mk(7, 2, "s")
+    out = list(pl._coalesced(iter([mk(0, 0, "e"), single])))
+    assert len(out) == 1 and out[0] is single
