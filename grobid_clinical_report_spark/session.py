@@ -39,8 +39,21 @@ def get_spark(
     # cluster the two job families run as separate applications with their
     # own spark.task.cpus.
     task_cpus = int(os.environ.get("SPARK_GRAFT_TASK_CPUS", "1"))
+    builder = SparkSession.builder
+    # Under a spark-submit-launched driver (PYSPARK_GATEWAY_PORT set: the
+    # JVM gateway already exists and carries --master / --driver-memory /
+    # --conf from the submit), the SUBMITTER owns cluster topology — calling
+    # .master() here would silently override `spark-submit --master` and the
+    # "N vs 4N executors" run shape the north rule specifies. Only the
+    # engine's SQL/Arrow defaults are applied in that case; local[N] is the
+    # in-process (tests / bench / library-use) default.
+    submitted = "PYSPARK_GATEWAY_PORT" in os.environ
+    if not submitted:
+        builder = builder.master(f"local[{cpus}]").config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g")
+        )
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
+        builder
         .config("spark.task.cpus", str(task_cpus))
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle))
@@ -50,7 +63,6 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
         .config("spark.sql.files.openCostInBytes", "1m")
         .getOrCreate()
