@@ -4,7 +4,7 @@ Mirrors the reference CLI (`GrobidMedicalReportMain.java:136-218` /
 `ProcessEngineMedical.java`) commands as extraction modes:
 
     spark-submit --py-files grobid_clinical_report_spark.zip \
-        -m grobid_clinical_report_spark \
+        scripts/submit_job.py \
         --input  /data/documents        (parquet dir or Iceberg table path)
         --output /data/extracted \
         --mode   extract_full           (extract_header | extract_leftnote |
