@@ -8,9 +8,10 @@ Default: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
    "extraction": {"n_docs": ..., "docs_per_sec": ...}}
 
 --scaling: additionally runs the identical extraction job at N and 4N cores
-(two subprocesses → fresh JVMs, the sandbox stand-in for N vs 4N executor
-clusters per BASELINE.md) and writes BENCH/BASELINE.md with throughput at both
-levels + scaling efficiency.
+(each leg a real `spark-submit --master local[N] --py-files pkg.zip` launch →
+fresh JVM, the sandbox stand-in for N vs 4N executor clusters per
+BASELINE.md) and writes BENCH/BASELINE.md with throughput at both levels +
+scaling efficiency.
 
 --extract-only N: internal mode used by --scaling (prints one JSON line with
 the extraction wall time at local[N]).
@@ -436,7 +437,8 @@ def sf10_tier() -> dict:
 
 
 def scaling(n_small: int = 1, ladder: tuple[int, ...] = (1, 2, 4, 8, 16)) -> dict:
-    """Same job at several parallelism levels, fresh JVM each (subprocess).
+    """Same job at several parallelism levels, each a real spark-submit
+    --py-files launch (fresh JVM; the submitter owns --master).
 
     The N vs 4N criterion is evaluated on (n_small, 4·n_small). The full
     ladder is reported for transparency: this single-socket box saturates
@@ -448,14 +450,50 @@ def scaling(n_small: int = 1, ladder: tuple[int, ...] = (1, 2, 4, 8, 16)) -> dic
     n_big = n_small * 4
     levels = sorted(set(ladder) | {n_small, n_big})
 
+    # Each leg is launched through the REAL `spark-submit --py-files` form
+    # the north rule names (round 7): the submitter owns topology
+    # (--master local[N], --driver-memory), the package ships as the zip,
+    # and get_spark defers to the submitted gateway (session.py). The
+    # primary script is this file in --extract-only mode.
+    import importlib.util
+
+    import pyspark
+
+    spec = importlib.util.spec_from_file_location(
+        "make_pyfiles_zip",
+        os.path.join(REPO, "scripts", "make_pyfiles_zip.py"),
+    )
+    zipmod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(zipmod)
+    cache = os.path.join(REPO, ".bench_cache")
+    os.makedirs(cache, exist_ok=True)
+    pyfiles = zipmod.build(
+        os.path.join(cache, "grobid_clinical_report_spark.zip"),
+        repo_root=REPO,
+    )
+    submit = os.path.join(
+        os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+    )
+
     def one_leg(cpus: int) -> dict:
         _gate_idle()  # each attempt starts on an idle box (or times out)
         out = subprocess.run(
-            [sys.executable, __file__, "--extract-only", str(cpus)],
+            [
+                submit,
+                "--master", f"local[{cpus}]",
+                "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "8g"),
+                "--py-files", pyfiles,
+                __file__, "--extract-only", str(cpus),
+            ],
             capture_output=True,
             text=True,
             cwd=REPO,
-            env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
+            env={
+                **os.environ,
+                "SPARK_GRAFT_SF_DIR": SF_DIR,
+                "PYSPARK_PYTHON": sys.executable,
+                "PYSPARK_DRIVER_PYTHON": sys.executable,
+            },
             check=True,
         )
         return json.loads(out.stdout.strip().splitlines()[-1])
@@ -516,7 +554,10 @@ Sandbox stand-in for the N vs 4N executor-cluster criterion
 (BASELINE.json `north_rule`): the identical extraction job (read parquet →
 guardrail filter → full-cascade mapInArrow → noop sink) run on the same
 seeded corpus ({s['docs']} docs, ~150 spans/doc median, 2 embedded 21k-span
-whales) at several local parallelism levels, fresh JVM per level.
+whales) at several local parallelism levels. Each leg is a real
+`spark-submit --master local[N] --py-files grobid_clinical_report_spark.zip
+bench.py --extract-only N` launch — fresh JVM, topology owned by the
+submitter, package shipped as the zip (the north rule's literal run form).
 
 | level | cores | docs | wall (s) | docs/sec |
 |---|---|---|---|---|
