@@ -125,14 +125,15 @@ _DRIVER_CAP = 50
 
 # Code that changed this round (round 7): the Viterbi decoder's integer-
 # accumulation fix (→ every fixture-parity extraction/parse/training
-# query), the star-components fixpoint check (→ dedup_components and its
-# composition curate_corpus), and the two NEW operator families (label
-# evaluation, external-corpus import — first driver verification).
+# query), the star-components fixpoint check + the verified-pair-table
+# materialization refactor (→ dedup_neardup_pairs, dedup_components and
+# their composition curate_corpus), and the two NEW operator families
+# (label evaluation, external-corpus import — first driver verification).
 # Untouched this round: the other textops, similarity, relational,
 # multimodal, anonymize, mixing, derive_spans.
 _CHURNED_THIS_ROUND = frozenset(
     list(fixture_oracle.OPS)
-    + ["dedup_components", "curate_corpus"]
+    + ["dedup_neardup_pairs", "dedup_components", "curate_corpus"]
     + list(evaluate.OPS)
     + list(corpus_import.OPS)
 )
