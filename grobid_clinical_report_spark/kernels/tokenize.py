@@ -105,12 +105,17 @@ def explode_tokens(lines: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     lstarts = seg_starts(out["line_key"].to_numpy())
     out["tok_idx"] = seg_position(lstarts, len(out))
     # char offsets within the line (entity spans report start/end,
-    # FrenchMedicalNERParser.java:560-797)
-    tok_len = flat_lens[kept_idx]
-    gap_len = flat_lens[kept_idx - 1]
-    ends = seg_cumsum(tok_len + gap_len, lstarts)
-    out["tok_end"] = ends
-    out["tok_start"] = ends - tok_len
+    # FrenchMedicalNERParser.java:560-797). The cumsum runs over ALL flat
+    # parts — gaps, tokens, AND junk-filtered tokens — then indexes at the
+    # kept positions: a kept-only cumsum (the former code) silently
+    # dropped each junk token's length and its preceding gap, drifting
+    # every later offset in the line. The extraction cascade never sees
+    # the difference (prepare_lines sanitizes junk out of the text first),
+    # but corpus_import labels tokens by offsets in the ORIGINAL document
+    # text, where a NUL/@PAGE before an entity must still be counted.
+    ends_all = seg_cumsum(flat_lens, seg_starts(parent))
+    out["tok_end"] = ends_all[kept_idx]
+    out["tok_start"] = ends_all[kept_idx] - flat_lens[kept_idx]
     return out
 
 

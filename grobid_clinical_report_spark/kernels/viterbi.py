@@ -36,12 +36,14 @@ def _acc_dtype(em_dtype: np.dtype) -> np.dtype:
     Integer emissions (the NER kernel ships int16 doubled-weight scores for
     memory bandwidth) must NOT accumulate in int16: dp grows ~9-16 per token,
     so a single segment beyond ~2000-3600 tokens silently wraps int16 and
-    decodes wrong labels. The DP runs in int32 instead — emission GATHERS
+    decodes wrong labels. The DP runs in AT LEAST int32 — emission GATHERS
     stay int16 (that is where the bandwidth win lives; the (B, L) dp tensor
     is tiny), and int32 holds ~10^8 tokens of worst-case real emissions
-    (2^31 / 16), far past any guardrail-passing document."""
+    (2^31 / 16), far past any guardrail-passing document. promote_types
+    (not a flat int32) so hypothetical int64 emissions keep their width
+    instead of being narrowed into the same wrap bug one size up."""
     if np.issubdtype(em_dtype, np.integer):
-        return np.dtype(np.int32)
+        return np.promote_types(em_dtype, np.int32)
     return np.dtype(em_dtype)
 
 

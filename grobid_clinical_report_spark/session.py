@@ -69,10 +69,20 @@ def get_spark(
     )
 
 
-def materialize(df, name: str):
+# Keys written by materialize(reuse=True) in dir mode THIS process: a
+# repeat call reads the existing parquet instead of re-executing the
+# producing plan and rewriting. In-process only — keys are corpus-DIR-
+# keyed, not content-fingerprinted, so a path left by a PREVIOUS process
+# may be stale.
+_MATERIALIZED: set[tuple[str, str]] = set()
+_MATERIALIZE_LOCK = __import__("threading").Lock()
+
+
+def materialize(df, name: str, reuse: bool = False):
     """Reuse point for a DataFrame consumed by several downstream branches.
 
-    Default: `.cache()` — correct and cheap in local/sandbox runs. With
+    Default: `.cache()` — correct and cheap in local/sandbox runs (repeat
+    calls dedupe through Spark's plan-keyed cache manager). With
     SPARK_GRAFT_MATERIALIZE_DIR set, the DataFrame is WRITTEN to parquet
     under that directory and read back — the production shape for corpus-
     sized intermediates (a cached corpus-sized table evicts under memory
@@ -81,10 +91,39 @@ def materialize(df, name: str):
     multi-consumer intermediate in this repo (MinHash shingle tables, LSH
     signatures, bigram explosions) routes through here, so flipping the env
     var exercises the at-scale plan end-to-end.
+
+    reuse=True additionally memoizes the write per (dir, name) within this
+    process, so CROSS-QUERY consumers of a shared corpus-keyed intermediate
+    (e.g. dedup_neardup_pairs / dedup_components / curate_corpus over the
+    verified-pair table) read the parquet written by the first instead of
+    re-executing the producing plan per consumer — dir mode previously
+    re-ran the band self-join + Jaccard verify three times while cache mode
+    deduped through the plan cache. OPT-IN because it is only sound for
+    names that uniquely key their content for the life of the process:
+    iterative truncation points reuse a name across rounds with DIFFERENT
+    content (cc_labels_{0,1}) and some names are not corpus-keyed
+    (lsh_sigs) — memoizing those would serve stale rounds/corpora.
     """
     base = os.environ.get("SPARK_GRAFT_MATERIALIZE_DIR")
     if not base:
         return df.cache()
     path = os.path.join(base, name)
-    df.write.mode("overwrite").parquet(path)
+    # Claim under the lock, write outside it: different keys stay
+    # concurrent. (Two same-key callers racing one path was equally unsafe
+    # under the old unconditional overwrite; all consumers of a given key
+    # run sequentially within a query.)
+    fresh = True
+    if reuse:
+        with _MATERIALIZE_LOCK:
+            fresh = (base, name) not in _MATERIALIZED
+            if fresh:
+                _MATERIALIZED.add((base, name))
+    if fresh:
+        try:
+            df.write.mode("overwrite").parquet(path)
+        except Exception:
+            if reuse:  # don't memoize a failed write
+                with _MATERIALIZE_LOCK:
+                    _MATERIALIZED.discard((base, name))
+            raise
     return df.sparkSession.read.parquet(path)

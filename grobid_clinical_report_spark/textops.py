@@ -496,7 +496,7 @@ def _neardup_pairs_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ordered contract is applied on top of the reuse point.
     from .session import materialize
 
-    return materialize(out, _corpus_key("nd_pairs", sf_dir))
+    return materialize(out, _corpus_key("nd_pairs", sf_dir), reuse=True)
 
 
 def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -707,6 +707,7 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).alias("dcnt")),
         _corpus_key("lm_doc_bigrams", sf_dir),
+        reuse=True,
     )
     counts = dc.groupBy("bg").agg(F.sum("dcnt").alias("cnt"))
     # deterministic top-K: (count desc, bigram asc); the window is a single
@@ -834,6 +835,7 @@ def _top_word_counts(docs: DataFrame, sf_dir: str) -> DataFrame:
     toks = materialize(
         docs.selectExpr("doc_id", f"explode({_WORDS}) as w"),
         _corpus_key("corpus_words", sf_dir),
+        reuse=True,
     )
     return (
         toks.groupBy("doc_id", "w")

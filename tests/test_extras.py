@@ -898,6 +898,45 @@ def test_materialized_intermediates_match_cached(spark, tmp_path,
     assert any(n.startswith("lm_doc_bigrams_") for n in names), names
 
 
+def test_materialize_dir_reuses_pair_table_across_consumers(
+    spark, tmp_path, monkeypatch
+):
+    """In dir mode the verified near-dup pair table is written ONCE per
+    process and READ by later consumers (reuse=True memo): without it,
+    dedup_components and curate_corpus each re-ran the band self-join +
+    Jaccard verification and rewrote the same path — dir mode was strictly
+    slower than before the reuse point existed. The parquet files must be
+    byte-identical (same mtimes) after the second consumer runs."""
+    from grobid_clinical_report_spark import session as S
+    from grobid_clinical_report_spark.textops import (
+        q_dedup_components, q_neardup_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    mat = tmp_path / "mat2"
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE_DIR", str(mat))
+    q_neardup_pairs(spark, sf).collect()
+    [pair_dir] = [d for d in os.listdir(mat) if d.startswith("nd_pairs_")]
+
+    def snap():
+        root = mat / pair_dir
+        return {
+            f: os.stat(root / f).st_mtime_ns
+            for f in os.listdir(root)
+            if f.endswith(".parquet")
+        }
+
+    before = snap()
+    assert before  # the write happened
+    q_dedup_components(spark, sf).collect()
+    assert snap() == before  # consumer read the memoized table, no rewrite
+    # iterative truncation points must NOT be memoized: cc rounds reuse
+    # alternating names with different content per round (the star loop
+    # above just ran in dir mode and converged — wrong memoization would
+    # have returned round-0 edges forever and tripped the round budget)
+    assert ("cc_labels_0" not in {k[1] for k in S._MATERIALIZED})
+
+
 def test_dedup_components_transitive(spark, tmp_path):
     """Connected components must merge transitively: a chain of pairwise
     near-duplicates collapses to ONE component even when the chain's
@@ -1296,6 +1335,33 @@ def test_import_nested_dropped_and_unmapped_types(spark):
         ("pathology", "lésion"),
         ("procedure", "scanner thoracique"),
         ("substance", "aspirine"),
+    }
+
+
+def test_import_labels_survive_junk_before_entity(spark):
+    """A NUL (dirty-PDF junk the tokenizer drops) BEFORE an annotated
+    entity must not shift the entity's tokens out of their offset window:
+    the tokenizer's offset cumsum counts dropped junk (the kept-only
+    cumsum used to drift every later offset, silently degrading entity
+    tokens to 'other' in the imported supervision)."""
+    from grobid_clinical_report_spark.corpus_import import (
+        CORPUS_DDL, import_ner_supervision,
+    )
+
+    text = "vu \x00 angine de poitrine"
+    # entity offsets in the ORIGINAL document text
+    start = text.index("angine")
+    rows = [("d1", text, [("DISO", start, len("angine de poitrine"))])]
+    corpus = spark.createDataFrame(rows, CORPUS_DDL)
+    sup = {
+        r["text"]: r["label"]
+        for r in import_ner_supervision(corpus).collect()
+    }
+    assert sup == {
+        "vu": "other",
+        "angine": "pathology",
+        "de": "pathology",
+        "poitrine": "pathology",
     }
 
 

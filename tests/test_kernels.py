@@ -141,6 +141,31 @@ def test_viterbi_int16_long_segment_no_overflow():
     )
 
 
+def test_viterbi_int64_emissions_not_narrowed():
+    """_acc_dtype must PROMOTE, not flat-map to int32: int64 emissions with
+    values past 2^31 would wrap if the DP were narrowed to int32 — the same
+    silent-wrap bug as the int16 finding, one size up. No current caller
+    ships int64, but the kernel API accepts it."""
+    from grobid_clinical_report_spark.kernels.viterbi import (
+        _acc_dtype, viterbi_segments,
+    )
+
+    assert _acc_dtype(np.dtype(np.int16)) == np.int32
+    assert _acc_dtype(np.dtype(np.int64)) == np.int64
+    rng = np.random.default_rng(11)
+    L, T = 5, 300
+    em = rng.integers(-(2**33), 2**33, size=(T, L)).astype(np.int64)
+    trans = rng.integers(-(2**20), 2**20, size=(L, L)).astype(np.int64)
+    starts = np.array([0, 120], dtype=np.int64)
+    # float64 reference is exact here (values ≪ 2^53)
+    assert np.array_equal(
+        viterbi_segments(em, starts, trans),
+        viterbi_segments(
+            em.astype(np.float64), starts, trans.astype(np.float64)
+        ),
+    )
+
+
 # --- normalization -----------------------------------------------------------
 
 def test_iso_dates():
@@ -213,6 +238,29 @@ def test_explode_tokens_nul_in_text():
     )
     t = explode_tokens(lines)
     assert t["tok"].tolist() == ["Dr", "MARTIN", "12/05/2019"]
+
+
+def test_explode_tokens_offsets_count_junk():
+    """tok_start/tok_end are offsets in the ORIGINAL line text: a dropped
+    junk token (NUL, @PAGE) still contributes its length and preceding gap
+    to the cumsum. The former kept-only cumsum drifted every offset after
+    a junk token ('foo \\x00 bar baz' reported bar at 4 instead of 6),
+    silently mislabeling corpus_import's offset-contained NER supervision
+    on dirty documents."""
+    lines = pd.DataFrame(
+        {
+            "doc_id": ["d", "d"],
+            "seq": [0, 1],
+            "text": ["foo \x00 bar baz", "a �� bb"],
+        }
+    )
+    t = explode_tokens(lines)
+    for _, r in t.iterrows():
+        src = lines["text"][lines["seq"] == r["seq"]].iloc[0]
+        # NULs are remapped to U+FFFD pre-split (same codepoint count)
+        assert src.replace("\x00", "�")[r["tok_start"]:r["tok_end"]] == r["tok"]
+    assert t["tok"].tolist() == ["foo", "bar", "baz", "a", "bb"]
+    assert t["tok_start"].tolist() == [0, 6, 10, 0, 5]
 
 
 def test_n_tokens_counts_separator_runs():

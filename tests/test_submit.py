@@ -16,7 +16,6 @@ cluster-era analog per BASELINE.md's north rule ("run via spark-submit
 
 from __future__ import annotations
 
-import importlib.util
 import json
 import os
 import shutil
@@ -38,12 +37,9 @@ def _spark_submit_bin() -> str:
 
 
 def _build_zip(dest: str) -> str:
-    spec = importlib.util.spec_from_file_location(
-        "make_pyfiles_zip", os.path.join(REPO, "scripts", "make_pyfiles_zip.py")
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod.build(dest, repo_root=REPO)
+    from grobid_clinical_report_spark.pyfiles import build
+
+    return build(dest, repo_root=REPO)
 
 
 def test_spark_submit_pyfiles_end_to_end(tmp_path, spark):
