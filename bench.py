@@ -323,21 +323,8 @@ def headline() -> dict:
     # re-running the sequence cold preserves the in-order semantics —
     # each leg measured with only the PRIOR queries' shared
     # materializations warm, exactly the shape a curation run executes.
-    sf1_loads: dict[str, float] = {}
-    seq_names = ["dedup_exact", "dedup_neardup_pairs", "corpus_filter",
-                 "lm_quality", "dedup_components", "curate_corpus"]
-    per: dict[str, list[float]] = {n: [] for n in seq_names}
-    for rep in range(2):
-        spark.catalog.clearCache()
-        for name in seq_names:
-            sf1_loads[name] = round(os.getloadavg()[0], 2)
-            t0 = time.monotonic()
-            qs[name](spark, tdir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            per[name].append(time.monotonic() - t0)
-    for name in seq_names:
-        sf1[name] = round(min(per[name]), 3)
+    tier_walls, sf1_loads = run_tier_sequence(spark, qs, tdir)
+    sf1.update(tier_walls)
     # NER at 10× docs (VERDICT r5 next #5): the second-most-expensive
     # headline query, over the sf1 span corpus
     apply_split_hint(spark, "ner")
@@ -385,6 +372,41 @@ def headline() -> dict:
     }
 
 
+# The scale-critical corpus-op sequence both data tiers measure, in the
+# in-order shape a curation run executes (filters → dedups → composed
+# decision table; later legs reuse earlier legs' shared materializations)
+_TIER_SEQ = ["dedup_exact", "dedup_neardup_pairs", "corpus_filter",
+             "lm_quality", "dedup_components", "curate_corpus"]
+
+
+def run_tier_sequence(spark, qs, tier_dir: str, reps: int = 2):
+    """Run the corpus-op sequence `reps` full passes, caches cleared
+    between passes; per-leg wall = min across passes, plus a per-leg 1-min
+    load stamp. Why whole-sequence passes instead of per-leg best-of-2: a
+    leg's immediate second run would hit its OWN corpus-keyed caches and
+    record cache-hit time, while re-running the sequence cold preserves
+    the in-order semantics — each leg measured with only the PRIOR
+    queries' shared materializations warm. ONE policy for both data tiers
+    (sf1 in headline(), sf10_tier) — the two inlined copies had already
+    diverged once: the sf10 copy reset maxPartitionBytes mid-sequence, so
+    its first leg ran at a different scan-split size than every other leg.
+    No leg in the sequence sets a split hint; the session's split config
+    is the caller's responsibility (both tiers use 4m sessions, matching
+    the sf0.1 numbers they are ratio'd against)."""
+    loads: dict[str, float] = {}
+    per: dict[str, list[float]] = {n: [] for n in _TIER_SEQ}
+    for _rep in range(reps):
+        spark.catalog.clearCache()
+        for name in _TIER_SEQ:
+            loads[name] = round(os.getloadavg()[0], 2)
+            t0 = time.monotonic()
+            qs[name](spark, tier_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            per[name].append(time.monotonic() - t0)
+    return {n: round(min(per[n]), 3) for n in _TIER_SEQ}, loads
+
+
 def sf10_tier() -> dict:
     """Third data decade (round 7): the scale-critical corpus ops at ~100×
     the sf0.1 char volume (500k synthetic docs). The sf1 tier proves the
@@ -404,7 +426,9 @@ def sf10_tier() -> dict:
     qs = entry.queries()
     tdir10 = text_corpus_dir(500_000)
     gate = _gate_idle()
-    spark = get_spark(app="bench-sf10", cpus=CPUS)
+    # 4m splits like the headline session, so walls are apples-to-apples
+    # with the sf0.1/sf1 numbers this tier is ratio'd against
+    spark = get_spark(app="bench-sf10", cpus=CPUS, max_partition_bytes="4m")
     chars_small = (
         spark.read.parquet(f"{SF_DIR}/documents.parquet")
         .selectExpr("sum(length(text)) as c").collect()[0]["c"]
@@ -413,21 +437,7 @@ def sf10_tier() -> dict:
         spark.read.parquet(f"{tdir10}/documents.parquet")
         .selectExpr("sum(length(text)) as c").collect()[0]["c"]
     )
-    seq_names = ["dedup_exact", "dedup_neardup_pairs", "corpus_filter",
-                 "lm_quality", "dedup_components", "curate_corpus"]
-    loads: dict[str, float] = {}
-    per: dict[str, list[float]] = {n: [] for n in seq_names}
-    for _rep in range(2):
-        spark.catalog.clearCache()
-        for name in seq_names:
-            loads[name] = round(os.getloadavg()[0], 2)
-            t0 = time.monotonic()
-            qs[name](spark, tdir10).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            per[name].append(time.monotonic() - t0)
-            spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
-    out = {name: round(min(per[name]), 3) for name in seq_names}
+    out, loads = run_tier_sequence(spark, qs, tdir10)
     spark.stop()
     return {
         "metric": "sf10_tier",
@@ -459,19 +469,13 @@ def scaling(n_small: int = 1, ladder: tuple[int, ...] = (1, 2, 4, 8, 16)) -> dic
     # (--master local[N], --driver-memory), the package ships as the zip,
     # and get_spark defers to the submitted gateway (session.py). The
     # primary script is this file in --extract-only mode.
-    import importlib.util
-
     import pyspark
 
-    spec = importlib.util.spec_from_file_location(
-        "make_pyfiles_zip",
-        os.path.join(REPO, "scripts", "make_pyfiles_zip.py"),
-    )
-    zipmod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(zipmod)
+    from grobid_clinical_report_spark.pyfiles import build as build_zip
+
     cache = os.path.join(REPO, ".bench_cache")
     os.makedirs(cache, exist_ok=True)
-    pyfiles = zipmod.build(
+    pyfiles = build_zip(
         os.path.join(cache, "grobid_clinical_report_spark.zip"),
         repo_root=REPO,
     )
