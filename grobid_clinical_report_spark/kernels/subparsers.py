@@ -160,8 +160,17 @@ def token_features(toks: pd.DataFrame) -> pd.DataFrame:
         prev1[0] = False
         prev2[: min(2, n)] = False
     f["near_medicament"] = prev1 | prev2
-    return pd.concat(
-        [toks, pd.DataFrame(f, index=toks.index)], axis=1, copy=False
+    # ONE from-dict construction, copy=False: each column keeps its own
+    # array block, no vstack of the ~45 bool features and no axis-1 concat
+    # consolidation (profiled on the 1256-doc NER batch: the former
+    # DataFrame(f)+concat spent ~1.4s/5.5s of the whole mode's CPU in
+    # pandas block management; from-dict is near-free and downstream
+    # per-column .to_numpy() access is unchanged — consumers never take
+    # row slices wide enough for lazy consolidation to bite back)
+    return pd.DataFrame(
+        {**{c: toks[c].to_numpy() for c in toks.columns}, **f},
+        index=toks.index,
+        copy=False,
     )
 
 
