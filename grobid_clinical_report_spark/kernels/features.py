@@ -49,9 +49,11 @@ def featurize_lines(
 
     String features run on Arrow compute kernels (kernels/arrowtext.py) —
     one RE2 pass per feature over the whole column, no per-row Python.
-    Features are accumulated in a dict and attached with ONE concat: ~35
-    individual column inserts would re-consolidate the pandas block manager
-    each time (measured ~10%% of kernel time).
+    Features are accumulated in a dict and attached with ONE from-dict
+    copy=False construction: ~35 individual column inserts would
+    re-consolidate the pandas block manager each time (measured ~10%% of
+    kernel time), and even a single DataFrame+axis-1 concat pays a
+    vstack + consolidation pass the from-dict build avoids.
 
     ``profile``: 'body' skips the header/left-note-only lexicon passes
     (time/email/web/city/month/year/dose + the ratio profiles — full-column
@@ -208,8 +210,14 @@ def featurize_lines(
     f["media_before"] = prev_media
     f["media_after"] = next_media
 
-    out = pd.concat(
-        [lines, pd.DataFrame(f, index=lines.index)], axis=1, copy=False
+    # ONE from-dict copy=False construction (same fix as subparsers.
+    # token_features): DataFrame(f)+axis-1 concat vstacked the bool
+    # features and re-consolidated the block manager; from-dict keeps
+    # each column its own block and downstream access is per-column
+    out = pd.DataFrame(
+        {**{c: lines[c].to_numpy() for c in lines.columns}, **f},
+        index=lines.index,
+        copy=False,
     )
     # F1 boilerplate (needs page structure already attached)
     out["repeated_pattern"] = repeated_pattern_flags(out).to_numpy()
@@ -269,8 +277,10 @@ def featurize_extras(lines: pd.DataFrame) -> pd.DataFrame:
     gazetteer scans on the whole corpus. Same columns as profile='all'."""
     txt = at.arr_of(lines["text"])
     f = _extra_features(txt, at.lower(txt), at.length(txt))
-    return pd.concat(
-        [lines, pd.DataFrame(f, index=lines.index)], axis=1, copy=False
+    return pd.DataFrame(
+        {**{c: lines[c].to_numpy() for c in lines.columns}, **f},
+        index=lines.index,
+        copy=False,
     )
 
 
