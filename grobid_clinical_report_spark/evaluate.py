@@ -458,8 +458,75 @@ FROM combined ORDER BY level, fold
 """
 
 
-OPS = {"eval_labels": q_eval_labels, "eval_nfold": q_eval_nfold}
+# ---------------------------------------------------------------------------
+# Token-level confusion matrix: WHICH label a wrong token became, the
+# error-analysis companion to the P/R/F1 report (the reference's eval
+# output per `doc/Training-the-medical-report-models.md:78-99` reports
+# per-label metrics; the confusion pairs are what a refit loop reads to
+# decide which label boundaries to fix first). Output is O(|labels|²):
+# one pair-keyed aggregation plus a broadcast-sized per-gold-total join.
+# ---------------------------------------------------------------------------
+
+
+def confusion_matrix(
+    df: DataFrame, gold: str = "gold", pred: str = "pred"
+) -> DataFrame:
+    """(…, gold, pred) token table → (gold, pred, n, row_milli) pairs.
+
+    row_milli = 1000·n div (total tokens with this gold label) — integer
+    arithmetic end-to-end so the DuckDB oracle hashes identically. Every
+    observed (gold, pred) pair is emitted, including the correct diagonal
+    (its row_milli is the per-label token recall in milli)."""
+    pairs = (
+        df.groupBy(F.col(gold).alias("gold"), F.col(pred).alias("pred"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("gold").agg(F.sum("n").alias("gold_total"))
+    return (
+        pairs.join(F.broadcast(totals), "gold")
+        .selectExpr("gold", "pred", "n", "1000 * n div gold_total as row_milli")
+    )
+
+
+def q_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import datagen
+    from .pipeline import run_training_ner
+    from .schema import DOCUMENTS_SCHEMA
+
+    pdf = datagen.fixture_documents_pdf()
+    keep = sorted(datagen.FX_NER_TRAINING)
+    pdf = pdf[pdf.doc_id.isin(keep)].reset_index(drop=True)
+    docs = spark.createDataFrame(pdf, schema=DOCUMENTS_SCHEMA)
+    sup = run_training_ner(docs).selectExpr(
+        "doc_id", "seq", "tok_idx", "label as gold", f"{_PERTURB} as pred"
+    )
+    return confusion_matrix(sup).orderBy("gold", "pred")
+
+
+def _oracle_confusion() -> str:
+    from .fixture_oracle import _training_ner_oracle_sql
+
+    return f"""
+WITH gold_rows AS ({_training_ner_oracle_sql()}),
+sup AS (
+  SELECT label AS gold, {_PERTURB} AS pred FROM gold_rows
+),
+pairs AS (SELECT gold, pred, COUNT(*) AS n FROM sup GROUP BY gold, pred),
+totals AS (SELECT gold, SUM(n) AS gold_total FROM pairs GROUP BY gold)
+SELECT p.gold, p.pred, CAST(n AS BIGINT) AS n,
+       CAST(1000 * n // gold_total AS BIGINT) AS row_milli
+FROM pairs p JOIN totals t ON p.gold = t.gold
+ORDER BY p.gold, p.pred
+"""
+
+
+OPS = {
+    "eval_labels": q_eval_labels,
+    "eval_nfold": q_eval_nfold,
+    "eval_confusion": q_eval_confusion,
+}
 ORACLES = {
     "eval_labels": _oracle_eval(),
     "eval_nfold": _oracle_nfold(),
+    "eval_confusion": _oracle_confusion(),
 }

@@ -1365,6 +1365,35 @@ def test_import_labels_survive_junk_before_entity(spark):
     }
 
 
+def test_eval_confusion_hand_computed(spark):
+    """Confusion pairs on a 6-token hand case: gold (a,a,a,b,b,other) vs
+    pred (a,b,a,b,other,other) → pairs (a,a,2,666) (a,b,1,333)
+    (b,b,1,500) (b,other,1,500) (other,other,1,1000)."""
+    from grobid_clinical_report_spark.evaluate import confusion_matrix
+
+    rows = [
+        ("d", 0, i, g, p)
+        for i, (g, p) in enumerate(
+            [("a", "a"), ("a", "b"), ("a", "a"),
+             ("b", "b"), ("b", "other"), ("other", "other")]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, seq int, tok_idx int, gold string, pred string"
+    )
+    got = {
+        (r["gold"], r["pred"]): (r["n"], r["row_milli"])
+        for r in confusion_matrix(df).collect()
+    }
+    assert got == {
+        ("a", "a"): (2, 666),
+        ("a", "b"): (1, 333),
+        ("b", "b"): (1, 500),
+        ("b", "other"): (1, 500),
+        ("other", "other"): (1, 1000),
+    }
+
+
 def test_eval_nfold_partitions_the_micro_counts(spark):
     """n-fold micro counts (reference eval modes 2/3) must PARTITION the
     single-table micro counts: summing (n_gold, n_pred, tp) across folds
