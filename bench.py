@@ -97,9 +97,17 @@ def corpus_path(sf: float) -> str:
     if not os.path.exists(p):
         from grobid_clinical_report_spark import datagen
 
-        datagen.write_documents_parquet(
-            p, n_docs=n_docs, heavy_docs=2, shards=128
-        )
+        if n_docs > 500_000:
+            # chunked: the one-frame build peaks at ~10× the parquet size
+            # in RAM (a 2M-doc corpus OOM-risks this box); 10 × 200k-doc
+            # chunks × 16 shards ≈ the same file-count-per-doc layout
+            datagen.write_documents_parquet_chunked(
+                p, n_docs=n_docs, heavy_docs=2
+            )
+        else:
+            datagen.write_documents_parquet(
+                p, n_docs=n_docs, heavy_docs=2, shards=128
+            )
     return p
 
 
@@ -409,12 +417,14 @@ def run_tier_sequence(spark, qs, tier_dir: str, reps: int = 2):
 
 def sf10_tier() -> dict:
     """Third data decade (round 7): the scale-critical corpus ops at ~100×
-    the sf0.1 char volume (500k synthetic docs). The sf1 tier proves the
-    wall tracks one decade of data; a 100× claim extrapolated from a single
-    decade can hide an O(n log n) or constant-dominated term — two decades
-    pin the exponent. Manual / --sf10, not part of the default driver bench:
-    the tier costs minutes and its value is the recorded ratio table
-    (BENCH/SF10.md), not a per-round re-measurement.
+    the sf0.1 char volume (500k synthetic docs) AND the flagship
+    extraction cascade at 2M docs (100× the sf0.1 span corpus). The sf1
+    tier proves the wall tracks one decade of data; a 100× claim
+    extrapolated from a single decade can hide an O(n log n) or
+    constant-dominated term — two decades pin the exponent. Manual /
+    --sf10, not part of the default driver bench: the tier costs minutes
+    and its value is the recorded ratio table (BENCH/SF10.md), not a
+    per-round re-measurement.
 
     Same two-pass / per-leg-min / cache-cleared-between-passes shape as the
     sf1 tier, same in-order semantics (each leg sees only PRIOR queries'
@@ -425,6 +435,7 @@ def sf10_tier() -> dict:
 
     qs = entry.queries()
     tdir10 = text_corpus_dir(500_000)
+    corpus10 = corpus_path(10.0)  # 2M interleaved-span docs (~5 GB)
     gate = _gate_idle()
     # 4m splits like the headline session, so walls are apples-to-apples
     # with the sf0.1/sf1 numbers this tier is ratio'd against
@@ -437,15 +448,30 @@ def sf10_tier() -> dict:
         spark.read.parquet(f"{tdir10}/documents.parquet")
         .selectExpr("sum(length(text)) as c").collect()[0]["c"]
     )
+    # flagship extraction at the third decade: per-doc throughput must
+    # hold where the corpus is 100× the headline tier (map-only job — the
+    # only scaling risks are scan split-planning and whale placement, both
+    # of which this leg exercises at 12 800 file splits). Best-of-2, same
+    # policy as the sf1 extraction leg.
+    ex_loads = [round(os.getloadavg()[0], 2)]
+    n10, sec10 = run_extraction(spark, corpus10, tasks=CPUS * 4)
+    _, sec10b = run_extraction(spark, corpus10, tasks=CPUS * 4)
+    sec10 = min(sec10, sec10b)
+    extraction = {
+        "n_docs": n10,
+        "sec": round(sec10, 3),
+        "docs_per_sec": round(n10 / sec10, 1),
+    }
     out, loads = run_tier_sequence(spark, qs, tdir10)
     spark.stop()
     return {
         "metric": "sf10_tier",
         "unit": "sec",
         "queries": out,
+        "extraction": extraction,
         "text_data_ratio_vs_sf": round(chars_big / max(chars_small, 1), 2),
         "load_gate": gate,
-        "load_per_leg": loads,
+        "load_per_leg": {"extraction": ex_loads[0], **loads},
         "end_load": round(os.getloadavg()[0], 2),
     }
 

@@ -981,6 +981,51 @@ def write_documents_parquet(
         )
 
 
+def write_documents_parquet_chunked(
+    path: str,
+    n_docs: int,
+    chunk_docs: int = 200_000,
+    shards_per_chunk: int = 16,
+    seed: int = SEED,
+    **kw,
+) -> None:
+    """write_documents_parquet for corpora too big to synthesize in one
+    pandas frame (the in-memory build peaks at ~10× the parquet size: a 2M-
+    doc corpus OOM-risks a 128 GB box through the concat + Arrow copies).
+    Generates CHUNK-AT-A-TIME — each chunk its own seed (doc_ids embed the
+    seed, so chunks never collide), fixtures and heavy whales only in
+    chunk 0 — and writes every chunk's shard files into ONE directory, so
+    the result reads exactly like the single-shot writer's output (same
+    schema, same 256-doc row groups, shards·chunks data files)."""
+    import os
+    import shutil
+
+    if os.path.exists(path):
+        shutil.rmtree(path)  # no stale shards from a previous layout
+    os.makedirs(path)
+    n_chunks = (n_docs + chunk_docs - 1) // chunk_docs
+    for c in range(n_chunks):
+        n = min(chunk_docs, n_docs - c * chunk_docs)
+        chunk_kw = dict(kw)
+        if c > 0:
+            chunk_kw["heavy_docs"] = 0  # whales once, like the fixtures
+        tmp = os.path.join(path, f"_chunk{c:03d}")
+        write_documents_parquet(
+            tmp,
+            n_docs=n,
+            seed=seed + c,
+            include_fixtures=(c == 0),
+            shards=shards_per_chunk,
+            **chunk_kw,
+        )
+        for fn in sorted(os.listdir(tmp)):
+            os.rename(
+                os.path.join(tmp, fn),
+                os.path.join(path, f"part-{c:03d}-{fn.split('-')[1]}"),
+            )
+        os.rmdir(tmp)
+
+
 # vocabulary for the flat-text bench corpus (French clinical-ish filler —
 # enough distinct forms that shingle/minhash statistics behave naturally)
 _TEXT_VOCAB = (

@@ -368,3 +368,29 @@ def test_jsonl_corrupt_lines_quarantined_not_dropped(spark, tmp_path):
     out = str(tmp_path / "out")
     m = runner.run_extraction_job(spark, str(jl), out, n_buckets=1)
     assert m["docs"] == 1 and m["quarantined"] == 2
+
+
+def test_chunked_corpus_writer_matches_single_shot_semantics(spark, tmp_path):
+    """write_documents_parquet_chunked must read exactly like the one-frame
+    writer's output: unique doc_ids across chunks (seed-embedded ids),
+    fixtures and heavy whales present ONCE (chunk 0 only), same schema. The
+    chunked path exists because the one-frame build peaks at ~10x the
+    parquet size in RAM (a 2M-doc corpus OOM-risks a 128 GB box)."""
+    from grobid_clinical_report_spark import datagen
+
+    p = str(tmp_path / "chunked")
+    datagen.write_documents_parquet_chunked(
+        p, n_docs=900, chunk_docs=400, shards_per_chunk=4, heavy_docs=2
+    )
+    df = spark.read.parquet(p)
+    total = df.count()
+    n_fx = df.filter("doc_id like 'fx-%'").count()
+    assert total == 900 + n_fx + 2 and n_fx > 0
+    assert df.select("doc_id").distinct().count() == total
+    # exactly the single-shot writer's schema (the extraction input DDL)
+    single = str(tmp_path / "single")
+    datagen.write_documents_parquet(single, n_docs=10)
+    assert df.schema == spark.read.parquet(single).schema
+    # whales only once
+    heavy = df.selectExpr("size(spans) as n").filter("n >= 20000").count()
+    assert heavy == 2
