@@ -27,6 +27,7 @@ from grobid_clinical_report_spark import (
     relational,
     similarity,
     textops,
+    trainer,
 )
 from grobid_clinical_report_spark.pipeline import run_mode
 
@@ -136,6 +137,8 @@ _CHURNED_THIS_ROUND = frozenset(
     + ["dedup_neardup_pairs", "dedup_components", "curate_corpus"]
     + list(evaluate.OPS)
     + list(corpus_import.OPS)
+    # round 7 late addition: the mode-0 trainer (first driver verification)
+    + list(trainer.OPS)
 )
 
 # Rotation contract (VERDICT r6 next #5): whatever sat outside LAST round's
@@ -185,6 +188,8 @@ def _canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # evaluation harness and Quaero-importer analogs)
     q.update(evaluate.OPS)
     q.update(corpus_import.OPS)
+    # distributed structured-perceptron trainer (round 7: reference mode 0)
+    q.update(trainer.OPS)
     # extraction cascade: fixture-parity queries, each with a literal
     # VALUES oracle pinning the expected span sequence (fixture_oracle.py)
     q.update(fixture_oracle.OPS)
@@ -242,5 +247,6 @@ def oracle_sql() -> dict[str, str]:
     o.update(relational.ORACLES)
     o.update(evaluate.ORACLES)
     o.update(corpus_import.ORACLES)
+    o.update(trainer.ORACLES)
     o.update(fixture_oracle.ORACLES)
     return o

@@ -1,0 +1,577 @@
+"""Distributed sequence-labeler TRAINING — the reference's mode-0 analog.
+
+Reference: `MedicalReportTrainerRunner.java:25,134-143` — mode 0 ("train")
+on all 11 `*Trainer` classes delegates to Wapiti/DeLFT CRF training over
+the generated supervision files (`doc/Training-the-medical-report-
+models.md:41-77`). Rounds 2-7 built the other two thirds of that loop —
+supervision generation (A2, `pipeline.run_training*`) and evaluation (A5,
+`evaluate.py`); this module closes it: fit the linear-chain weights that
+`kernels/viterbi.py` decodes with, from a supervision corpus, on Spark.
+
+Spark-first redesign, not a Wapiti port: mini-batch STRUCTURED PERCEPTRON
+with iterative parameter mixing (McDonald, Hall & Mann, NAACL 2010 —
+"Distributed Training Strategies for the Structured Perceptron", public).
+The perceptron trains through the SAME Viterbi kernel the inference path
+uses — no forward-backward partition function, no gradient numerics — and
+its distributed form maps exactly onto Spark: broadcast the weight vector
+(≈2k integers), run one local perceptron pass per shard
+(`groupBy(shard).applyInPandas`), average the per-shard weights, repeat.
+
+Integer-exact distributed semantics (the property every oracle in this
+repo is built on): weights are kept P-SCALED — `W_stored = P · W_model`
+where P is the shard count. Decoding with `W_stored` is argmax-identical
+to decoding with `W_model` (uniform positive scaling preserves every
+Viterbi comparison), local updates apply ±P per feature occurrence (so
+local dynamics match a ±1 update on `W_model`), and the parameter-mixing
+average `W ← W + (Σ_p Δ_p)/P` divides a sum of multiples of P — EXACT
+int64 division, no floats anywhere, so the distributed run is bit-equal
+to its serial twin (`train_local`, pytest-pinned) and deterministic
+across partitionings of the same shard assignment.
+
+Scale shape (100 TB corpus):
+- featurize ONCE: one zero-shuffle mapInArrow pass packs each token's
+  boolean feature vector into a single int64 bitmask (≤63 features) —
+  the training set is ~17 bytes/token and is what every epoch scans.
+- per epoch: one shuffle of that compact table onto P shards (at
+  production scale the materialized training set would be written
+  BUCKETED by shard, making the per-epoch exchange a no-op; the local
+  bench does not need it), P map tasks, and a P-row collect of weight
+  deltas (≈2 KB each). The model never grows with the corpus.
+- mini-batches (default 32 docs) keep the per-shard pass vectorized:
+  one emission matmul + one `viterbi_segments` call per batch instead of
+  per document; `batch_docs=1` recovers the classic online perceptron.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .kernels.labels import NER_LABELS, label_index, sticky_transitions
+from .kernels.segmenter import _doc_slices
+from .kernels.viterbi import viterbi_segments
+
+_IX = label_index(NER_LABELS)
+_L = len(NER_LABELS)
+
+# Ordered boolean feature basis: exactly the token_features() columns the
+# hand-built NER emission model draws on (kernels/subparsers.py:37-166 —
+# the FeaturesVectorMedicalNER analog), plus an always-on bias. The order
+# is part of the trained-model contract (bit i of the packed mask).
+TRAIN_FEATURES: tuple[str, ...] = (
+    "is_date", "is_time", "is_num", "is_punct", "is_period", "is_cap",
+    "is_allcaps", "is_stop", "is_medic_title", "is_patient_title",
+    "is_role", "is_org", "is_city", "is_street", "is_postcode", "is_unit",
+    "is_side", "is_month", "is_initial", "prev_abbrev", "prev_is_num",
+    "prev_is_org", "prev_is_month", "next_is_month", "next_is_cap",
+    "near_fax_kw", "near_tel_kw", "is_sent_period",
+    "lex_anatomy", "lex_device", "lex_living", "lex_medicament",
+    "lex_pathology", "lex_physiology", "lex_procedure", "lex_substance",
+    "lex_symptom",
+    "suf_drug", "suf_patho", "suf_city", "suf_profession",
+    "near_medicament",
+    "bias",
+)
+_NF = len(TRAIN_FEATURES)
+assert _NF <= 63, "packed feature mask must fit a signed int64"
+_SHIFTS = np.arange(_NF, dtype=np.int64)
+
+TS_DDL = (
+    "doc_id string, seq array<int>, tok_idx array<int>, "
+    "feats array<bigint>, gold array<int>, starts array<int>"
+)
+
+
+def pack_features(toks: pd.DataFrame) -> np.ndarray:
+    """Token feature frame → one int64 bitmask per token (bit i ⇔
+    TRAIN_FEATURES[i]); 'bias' is synthesized always-on."""
+    bits = np.zeros(len(toks), dtype=np.int64)
+    for i, name in enumerate(TRAIN_FEATURES):
+        if name == "bias":
+            bits |= np.int64(1) << np.int64(i)
+        else:
+            bits |= toks[name].to_numpy().astype(np.int64) << np.int64(i)
+    return bits
+
+
+def unpack_features(feats: np.ndarray) -> np.ndarray:
+    """(n,) int64 bitmasks → (n, F) 0/1 int64 design matrix."""
+    return (feats[:, None] >> _SHIFTS[None, :]) & np.int64(1)
+
+
+def build_training_set(docs: DataFrame) -> DataFrame:
+    """Interleaved-span corpus → one compact training row per document:
+    (doc_id, seq[], tok_idx[], feats[] packed int64, gold[] label idx,
+    starts[] per-line segment offsets). Zero-shuffle mapInArrow, same
+    coalesced-batch shape as `pipeline.run_mode`.
+
+    Gold labels come from the surrogate labeler (`label_ner_tokens`) — the
+    distillation refit of SURVEY.md §7.0: the trained linear model learns
+    to reproduce the decoder it will replace. `join_supervision` swaps in
+    external gold (e.g. the Quaero-analog import) instead.
+    """
+    import pyarrow as pa
+
+    from .kernels import ner as ner_k
+    from .kernels.segments import seg_starts
+    from .pipeline import _coalesced, _content_tokens, _lines_from_batch
+    from .pipeline import prepare_lines
+
+    def mapper(batches):
+        for batch in _coalesced(batches):
+            if batch.num_rows == 0:
+                continue
+            doc_ids, raw = _lines_from_batch(batch)
+            lines = prepare_lines(raw, profile="body")
+            if lines.empty:
+                continue
+            toks = _content_tokens(lines)
+            if toks.empty:
+                continue
+            gold = (
+                pd.Series(ner_k.label_ner_tokens(toks))
+                .map(_IX)
+                .to_numpy()
+                .astype(np.int32)
+            )
+            feats = pack_features(toks)
+            codes, dstarts = _doc_slices(toks["doc_id"].to_numpy())
+            n = len(toks)
+            # per-line segment starts, made doc-relative fully vectorized:
+            # global start rows → owning doc via searchsorted → subtract
+            # the doc's first row; list offsets via bincount.
+            g_starts = seg_starts(toks["line_key"].to_numpy())
+            doc_of = np.searchsorted(dstarts[:-1], g_starts, side="right") - 1
+            rel = (g_starts - dstarts[doc_of]).astype(np.int32)
+            per_doc = np.bincount(doc_of, minlength=len(codes))
+            s_offsets = np.concatenate(([0], np.cumsum(per_doc))).astype(
+                np.int32
+            )
+            t_offsets = dstarts.astype(np.int32)
+
+            def lst(values: np.ndarray, offs: np.ndarray, typ):
+                return pa.ListArray.from_arrays(
+                    pa.array(offs, type=pa.int32()),
+                    pa.array(values, type=typ),
+                )
+
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.asarray(doc_ids)[codes], type=pa.string()),
+                    lst(
+                        toks["seq"].to_numpy().astype(np.int32),
+                        t_offsets, pa.int32(),
+                    ),
+                    lst(
+                        toks["tok_idx"].to_numpy().astype(np.int32),
+                        t_offsets, pa.int32(),
+                    ),
+                    lst(feats, t_offsets, pa.int64()),
+                    lst(gold, t_offsets, pa.int32()),
+                    lst(rel, s_offsets, pa.int32()),
+                ],
+                names=["doc_id", "seq", "tok_idx", "feats", "gold", "starts"],
+            )
+
+    return docs.mapInArrow(mapper, schema=TS_DDL)
+
+
+def join_supervision(ts: DataFrame, sup: DataFrame) -> DataFrame:
+    """Replace the distilled gold arrays with labels from an external
+    supervision table (doc_id, seq, tok_idx, label) — e.g. the output of
+    `corpus_import.import_ner_supervision`. Tokens absent from the
+    supervision keep label 'other'. One doc_id-keyed shuffle each side;
+    the rebuilt array is ordered by the token's position in the original
+    packed row, so feature/label alignment is exact by construction."""
+    label_arr = "array(" + ",".join(f"'{x}'" for x in NER_LABELS) + ")"
+    per_tok = sup.selectExpr(
+        "doc_id", "seq", "tok_idx",
+        f"cast(array_position({label_arr}, label) - 1 as int) as g",
+    )
+    exploded = ts.selectExpr(
+        "doc_id", "posexplode(arrays_zip(seq, tok_idx)) as (p, z)"
+    ).selectExpr("doc_id", "p", "z.seq as seq", "z.tok_idx as tok_idx")
+    rejoined = (
+        exploded.join(per_tok, ["doc_id", "seq", "tok_idx"], "left")
+        .selectExpr(
+            "doc_id", "p",
+            f"cast(coalesce(g, {_IX['other']}) as int) as g",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(p, g))),"
+                " s -> s.g) as gold2"
+            )
+        )
+    )
+    return ts.drop("gold").join(rejoined, "doc_id").withColumnRenamed(
+        "gold2", "gold"
+    )
+
+
+# ---------------------------------------------------------------------------
+# The per-shard pass (pure numpy — runs inside applyInPandas AND inside the
+# serial twin, so distributed-vs-local parity tests the Spark plumbing).
+# ---------------------------------------------------------------------------
+
+
+def shard_pass(
+    shard_pdf: pd.DataFrame,
+    W: np.ndarray,
+    T: np.ndarray,
+    step: int,
+    batch_docs: int,
+) -> tuple[np.ndarray, np.ndarray, int, int, int]:
+    """One mini-batch structured-perceptron epoch over one shard's docs
+    (sorted by doc_id — update order is part of the semantics). Returns
+    (W_local, T_local, n_updates, n_tok, n_correct); n_correct counts
+    decode-time token agreement (online accuracy, measured before each
+    mini-batch's own update lands).
+
+    Update rule per mismatched doc (canonical whole-sequence Φ difference):
+    emissions gather ±step at mismatched positions only (equal positions
+    cancel exactly); transitions gather ±step over ALL the doc's bigrams
+    for gold vs predicted paths (equal bigrams cancel exactly) — computed
+    as two bincounts on flattened (prev·L + cur) pair codes."""
+    W = W.copy()
+    T = T.copy()
+    n_updates = n_tok = n_correct = 0
+    order = np.argsort(shard_pdf["doc_id"].to_numpy(), kind="stable")
+    feats_col = shard_pdf["feats"].to_numpy()
+    gold_col = shard_pdf["gold"].to_numpy()
+    starts_col = shard_pdf["starts"].to_numpy()
+    for lo in range(0, len(order), batch_docs):
+        rows = order[lo : lo + batch_docs]
+        f_list = [np.asarray(feats_col[r], dtype=np.int64) for r in rows]
+        g_list = [np.asarray(gold_col[r], dtype=np.int64) for r in rows]
+        lens = np.array([len(x) for x in f_list], dtype=np.int64)
+        doc_off = np.concatenate(([0], np.cumsum(lens)))
+        f = np.concatenate(f_list)
+        g = np.concatenate(g_list)
+        starts = np.concatenate(
+            [
+                np.asarray(starts_col[r], dtype=np.int64) + doc_off[i]
+                for i, r in enumerate(rows)
+            ]
+        )
+        X = unpack_features(f)
+        em = X @ W
+        pred = viterbi_segments(em, starts, T)
+        mism = pred != g
+        n_tok += len(g)
+        n_correct += int(len(g) - mism.sum())
+        if not mism.any():
+            continue
+        # docs with at least one mismatched position get the full update
+        doc_of_row = np.repeat(np.arange(len(rows)), lens)
+        bad_docs = np.unique(doc_of_row[mism])
+        n_updates += len(bad_docs)
+        rows_mask = np.flatnonzero(mism)
+        Xm = X[rows_mask]
+        G = np.zeros((len(rows_mask), _L), dtype=np.int64)
+        np.add.at(G, (np.arange(len(rows_mask)), g[rows_mask]), step)
+        np.add.at(G, (np.arange(len(rows_mask)), pred[rows_mask]), -step)
+        W += Xm.T @ G
+        # transition counts over the bad docs' bigram positions
+        in_bad = np.isin(doc_of_row, bad_docs)
+        is_start = np.zeros(len(g), dtype=bool)
+        is_start[starts] = True
+        bigram = in_bad & ~is_start
+        p = np.flatnonzero(bigram)
+        if len(p):
+            cg = np.bincount(g[p - 1] * _L + g[p], minlength=_L * _L)
+            cp = np.bincount(pred[p - 1] * _L + pred[p], minlength=_L * _L)
+            T += step * (cg - cp).reshape(_L, _L)
+    return W, T, n_updates, n_tok, n_correct
+
+
+_EPOCH_DDL = (
+    "shard long, n_docs long, n_updates long, n_tok long, n_correct long, "
+    "w_delta array<long>, t_delta array<long>"
+)
+
+
+def _epoch_fn(W: np.ndarray, T: np.ndarray, step: int, batch_docs: int):
+    wf = W.copy()
+    tf = T.copy()
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        w2, t2, n_up, n_tok, n_ok = shard_pass(pdf, wf, tf, step, batch_docs)
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "n_docs": [len(pdf)],
+                "n_updates": [n_up],
+                "n_tok": [n_tok],
+                "n_correct": [n_ok],
+                "w_delta": [(w2 - wf).ravel()],
+                "t_delta": [(t2 - tf).ravel()],
+            }
+        )
+
+    return fn
+
+
+def with_shard(ts: DataFrame, shards: int) -> DataFrame:
+    """Deterministic value-based shard assignment (pmod of xxhash64 — no
+    dependence on physical partitioning)."""
+    return ts.withColumn(
+        "shard", F.expr(f"pmod(xxhash64(doc_id), {shards})")
+    )
+
+
+def train(
+    ts: DataFrame,
+    epochs: int = 3,
+    shards: int = 4,
+    batch_docs: int = 32,
+) -> tuple[np.ndarray, np.ndarray, list[dict]]:
+    """Iterative parameter mixing over `shards` shards for `epochs` epochs.
+
+    Returns (W, T, metrics) with W (F, L) / T (L, L) int64 P-SCALED weights
+    (P = number of non-empty shards; decode-equivalent to W/P) and one
+    metrics dict per epoch: n_updates (docs that triggered an update),
+    token_acc_milli (online decode accuracy ·1000, integer division).
+
+    The training-set DataFrame is evaluated once per epoch — callers
+    training more than 1-2 epochs at corpus scale should materialize it
+    first (it is ~17 bytes/token; at petabyte corpus scale, bucketed by
+    `shard` so the per-epoch exchange vanishes)."""
+    sharded = with_shard(ts, shards)
+    p_eff = sharded.select("shard").distinct().count()
+    if p_eff == 0:
+        raise ValueError("empty training set")
+    step = p_eff
+    W = np.zeros((_NF, _L), dtype=np.int64)
+    T = np.zeros((_L, _L), dtype=np.int64)
+    metrics: list[dict] = []
+    for epoch in range(epochs):
+        rows = sharded.groupBy("shard").applyInPandas(
+            _epoch_fn(W, T, step, batch_docs), schema=_EPOCH_DDL
+        ).collect()
+        dW = np.zeros(_NF * _L, dtype=np.int64)
+        dT = np.zeros(_L * _L, dtype=np.int64)
+        n_up = n_tok = n_ok = 0
+        for r in rows:
+            dW += np.asarray(r["w_delta"], dtype=np.int64)
+            dT += np.asarray(r["t_delta"], dtype=np.int64)
+            n_up += r["n_updates"]
+            n_tok += r["n_tok"]
+            n_ok += r["n_correct"]
+        # every local delta entry is a multiple of step=p_eff → exact
+        assert not (dW % p_eff).any() and not (dT % p_eff).any()
+        W += (dW // p_eff).reshape(_NF, _L)
+        T += (dT // p_eff).reshape(_L, _L)
+        metrics.append(
+            {
+                "epoch": epoch,
+                "n_updates": int(n_up),
+                "token_acc_milli": int(1000 * n_ok // max(n_tok, 1)),
+            }
+        )
+    return W, T, metrics
+
+
+def train_local(
+    ts_pdf: pd.DataFrame,
+    epochs: int = 3,
+    batch_docs: int = 32,
+) -> tuple[np.ndarray, np.ndarray, list[dict]]:
+    """Serial twin of `train` over a collected training set WITH its shard
+    column: same shard passes, same mixing arithmetic, no Spark. Exists so
+    tests can pin distributed == local bit-equality (the Spark run adds
+    only plumbing — grouping, delta transport — never arithmetic)."""
+    shards_present = sorted(ts_pdf["shard"].unique())
+    p_eff = len(shards_present)
+    step = p_eff
+    W = np.zeros((_NF, _L), dtype=np.int64)
+    T = np.zeros((_L, _L), dtype=np.int64)
+    metrics: list[dict] = []
+    for epoch in range(epochs):
+        dW = np.zeros((_NF, _L), dtype=np.int64)
+        dT = np.zeros((_L, _L), dtype=np.int64)
+        n_up = n_tok = n_ok = 0
+        for s in shards_present:
+            part = ts_pdf[ts_pdf["shard"] == s]
+            w2, t2, u, t_n, ok = shard_pass(part, W, T, step, batch_docs)
+            dW += w2 - W
+            dT += t2 - T
+            n_up += u
+            n_tok += t_n
+            n_ok += ok
+        assert not (dW % p_eff).any() and not (dT % p_eff).any()
+        W += dW // p_eff
+        T += dT // p_eff
+        metrics.append(
+            {
+                "epoch": epoch,
+                "n_updates": int(n_up),
+                "token_acc_milli": int(1000 * n_ok // max(n_tok, 1)),
+            }
+        )
+    return W, T, metrics
+
+
+def predict(ts: DataFrame, W: np.ndarray, T: np.ndarray) -> DataFrame:
+    """Decode a training-set table with trained weights → per-token
+    (doc_id, seq, tok_idx, gold, pred) label strings — the shape
+    `evaluate.token_prf` consumes. Map-only (weights ship in the closure,
+    ≈2k ints)."""
+    wf = W.copy()
+    tf = T.copy()
+    labels = np.array(NER_LABELS, dtype=object)
+
+    def fn(pdfs):
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            f_list = [np.asarray(x, dtype=np.int64) for x in pdf["feats"]]
+            lens = np.array([len(x) for x in f_list], dtype=np.int64)
+            doc_off = np.concatenate(([0], np.cumsum(lens)))
+            f = np.concatenate(f_list)
+            starts = np.concatenate(
+                [
+                    np.asarray(s, dtype=np.int64) + doc_off[i]
+                    for i, s in enumerate(pdf["starts"])
+                ]
+            )
+            pred = viterbi_segments(unpack_features(f) @ wf, starts, tf)
+            gold = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in pdf["gold"]]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(
+                        pdf["doc_id"].to_numpy(), lens
+                    ),
+                    "seq": np.concatenate(
+                        [np.asarray(x, np.int32) for x in pdf["seq"]]
+                    ),
+                    "tok_idx": np.concatenate(
+                        [np.asarray(x, np.int32) for x in pdf["tok_idx"]]
+                    ),
+                    "gold": labels[gold],
+                    "pred": labels[pred],
+                }
+            )
+
+    return ts.mapInPandas(
+        fn, schema="doc_id string, seq int, tok_idx int, gold string, "
+        "pred string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries: deterministic fixture-corpus training run. Literal
+# VALUES oracles (fixture-family convention) — the values are pinned by the
+# serial twin + the naive per-token reference in tests/test_trainer.py.
+# ---------------------------------------------------------------------------
+
+# Tuned on the local twin (train_local sweep, round 7): shards=2/B=4
+# converges fastest of the distributed-flavored settings on the 28-doc
+# corpus (online acc 264→892 milli over 12 epochs; final-weight token
+# accuracy 946 milli). shards=1/B=4 reaches 995 but exercises no mixing.
+_Q_EPOCHS = 12
+_Q_SHARDS = 2
+_Q_BATCH = 4
+
+
+def _fixture_training_set(spark: SparkSession) -> DataFrame:
+    from . import datagen
+    from .schema import DOCUMENTS_SCHEMA
+
+    pdf = datagen.fixture_documents_pdf()
+    docs = spark.createDataFrame(pdf, schema=DOCUMENTS_SCHEMA)
+    return build_training_set(docs)
+
+
+def q_train_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch training metrics of the distilled NER refit on the full
+    fixture corpus (28 docs): update count falls / online accuracy rises
+    as the learned weights absorb the surrogate decoder."""
+    ts = _fixture_training_set(spark).cache()
+    try:
+        _, _, metrics = train(
+            ts, epochs=_Q_EPOCHS, shards=_Q_SHARDS, batch_docs=_Q_BATCH
+        )
+    finally:
+        ts.unpersist()
+    return spark.createDataFrame(
+        pd.DataFrame(metrics),
+        schema="epoch int, n_updates bigint, token_acc_milli bigint",
+    ).orderBy("epoch")
+
+
+def q_train_ner_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level P/R/F1 of the TRAINED model against the surrogate gold
+    on the fixture corpus — the mode-0 → mode-1 composition
+    (train, then evaluate, reference eval-after-train workflow)."""
+    from .evaluate import token_prf
+
+    ts = _fixture_training_set(spark).cache()
+    W, T, _ = train(
+        ts, epochs=_Q_EPOCHS, shards=_Q_SHARDS, batch_docs=_Q_BATCH
+    )
+    # ts stays cached until the returned plan is consumed (predict reads
+    # it); Spark evicts it with the session — the fixture set is tiny.
+    return token_prf(predict(ts, W, T)).orderBy("label")
+
+
+OPS = {
+    "train_ner": q_train_ner,
+    "train_ner_eval": q_train_ner_eval,
+}
+
+# Literal VALUES oracles (fixture-family convention): the expected rows of
+# the DETERMINISTIC fixture-corpus training run — integer-exact end-to-end
+# (P-scaled int64 weights, integer Viterbi, milli metrics by integer
+# division), so the run is bit-reproducible on any machine. The values are
+# independently pinned by tests/test_trainer.py: the serial twin
+# (train_local) must produce the same trajectory, and shard_pass itself is
+# differentially tested against a naive per-token reference implementation.
+_ORACLE_TRAIN = """
+SELECT * FROM (VALUES
+ (0, CAST(27 AS BIGINT), CAST(264 AS BIGINT)),
+ (1, 28, 531), (2, 27, 520), (3, 26, 618), (4, 25, 694), (5, 19, 836),
+ (6, 18, 850), (7, 17, 866), (8, 20, 882), (9, 19, 880), (10, 22, 879),
+ (11, 18, 892)
+) AS t(epoch, n_updates, token_acc_milli)
+ORDER BY epoch
+"""
+
+_ORACLE_TRAIN_EVAL = """
+SELECT 'token' AS level, label,
+  CAST(n_gold AS BIGINT) AS n_gold, CAST(n_pred AS BIGINT) AS n_pred,
+  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+  CAST(fn AS BIGINT) AS fn,
+  CAST(p AS BIGINT) AS precision_milli, CAST(r AS BIGINT) AS recall_milli,
+  CAST(f AS BIGINT) AS f1_milli
+FROM (VALUES
+ ('__micro__', 394, 386, 355, 31, 39, 919, 901, 910),
+ ('age', 47, 30, 27, 3, 20, 900, 574, 701),
+ ('anatomy', 2, 0, 0, 0, 2, 0, 0, 0),
+ ('date', 24, 24, 24, 0, 0, 1000, 1000, 1000),
+ ('dose', 2, 5, 1, 4, 1, 200, 500, 285),
+ ('fax', 25, 26, 25, 1, 0, 961, 1000, 980),
+ ('location', 17, 29, 15, 14, 2, 517, 882, 652),
+ ('medicament', 15, 15, 15, 0, 0, 1000, 1000, 1000),
+ ('other', 443, 451, 437, 14, 6, 968, 986, 977),
+ ('pathology', 9, 6, 4, 2, 5, 666, 444, 533),
+ ('persname', 200, 203, 196, 7, 4, 965, 980, 972),
+ ('perstype', 5, 1, 1, 0, 4, 1000, 200, 333),
+ ('phone', 10, 10, 10, 0, 0, 1000, 1000, 1000),
+ ('procedure', 12, 12, 12, 0, 0, 1000, 1000, 1000),
+ ('rolename', 22, 22, 22, 0, 0, 1000, 1000, 1000),
+ ('substance', 1, 0, 0, 0, 1, 0, 0, 0),
+ ('time', 3, 3, 3, 0, 0, 1000, 1000, 1000)
+) AS t(label, n_gold, n_pred, tp, fp, fn, p, r, f)
+ORDER BY label
+"""
+
+ORACLES: dict[str, str] = {
+    "train_ner": _ORACLE_TRAIN,
+    "train_ner_eval": _ORACLE_TRAIN_EVAL,
+}

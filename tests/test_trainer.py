@@ -1,0 +1,230 @@
+"""Distributed structured-perceptron trainer (trainer.py — reference mode 0,
+MedicalReportTrainerRunner.java:134-143 'train').
+
+Layers under test:
+ - feature contract: every TRAIN_FEATURES bit is a real boolean
+   token_features() column (bias aside) and the mask fits int64;
+ - shard_pass kernel vs a NAIVE per-position/per-bigram update reference
+   (decode shared — kernels/viterbi.py carries its own brute-force
+   optimality pins; what the trainer adds is the vectorized update math);
+ - distributed train() vs the serial twin train_local(): bit-equal weights
+   and metrics (the Spark run adds only plumbing, never arithmetic);
+ - convergence on a linearly separable toy corpus (0 updates reached);
+ - join_supervision round-trip (external gold realigns exactly).
+
+The registered queries' output values are pinned against their literal
+VALUES oracles by the generic DuckDB parity suite in test_entry.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from grobid_clinical_report_spark import trainer
+from grobid_clinical_report_spark.kernels.viterbi import viterbi_segments
+
+_L = trainer._L
+_NF = trainer._NF
+
+
+def test_feature_contract():
+    from grobid_clinical_report_spark.kernels.subparsers import token_features
+    from grobid_clinical_report_spark.kernels.tokenize import explode_tokens
+
+    assert _NF <= 63
+    assert trainer.TRAIN_FEATURES[-1] == "bias"
+    lines = pd.DataFrame(
+        {
+            "doc_id": [0, 0],
+            "seq": [0, 1],
+            "text": ["Daptomycine 1500 mg le 12/03/2021", "Dr. C. LEROY"],
+            "offset": [0, 1],
+        }
+    )
+    toks = token_features(explode_tokens(lines))
+    for name in trainer.TRAIN_FEATURES:
+        if name == "bias":
+            continue
+        assert name in toks.columns, name
+        assert toks[name].dtype == bool, name
+    bits = trainer.pack_features(toks)
+    X = trainer.unpack_features(bits)
+    assert X.shape == (len(toks), _NF)
+    # bias bit always on; unpack inverts pack exactly
+    assert (X[:, -1] == 1).all()
+    for i, name in enumerate(trainer.TRAIN_FEATURES[:-1]):
+        np.testing.assert_array_equal(
+            X[:, i], toks[name].to_numpy().astype(np.int64), err_msg=name
+        )
+
+
+def _naive_pass(shard_pdf, W, T, step, batch_docs):
+    """Per-position / per-bigram loop reference for shard_pass: same
+    mini-batch decode (shared Viterbi kernel), naive update application."""
+    W = W.copy()
+    T = T.copy()
+    n_up = n_tok = n_ok = 0
+    order = np.argsort(shard_pdf["doc_id"].to_numpy(), kind="stable")
+    rows = [shard_pdf.iloc[i] for i in order]
+    for lo in range(0, len(rows), batch_docs):
+        mb = rows[lo : lo + batch_docs]
+        # decode each doc of the mini-batch with the CURRENT weights
+        decoded = []
+        for r in mb:
+            f = np.asarray(r["feats"], dtype=np.int64)
+            g = np.asarray(r["gold"], dtype=np.int64)
+            s = np.asarray(r["starts"], dtype=np.int64)
+            pred = viterbi_segments(trainer.unpack_features(f) @ W, s, T)
+            decoded.append((f, g, s, pred))
+            n_tok += len(g)
+            n_ok += int((pred == g).sum())
+        # then apply the whole mini-batch's updates
+        for f, g, s, pred in decoded:
+            if (pred == g).all():
+                continue
+            n_up += 1
+            X = trainer.unpack_features(f)
+            for p in range(len(g)):
+                if pred[p] != g[p]:
+                    for j in range(_NF):
+                        if X[p, j]:
+                            W[j, g[p]] += step
+                            W[j, pred[p]] -= step
+            starts_set = set(s.tolist())
+            for p in range(1, len(g)):
+                if p not in starts_set:
+                    T[g[p - 1], g[p]] += step
+                    T[pred[p - 1], pred[p]] -= step
+    return W, T, n_up, n_tok, n_ok
+
+
+def _toy_shard(rng, n_docs=6, shard=0):
+    """Random small docs over two informative bits (0 and 5) + bias."""
+    rows = []
+    for d in range(n_docs):
+        n = rng.integers(3, 9)
+        hot = rng.integers(0, 2, size=n).astype(np.int64)
+        feats = (np.int64(1) << np.int64(_NF - 1)) | (hot << 5) | 1
+        gold = np.where(hot == 1, 3, 0).astype(np.int32)
+        starts = np.array([0, n // 2] if n >= 4 else [0], dtype=np.int32)
+        rows.append(
+            {
+                "doc_id": f"d{d:03d}",
+                "seq": np.arange(n, dtype=np.int32),
+                "tok_idx": np.arange(n, dtype=np.int32),
+                "feats": feats,
+                "gold": gold,
+                "starts": starts,
+                "shard": shard,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def test_shard_pass_matches_naive_reference():
+    rng = np.random.default_rng(7)
+    pdf = _toy_shard(rng, n_docs=8)
+    W0 = rng.integers(-3, 4, size=(_NF, _L)).astype(np.int64)
+    T0 = rng.integers(-2, 3, size=(_L, _L)).astype(np.int64)
+    for batch_docs in (1, 3, 8):
+        got = trainer.shard_pass(pdf, W0, T0, step=2, batch_docs=batch_docs)
+        want = _naive_pass(pdf, W0, T0, step=2, batch_docs=batch_docs)
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
+        assert got[2:] == want[2:]
+
+
+def test_convergence_on_separable_toy():
+    rng = np.random.default_rng(11)
+    pdf = _toy_shard(rng, n_docs=12)
+    W, T, metrics = trainer.train_local(pdf, epochs=10, batch_docs=1)
+    assert metrics[-1]["n_updates"] == 0
+    assert metrics[-1]["token_acc_milli"] == 1000
+    # and the final weights decode the training set perfectly
+    for _, r in pdf.iterrows():
+        f = np.asarray(r["feats"], dtype=np.int64)
+        pred = viterbi_segments(
+            trainer.unpack_features(f) @ W,
+            np.asarray(r["starts"], dtype=np.int64),
+            T,
+        )
+        np.testing.assert_array_equal(pred, np.asarray(r["gold"]))
+
+
+def test_distributed_matches_serial_twin(spark, fixture_docs_pdf):
+    from grobid_clinical_report_spark.schema import DOCUMENTS_SCHEMA
+
+    docs = spark.createDataFrame(fixture_docs_pdf, schema=DOCUMENTS_SCHEMA)
+    ts = trainer.build_training_set(docs).cache()
+    pdf = trainer.with_shard(ts, 3).toPandas()
+    W_d, T_d, m_d = trainer.train(ts, epochs=3, shards=3, batch_docs=4)
+    W_l, T_l, m_l = trainer.train_local(pdf, epochs=3, batch_docs=4)
+    ts.unpersist()
+    np.testing.assert_array_equal(W_d, W_l)
+    np.testing.assert_array_equal(T_d, T_l)
+    assert m_d == m_l
+
+
+def test_training_set_alignment(spark, fixture_docs_pdf):
+    """The packed rows reproduce the supervision table exactly: exploding
+    (seq, tok_idx, gold) matches run_training_ner's per-token labels."""
+    from grobid_clinical_report_spark.pipeline import run_training_ner
+    from grobid_clinical_report_spark.schema import DOCUMENTS_SCHEMA
+
+    docs = spark.createDataFrame(fixture_docs_pdf, schema=DOCUMENTS_SCHEMA)
+    ts = trainer.build_training_set(docs)
+    got = (
+        trainer.predict(
+            ts,
+            np.zeros((_NF, _L), dtype=np.int64),
+            np.zeros((_L, _L), dtype=np.int64),
+        )
+        .select("doc_id", "seq", "tok_idx", "gold")
+        .toPandas()
+        .sort_values(["doc_id", "seq", "tok_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        run_training_ner(docs)
+        .select("doc_id", "seq", "tok_idx", "label")
+        .toPandas()
+        .sort_values(["doc_id", "seq", "tok_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(
+        got["gold"], want["label"], check_names=False
+    )
+
+
+def test_join_supervision_roundtrip(spark, fixture_docs_pdf):
+    """Re-joining the distilled labels as an EXTERNAL supervision table
+    reproduces the original gold arrays (ordering preserved), and an
+    empty supervision yields all-'other'."""
+    from pyspark.sql import functions as F
+
+    from grobid_clinical_report_spark.schema import DOCUMENTS_SCHEMA
+
+    docs = spark.createDataFrame(
+        fixture_docs_pdf.head(6), schema=DOCUMENTS_SCHEMA
+    )
+    ts = trainer.build_training_set(docs).cache()
+    sup = (
+        trainer.predict(
+            ts,
+            np.zeros((_NF, _L), dtype=np.int64),
+            np.zeros((_L, _L), dtype=np.int64),
+        )
+        .selectExpr("doc_id", "seq", "tok_idx", "gold as label")
+    )
+    orig = {r["doc_id"]: list(r["gold"]) for r in ts.collect()}
+    back = trainer.join_supervision(ts, sup)
+    for r in back.collect():
+        assert list(r["gold"]) == orig[r["doc_id"]], r["doc_id"]
+    empty = sup.filter(F.lit(False))
+    other = trainer._IX["other"]
+    for r in trainer.join_supervision(ts, empty).collect():
+        assert set(r["gold"]) == {other}
+    ts.unpersist()
