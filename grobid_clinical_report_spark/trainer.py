@@ -101,6 +101,61 @@ def unpack_features(feats: np.ndarray) -> np.ndarray:
     return (feats[:, None] >> _SHIFTS[None, :]) & np.int64(1)
 
 
+# numpy's int64 matmul is compiled C loops, not BLAS — profiled as the
+# single biggest block of the shard pass (≈4s of 8.5s on an 845k-token
+# shard). float64 dgemm computes the same dot products EXACTLY as long as
+# every partial sum stays below 2^53 (IEEE-754 integers are exact there),
+# which for a 0/1 design matrix means max|W| · (F+1) < 2^53 — checked at
+# runtime, int64 fallback above the bound (unreachable in practice:
+# weights would need ~10^10 updates).
+_F64_EXACT = np.int64(1) << np.int64(53)
+
+
+def _matmul_exact(X: np.ndarray, W: np.ndarray) -> np.ndarray:
+    """X (n, F) small-int · W (F, L) int64 → int64, BLAS-fast and exact."""
+    bound = (np.abs(W).max() + 1) * max(np.abs(X).max() + 1, 1) * (X.shape[1] + 1)
+    if bound < _F64_EXACT:
+        return np.rint(
+            X.astype(np.float64) @ W.astype(np.float64)
+        ).astype(np.int64)
+    return X @ W
+
+
+_BLAS_PINNED = False
+
+
+def _blas_single_thread() -> None:
+    """Pin the in-process OpenBLAS pool to ONE thread before the dgemm path
+    runs. shard_pass/predict execute inside Spark Python workers that are
+    already the box's parallelism unit (one per core); left alone, numpy's
+    OpenBLAS spins its own pool per worker and a 32-worker stage
+    oversubscribes the box ~32× (measured on the 845k-token profile shard:
+    122s process-CPU multi-threaded vs 5.4s pinned, for the SAME 4.7s
+    wall). OMP_NUM_THREADS only works if set before the library loads, so
+    use the runtime symbol; silently no-op on non-OpenBLAS builds (the
+    int64 fallback path never multithreads anyway)."""
+    global _BLAS_PINNED
+    if _BLAS_PINNED:
+        return
+    _BLAS_PINNED = True
+    import ctypes
+    import glob
+    import os
+
+    libdir = os.path.join(os.path.dirname(np.__file__), "..", "numpy.libs")
+    for so in glob.glob(os.path.join(libdir, "libopenblas*.so*")):
+        try:
+            lib = ctypes.CDLL(so)  # already loaded → same handle
+        except OSError:
+            continue
+        for sym in ("openblas_set_num_threads64_",
+                    "openblas_set_num_threads"):
+            fn = getattr(lib, sym, None)
+            if fn is not None:
+                fn(1)
+                return
+
+
 def build_training_set(docs: DataFrame) -> DataFrame:
     """Interleaved-span corpus → one compact training row per document:
     (doc_id, seq[], tok_idx[], feats[] packed int64, gold[] label idx,
@@ -236,6 +291,7 @@ def shard_pass(
     cancel exactly); transitions gather ±step over ALL the doc's bigrams
     for gold vs predicted paths (equal bigrams cancel exactly) — computed
     as two bincounts on flattened (prev·L + cur) pair codes."""
+    _blas_single_thread()
     W = W.copy()
     T = T.copy()
     n_updates = n_tok = n_correct = 0
@@ -258,7 +314,12 @@ def shard_pass(
             ]
         )
         X = unpack_features(f)
-        em = X @ W
+        em = _matmul_exact(X, W)
+        # measured and REJECTED: downcasting (em, T) to int32 for the DP
+        # under a per-batch overflow bound read 6.4s vs 5.2s on the 845k-
+        # token profile shard — the astype copies outweigh the halved DP
+        # bandwidth at training shapes (same verdict as the int8
+        # backpointers in the round-7 kernel work).
         pred = viterbi_segments(em, starts, T)
         mism = pred != g
         n_tok += len(g)
@@ -274,7 +335,7 @@ def shard_pass(
         G = np.zeros((len(rows_mask), _L), dtype=np.int64)
         np.add.at(G, (np.arange(len(rows_mask)), g[rows_mask]), step)
         np.add.at(G, (np.arange(len(rows_mask)), pred[rows_mask]), -step)
-        W += Xm.T @ G
+        W += _matmul_exact(Xm.T, G)
         # transition counts over the bad docs' bigram positions
         in_bad = np.isin(doc_of_row, bad_docs)
         is_start = np.zeros(len(g), dtype=bool)
@@ -295,22 +356,44 @@ _EPOCH_DDL = (
 
 
 def _epoch_fn(W: np.ndarray, T: np.ndarray, step: int, batch_docs: int):
+    """mapInPandas epoch worker: each input PARTITION holds whole shards
+    (train() repartitions by the shard column once and persists), so the
+    worker groups by shard locally and emits one delta row per shard.
+    Per-shard results never depend on which partition carried the shard —
+    bit-equal to a groupBy().applyInPandas() epoch, minus the per-epoch
+    shuffle."""
     wf = W.copy()
     tf = T.copy()
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        w2, t2, n_up, n_tok, n_ok = shard_pass(pdf, wf, tf, step, batch_docs)
-        return pd.DataFrame(
-            {
-                "shard": [int(pdf["shard"].iloc[0])],
-                "n_docs": [len(pdf)],
-                "n_updates": [n_up],
-                "n_tok": [n_tok],
-                "n_correct": [n_ok],
-                "w_delta": [(w2 - wf).ravel()],
-                "t_delta": [(t2 - tf).ravel()],
-            }
+    def fn(pdfs):
+        # Arrow hands the partition over as ≤maxRecordsPerBatch CHUNKS; a
+        # shard spanning a chunk boundary must still run as ONE pass
+        # (chunk-wise passes would silently reset the local weights
+        # mid-shard — caught at sf0.1 where the trajectory shifted), so
+        # collect the partition before grouping. Memory is one partition
+        # of ~17-byte/token packed rows — the same frame the former
+        # applyInPandas shape materialized per group.
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        if not chunks:
+            return
+        whole = chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True
         )
+        for shard, part in whole.groupby("shard", sort=True):
+            w2, t2, n_up, n_tok, n_ok = shard_pass(
+                part, wf, tf, step, batch_docs
+            )
+            yield pd.DataFrame(
+                {
+                    "shard": [int(shard)],
+                    "n_docs": [len(part)],
+                    "n_updates": [n_up],
+                    "n_tok": [n_tok],
+                    "n_correct": [n_ok],
+                    "w_delta": [(w2 - wf).ravel()],
+                    "t_delta": [(t2 - tf).ravel()],
+                }
+            )
 
     return fn
 
@@ -336,20 +419,36 @@ def train(
     metrics dict per epoch: n_updates (docs that triggered an update),
     token_acc_milli (online decode accuracy ·1000, integer division).
 
-    The training-set DataFrame is evaluated once per epoch — callers
-    training more than 1-2 epochs at corpus scale should materialize it
-    first (it is ~17 bytes/token; at petabyte corpus scale, bucketed by
-    `shard` so the per-epoch exchange vanishes)."""
-    sharded = with_shard(ts, shards)
+    The input is shard-partitioned once and persisted; epochs then run
+    shuffle-free (mapInPandas over co-located shards). Callers training
+    at corpus scale should still materialize the packed table first
+    (~17 bytes/token) so the featurization pass never re-runs; at
+    petabyte scale, write it BUCKETED by `shard` and the one-time
+    repartition vanishes too.
+
+    Picking `shards`: more shards balance better across cores (hash
+    collisions in the shard→partition map leave some cores idle at
+    shards == cores) but mix more conservatively — measured at sf0.1
+    (20k docs / 18.2M tokens, local[32]): 32 shards = 16.4s/epoch,
+    epoch-2 online acc 972 milli; 128 shards = 10.8s/epoch, acc 694
+    (more epochs needed to the same accuracy). 4×cores is a reasonable
+    wall-clock default when epochs are cheap; cores (or fewer) when
+    per-epoch convergence matters more than stragglers."""
+    # shard-partitioned ONCE and persisted: every epoch then reads whole
+    # shards co-located in their partitions (mapInPandas + local groupby)
+    # instead of re-shuffling the packed table per epoch — the in-session
+    # realization of the bucketed production layout the docstring names.
+    sharded = with_shard(ts, shards).repartition(shards, "shard").persist()
     p_eff = sharded.select("shard").distinct().count()
     if p_eff == 0:
+        sharded.unpersist()
         raise ValueError("empty training set")
     step = p_eff
     W = np.zeros((_NF, _L), dtype=np.int64)
     T = np.zeros((_L, _L), dtype=np.int64)
     metrics: list[dict] = []
     for epoch in range(epochs):
-        rows = sharded.groupBy("shard").applyInPandas(
+        rows = sharded.mapInPandas(
             _epoch_fn(W, T, step, batch_docs), schema=_EPOCH_DDL
         ).collect()
         dW = np.zeros(_NF * _L, dtype=np.int64)
@@ -372,6 +471,7 @@ def train(
                 "token_acc_milli": int(1000 * n_ok // max(n_tok, 1)),
             }
         )
+    sharded.unpersist()
     return W, T, metrics
 
 
@@ -425,6 +525,7 @@ def predict(ts: DataFrame, W: np.ndarray, T: np.ndarray) -> DataFrame:
     labels = np.array(NER_LABELS, dtype=object)
 
     def fn(pdfs):
+        _blas_single_thread()
         for pdf in pdfs:
             if pdf.empty:
                 continue
@@ -438,7 +539,9 @@ def predict(ts: DataFrame, W: np.ndarray, T: np.ndarray) -> DataFrame:
                     for i, s in enumerate(pdf["starts"])
                 ]
             )
-            pred = viterbi_segments(unpack_features(f) @ wf, starts, tf)
+            pred = viterbi_segments(
+                _matmul_exact(unpack_features(f), wf), starts, tf
+            )
             gold = np.concatenate(
                 [np.asarray(x, dtype=np.int64) for x in pdf["gold"]]
             )

@@ -228,3 +228,28 @@ def test_join_supervision_roundtrip(spark, fixture_docs_pdf):
     for r in trainer.join_supervision(ts, empty).collect():
         assert set(r["gold"]) == {other}
     ts.unpersist()
+
+
+def test_distributed_exact_across_arrow_chunking(spark, fixture_docs_pdf):
+    """A shard spanning Arrow chunk boundaries must still train as ONE
+    pass: with maxRecordsPerBatch=2 every partition arrives in many tiny
+    chunks, and the epoch worker has to reassemble them before grouping
+    (regression: chunk-wise passes silently reset local weights mid-shard
+    — invisible on small fixtures, caught at sf0.1)."""
+    from grobid_clinical_report_spark.schema import DOCUMENTS_SCHEMA
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    docs = spark.createDataFrame(fixture_docs_pdf, schema=DOCUMENTS_SCHEMA)
+    ts = trainer.build_training_set(docs).cache()
+    pdf = trainer.with_shard(ts, 2).toPandas()
+    try:
+        spark.conf.set(key, "2")
+        W_d, T_d, m_d = trainer.train(ts, epochs=2, shards=2, batch_docs=4)
+    finally:
+        spark.conf.set(key, prev)
+        ts.unpersist()
+    W_l, T_l, m_l = trainer.train_local(pdf, epochs=2, batch_docs=4)
+    np.testing.assert_array_equal(W_d, W_l)
+    np.testing.assert_array_equal(T_d, T_l)
+    assert m_d == m_l
