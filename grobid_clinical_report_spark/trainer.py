@@ -101,6 +101,21 @@ def unpack_features(feats: np.ndarray) -> np.ndarray:
     return (feats[:, None] >> _SHIFTS[None, :]) & np.int64(1)
 
 
+def _unpack_u8(feats: np.ndarray) -> np.ndarray:
+    """(n,) int64 bitmasks → (n, F) 0/1 uint8 design matrix — 1/8 the
+    memory traffic of the int64 unpack and ~8× faster (unpackbits is one
+    C pass; the shift-and-mask broadcast writes 344 bytes/token). The
+    byte view assumes little-endian (x86/arm); the portable shift path
+    is the fallback."""
+    import sys as _sys
+
+    if _sys.byteorder != "little":
+        return unpack_features(feats).astype(np.uint8)
+    return np.unpackbits(
+        feats.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )[:, :_NF]
+
+
 # numpy's int64 matmul is compiled C loops, not BLAS — profiled as the
 # single biggest block of the shard pass (≈4s of 8.5s on an 845k-token
 # shard). float64 dgemm computes the same dot products EXACTLY as long as
@@ -111,14 +126,46 @@ def unpack_features(feats: np.ndarray) -> np.ndarray:
 _F64_EXACT = np.int64(1) << np.int64(53)
 
 
+_F32_EXACT = np.int64(1) << np.int64(24)
+
+
 def _matmul_exact(X: np.ndarray, W: np.ndarray) -> np.ndarray:
-    """X (n, F) small-int · W (F, L) int64 → int64, BLAS-fast and exact."""
+    """X (n, F) small-int · W (F, L) int64 → int64, BLAS-fast and exact
+    (sgemm below the 2^24 partial-sum bound, dgemm below 2^53, compiled
+    int64 loops above)."""
     bound = (np.abs(W).max() + 1) * max(np.abs(X).max() + 1, 1) * (X.shape[1] + 1)
+    if bound < _F32_EXACT:
+        return np.rint(
+            X.astype(np.float32) @ W.astype(np.float32)
+        ).astype(np.int64)
     if bound < _F64_EXACT:
         return np.rint(
             X.astype(np.float64) @ W.astype(np.float64)
         ).astype(np.int64)
-    return X @ W
+    return X.astype(np.int64) @ W
+
+
+def _emissions(
+    X8: np.ndarray, W: np.ndarray, t_abs: int, t_max: int
+) -> np.ndarray:
+    """Exact integer emission matrix X8·W with the narrowest safe dtype.
+
+    Tiered: float32 sgemm (exact while every partial sum < 2^24 — 0/1
+    design rows make that max|W|·(F+1)) beats float64 dgemm 2× and the
+    int64 matmul ~3×; the result lands in int32 when the VITERBI bound
+    t_max·(max|em| + max|T|) < 2^31 holds — the DP accumulates in the
+    emission dtype (kernels/viterbi._acc_dtype trusts int32 emissions
+    unconditionally, so THIS caller carries the overflow proof), halving
+    the decode's memory traffic. Every tier is bit-exact; only speed and
+    width differ."""
+    w_abs = int(np.abs(W).max(initial=0))
+    em_abs = w_abs * _NF
+    if (w_abs + 1) * (_NF + 1) < _F32_EXACT:
+        emf = X8.astype(np.float32) @ W.astype(np.float32)
+        if t_max * (em_abs + t_abs + 1) < (1 << 31):
+            return np.rint(emf).astype(np.int32)
+        return np.rint(emf).astype(np.int64)
+    return _matmul_exact(X8, W)
 
 
 _BLAS_PINNED = False
@@ -313,13 +360,12 @@ def shard_pass(
                 for i, r in enumerate(rows)
             ]
         )
-        X = unpack_features(f)
-        em = _matmul_exact(X, W)
-        # measured and REJECTED: downcasting (em, T) to int32 for the DP
-        # under a per-batch overflow bound read 6.4s vs 5.2s on the 845k-
-        # token profile shard — the astype copies outweigh the halved DP
-        # bandwidth at training shapes (same verdict as the int8
-        # backpointers in the round-7 kernel work).
+        X = _unpack_u8(f)
+        # (an astype-narrowing of an already-built int64 em was measured
+        # and rejected — 6.4s vs 5.2s on the profile shard; _emissions
+        # instead lands DIRECTLY in the narrowest provably-safe dtype out
+        # of the sgemm, no extra pass)
+        em = _emissions(X, W, int(np.abs(T).max(initial=0)), int(lens.max()))
         pred = viterbi_segments(em, starts, T)
         mism = pred != g
         n_tok += len(g)
@@ -447,7 +493,10 @@ def train(
     W = np.zeros((_NF, _L), dtype=np.int64)
     T = np.zeros((_L, _L), dtype=np.int64)
     metrics: list[dict] = []
+    import time as _time
+
     for epoch in range(epochs):
+        _t0 = _time.time()
         rows = sharded.mapInPandas(
             _epoch_fn(W, T, step, batch_docs), schema=_EPOCH_DDL
         ).collect()
@@ -469,6 +518,9 @@ def train(
                 "epoch": epoch,
                 "n_updates": int(n_up),
                 "token_acc_milli": int(1000 * n_ok // max(n_tok, 1)),
+                # wall-clock, for bench/ladder instrumentation only — the
+                # oracle-checked query projects it away (non-deterministic)
+                "wall_sec": round(_time.time() - _t0, 3),
             }
         )
     sharded.unpersist()
@@ -539,8 +591,14 @@ def predict(ts: DataFrame, W: np.ndarray, T: np.ndarray) -> DataFrame:
                     for i, s in enumerate(pdf["starts"])
                 ]
             )
+            d_lens = np.diff(np.append(starts, len(f)))
+            t_hi = int(d_lens.max(initial=0))
             pred = viterbi_segments(
-                _matmul_exact(unpack_features(f), wf), starts, tf
+                _emissions(
+                    _unpack_u8(f), wf,
+                    int(np.abs(tf).max(initial=0)), t_hi,
+                ),
+                starts, tf,
             )
             gold = np.concatenate(
                 [np.asarray(x, dtype=np.int64) for x in pdf["gold"]]
@@ -602,9 +660,11 @@ def q_train_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         ts.unpersist()
+    rows = [
+        (m["epoch"], m["n_updates"], m["token_acc_milli"]) for m in metrics
+    ]
     return spark.createDataFrame(
-        pd.DataFrame(metrics),
-        schema="epoch int, n_updates bigint, token_acc_milli bigint",
+        rows, schema="epoch int, n_updates bigint, token_acc_milli bigint"
     ).orderBy("epoch")
 
 

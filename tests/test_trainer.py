@@ -164,7 +164,8 @@ def test_distributed_matches_serial_twin(spark, fixture_docs_pdf):
     ts.unpersist()
     np.testing.assert_array_equal(W_d, W_l)
     np.testing.assert_array_equal(T_d, T_l)
-    assert m_d == m_l
+    strip = [{k: v for k, v in m.items() if k != "wall_sec"} for m in m_d]
+    assert strip == m_l
 
 
 def test_training_set_alignment(spark, fixture_docs_pdf):
@@ -252,4 +253,5 @@ def test_distributed_exact_across_arrow_chunking(spark, fixture_docs_pdf):
     W_l, T_l, m_l = trainer.train_local(pdf, epochs=2, batch_docs=4)
     np.testing.assert_array_equal(W_d, W_l)
     np.testing.assert_array_equal(T_d, T_l)
-    assert m_d == m_l
+    strip = [{k: v for k, v in m.items() if k != "wall_sec"} for m in m_d]
+    assert strip == m_l
