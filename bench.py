@@ -476,6 +476,59 @@ def sf10_tier() -> dict:
     }
 
 
+def train_tier(epochs: int = 3) -> dict:
+    """Trainer tier (round 7; manual / --train, like --sf10): featurize the
+    sf0.1 interleaved-span corpus into the packed training set (cached in
+    .bench_cache, rebuilt if absent) and run `epochs` mixing epochs at two
+    shard counts. Reproduces the BENCH/TRAINER.md numbers: the featurize
+    wall, per-epoch steady-state walls, and the convergence trajectory
+    (deterministic — the trajectory doubles as a correctness pin)."""
+    import shutil
+
+    from grobid_clinical_report_spark import trainer
+    from grobid_clinical_report_spark.session import get_spark
+
+    corpus = corpus_path(0.1)
+    ts_path = os.path.join(REPO, ".bench_cache", "trainset_sf01")
+    gate = _gate_idle()
+    spark = get_spark(app="bench-train", cpus=CPUS, max_partition_bytes="4m")
+    t0 = time.time()
+    featurize_sec = None
+    if not os.path.exists(ts_path):
+        tmp = ts_path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        trainer.build_training_set(
+            spark.read.parquet(corpus)
+        ).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, ts_path)
+        featurize_sec = round(time.time() - t0, 3)
+    ts = spark.read.parquet(ts_path)
+    n_tok = ts.selectExpr("sum(size(feats)) as n").collect()[0]["n"]
+    out: dict = {
+        "metric": "train_tier",
+        "unit": "sec",
+        "n_docs": ts.count(),
+        "n_tokens": int(n_tok),
+        "featurize_sec": featurize_sec,  # None when the cache was warm
+        "load_gate": gate,
+        "epochs": {},
+    }
+    for shards in (32, 128):
+        _, _, metrics = trainer.train(
+            ts, epochs=epochs, shards=shards, batch_docs=32
+        )
+        walls = [m["wall_sec"] for m in metrics]
+        out["epochs"][str(shards)] = {
+            "walls_sec": walls,
+            "steady_sec": round(min(walls[1:]) if len(walls) > 1 else walls[0], 3),
+            "acc_milli": [m["token_acc_milli"] for m in metrics],
+            "tokens_per_sec": int(n_tok / min(walls[1:] or walls)),
+        }
+    out["end_load"] = round(os.getloadavg()[0], 2)
+    spark.stop()
+    return out
+
+
 def scaling(n_small: int = 1, ladder: tuple[int, ...] = (1, 2, 4, 8, 16)) -> dict:
     """Same job at several parallelism levels, each a real spark-submit
     --py-files launch (fresh JVM; the submitter owns --master).
@@ -680,6 +733,8 @@ if __name__ == "__main__":
         extract_only(int(sys.argv[sys.argv.index("--extract-only") + 1]))
     elif "--sf10" in sys.argv:
         print(json.dumps(sf10_tier()))
+    elif "--train" in sys.argv:
+        print(json.dumps(train_tier()))
     elif "--scaling" in sys.argv:
         s = scaling()
         write_baseline_md(s)
