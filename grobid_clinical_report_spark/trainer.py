@@ -49,7 +49,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .kernels.labels import NER_LABELS, label_index, sticky_transitions
+from .kernels.labels import NER_LABELS, label_index
 from .kernels.segmenter import _doc_slices
 from .kernels.viterbi import viterbi_segments
 
@@ -240,7 +240,6 @@ def build_training_set(docs: DataFrame) -> DataFrame:
             )
             feats = pack_features(toks)
             codes, dstarts = _doc_slices(toks["doc_id"].to_numpy())
-            n = len(toks)
             # per-line segment starts, made doc-relative fully vectorized:
             # global start rows → owning doc via searchsorted → subtract
             # the doc's first row; list offsets via bincount.
@@ -315,8 +314,9 @@ def join_supervision(ts: DataFrame, sup: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# The per-shard pass (pure numpy — runs inside applyInPandas AND inside the
-# serial twin, so distributed-vs-local parity tests the Spark plumbing).
+# The per-shard pass (pure numpy — runs inside the mapInPandas epoch worker
+# AND inside the serial twin, so distributed-vs-local parity tests the Spark
+# plumbing, never the arithmetic).
 # ---------------------------------------------------------------------------
 
 
