@@ -255,3 +255,39 @@ def test_distributed_exact_across_arrow_chunking(spark, fixture_docs_pdf):
     np.testing.assert_array_equal(T_d, T_l)
     strip = [{k: v for k, v in m.items() if k != "wall_sec"} for m in m_d]
     assert strip == m_l
+
+
+def test_imported_supervision_aligns_with_packed_rows(spark):
+    """A6→A7 contract: supervision imported from an external annotated
+    corpus (corpus_import — its own offset-containment labeling over the
+    shared Arrow tokenizer) joins onto the trainer's packed rows with
+    EXACT per-token alignment — every (doc_id, seq, tok_idx) in the
+    import maps to the same token text and label in the training set,
+    and unlabeled tokens fall back to 'other'."""
+    from grobid_clinical_report_spark import corpus_import
+    from grobid_clinical_report_spark.kernels.labels import NER_LABELS
+
+    corpus = corpus_import.fixture_corpus_df(spark)
+    sup = corpus_import.import_ner_supervision(corpus)
+    docs = corpus.selectExpr(
+        "doc_id",
+        # one span per LINE: the importer labels per (line seq, tok_idx)
+        "transform(split(text, '\\n'), (s, i) -> named_struct("
+        "'kind','text','text',s,'media_ref',cast(null as string),"
+        "'offset',i)) as spans",
+    )
+    ts2 = trainer.join_supervision(trainer.build_training_set(docs), sup)
+    got = {}
+    for r in ts2.collect():
+        for s, t_i, g in zip(r["seq"], r["tok_idx"], r["gold"]):
+            got[(r["doc_id"], s, t_i)] = NER_LABELS[g]
+    want = {
+        (r["doc_id"], r["seq"], r["tok_idx"]): r["label"]
+        for r in sup.collect()
+    }
+    # every imported row aligned exactly; everything else is 'other'
+    assert want and set(want) <= set(got)
+    for k, lab in want.items():
+        assert got[k] == lab, k
+    for k in set(got) - set(want):
+        assert got[k] == "other", k
