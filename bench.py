@@ -489,7 +489,20 @@ def train_tier(epochs: int = 3) -> dict:
     from grobid_clinical_report_spark.session import get_spark
 
     corpus = corpus_path(0.1)
-    ts_path = os.path.join(REPO, ".bench_cache", "trainset_sf01")
+    # cache keyed by the corpus dir's file fingerprint (same staleness
+    # rule as the IVF quantizer cache, ADVICE r6): a regenerated corpus
+    # must never pair with a stale packed training set
+    import hashlib
+
+    fp = hashlib.md5(
+        repr(
+            sorted(
+                (f, os.path.getsize(os.path.join(corpus, f)))
+                for f in os.listdir(corpus)
+            )
+        ).encode()
+    ).hexdigest()[:10]
+    ts_path = os.path.join(REPO, ".bench_cache", f"trainset_sf01_{fp}")
     gate = _gate_idle()
     spark = get_spark(app="bench-train", cpus=CPUS, max_partition_bytes="4m")
     t0 = time.time()

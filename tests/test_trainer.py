@@ -291,3 +291,49 @@ def test_imported_supervision_aligns_with_packed_rows(spark):
         assert got[k] == lab, k
     for k in set(got) - set(want):
         assert got[k] == "other", k
+
+
+def test_pack_unpack_property():
+    """Property: pack→unpack is the identity on arbitrary boolean feature
+    frames, and the uint8 fast path equals the shift-based reference."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=(1 << (_NF - 1)) - 1),
+            min_size=0,
+            max_size=200,
+        )
+    )
+    def run(masks):
+        f = (np.array(masks, dtype=np.int64) | (1 << (_NF - 1)))
+        if len(masks) == 0:
+            f = np.zeros(0, dtype=np.int64)
+        X = trainer.unpack_features(f)
+        X8 = trainer._unpack_u8(f)
+        np.testing.assert_array_equal(X, X8.astype(np.int64))
+        # repack: bit i set exactly when column i is 1
+        repacked = (
+            (X * (np.int64(1) << trainer._SHIFTS)[None, :]).sum(axis=1)
+            if len(f)
+            else f
+        )
+        np.testing.assert_array_equal(repacked, f)
+
+    run()
+
+
+def test_matmul_exact_property():
+    """Property: every _matmul_exact tier (sgemm/dgemm/int64) returns the
+    exact integer product, including at weights near the tier bounds."""
+    rng = np.random.default_rng(23)
+    X = rng.integers(0, 2, size=(257, _NF)).astype(np.uint8)
+    for scale in (1, 10_000, 300_000, 10**12):
+        W = rng.integers(-scale, scale + 1, size=(_NF, trainer._L)).astype(
+            np.int64
+        )
+        np.testing.assert_array_equal(
+            trainer._matmul_exact(X, W), X.astype(np.int64) @ W
+        )
