@@ -78,30 +78,92 @@ _NF = len(TRAIN_FEATURES)
 assert _NF <= 63, "packed feature mask must fit a signed int64"
 _SHIFTS = np.arange(_NF, dtype=np.int64)
 
+
+class ModelSpec:
+    """One trainable sequence model: its label vocabulary, its surrogate
+    labeler (the distillation gold source), and its ordered boolean
+    feature basis. The bit LAYOUT is per-spec — adding a feature to one
+    model never shifts another model's packed masks (the NER trajectory
+    oracles depend on that).
+
+    The reference trains 11 models through one runner
+    (`MedicalReportTrainerRunner.java:60-131` dispatching per-model
+    `*Trainer` classes over a shared Wapiti engine); this is the same
+    shape — every token-level model that draws on the shared
+    `token_features` basis trains through the same kernel."""
+
+    def __init__(self, name, labels, features, labeler):
+        assert len(features) <= 63, name
+        assert features[-1] == "bias", name
+        self.name = name
+        self.labels = list(labels)
+        self.features = tuple(features)
+        self.labeler = labeler
+        self.ix = label_index(self.labels)
+        self.n_feats = len(self.features)
+        self.n_labels = len(self.labels)
+
+
+def _ner_spec() -> ModelSpec:
+    from .kernels import ner as ner_k
+
+    return ModelSpec(
+        "fr-medical-ner", NER_LABELS, TRAIN_FEATURES,
+        ner_k.label_ner_tokens,
+    )
+
+
+def _medic_spec() -> ModelSpec:
+    """The medic sub-model (MedicParser.java:103-228 analog): same token
+    basis plus the one feature its labeler uses that token_features does
+    not carry (the '@' email cue, synthesized at pack time)."""
+    from .kernels.labels import MEDIC_LABELS
+    from .kernels.subparsers import parse_medic_tokens
+
+    return ModelSpec(
+        "medic", MEDIC_LABELS,
+        TRAIN_FEATURES[:-1] + ("has_at", "bias"),
+        parse_medic_tokens,
+    )
+
+
+SPECS = {"fr-medical-ner": _ner_spec, "medic": _medic_spec}
+
 TS_DDL = (
     "doc_id string, seq array<int>, tok_idx array<int>, "
     "feats array<bigint>, gold array<int>, starts array<int>"
 )
 
 
-def pack_features(toks: pd.DataFrame) -> np.ndarray:
+def pack_features(
+    toks: pd.DataFrame, features: tuple[str, ...] = TRAIN_FEATURES
+) -> np.ndarray:
     """Token feature frame → one int64 bitmask per token (bit i ⇔
-    TRAIN_FEATURES[i]); 'bias' is synthesized always-on."""
+    features[i]). 'bias' (always-on) and 'has_at' (the medic labeler's
+    email cue) are synthesized; everything else reads a boolean
+    token_features column."""
     bits = np.zeros(len(toks), dtype=np.int64)
-    for i, name in enumerate(TRAIN_FEATURES):
+    for i, name in enumerate(features):
         if name == "bias":
+            col = None
+        elif name == "has_at":
+            col = toks["tok"].str.contains("@", na=False).to_numpy()
+        else:
+            col = toks[name].to_numpy()
+        if col is None:
             bits |= np.int64(1) << np.int64(i)
         else:
-            bits |= toks[name].to_numpy().astype(np.int64) << np.int64(i)
+            bits |= col.astype(np.int64) << np.int64(i)
     return bits
 
 
-def unpack_features(feats: np.ndarray) -> np.ndarray:
+def unpack_features(feats: np.ndarray, n_feats: int = _NF) -> np.ndarray:
     """(n,) int64 bitmasks → (n, F) 0/1 int64 design matrix."""
-    return (feats[:, None] >> _SHIFTS[None, :]) & np.int64(1)
+    shifts = np.arange(n_feats, dtype=np.int64)
+    return (feats[:, None] >> shifts[None, :]) & np.int64(1)
 
 
-def _unpack_u8(feats: np.ndarray) -> np.ndarray:
+def _unpack_u8(feats: np.ndarray, n_feats: int = _NF) -> np.ndarray:
     """(n,) int64 bitmasks → (n, F) 0/1 uint8 design matrix — 1/8 the
     memory traffic of the int64 unpack and ~8× faster (unpackbits is one
     C pass; the shift-and-mask broadcast writes 344 bytes/token). The
@@ -110,10 +172,10 @@ def _unpack_u8(feats: np.ndarray) -> np.ndarray:
     import sys as _sys
 
     if _sys.byteorder != "little":
-        return unpack_features(feats).astype(np.uint8)
+        return unpack_features(feats, n_feats).astype(np.uint8)
     return np.unpackbits(
         feats.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-    )[:, :_NF]
+    )[:, :n_feats]
 
 
 # numpy's int64 matmul is compiled C loops, not BLAS — profiled as the
@@ -158,9 +220,10 @@ def _emissions(
     unconditionally, so THIS caller carries the overflow proof), halving
     the decode's memory traffic. Every tier is bit-exact; only speed and
     width differ."""
+    n_f = W.shape[0]
     w_abs = int(np.abs(W).max(initial=0))
-    em_abs = w_abs * _NF
-    if (w_abs + 1) * (_NF + 1) < _F32_EXACT:
+    em_abs = w_abs * n_f
+    if (w_abs + 1) * (n_f + 1) < _F32_EXACT:
         emf = X8.astype(np.float32) @ W.astype(np.float32)
         if t_max * (em_abs + t_abs + 1) < (1 << 31):
             return np.rint(emf).astype(np.int32)
@@ -203,7 +266,7 @@ def _blas_single_thread() -> None:
                 return
 
 
-def build_training_set(docs: DataFrame) -> DataFrame:
+def build_training_set(docs: DataFrame, spec: ModelSpec | None = None) -> DataFrame:
     """Interleaved-span corpus → one compact training row per document:
     (doc_id, seq[], tok_idx[], feats[] packed int64, gold[] label idx,
     starts[] per-line segment offsets). Zero-shuffle mapInArrow, same
@@ -216,10 +279,13 @@ def build_training_set(docs: DataFrame) -> DataFrame:
     """
     import pyarrow as pa
 
-    from .kernels import ner as ner_k
     from .kernels.segments import seg_starts
     from .pipeline import _coalesced, _content_tokens, _lines_from_batch
     from .pipeline import prepare_lines
+
+    if spec is None:
+        spec = _ner_spec()
+    labeler, label_ix, features = spec.labeler, spec.ix, spec.features
 
     def mapper(batches):
         for batch in _coalesced(batches):
@@ -233,12 +299,12 @@ def build_training_set(docs: DataFrame) -> DataFrame:
             if toks.empty:
                 continue
             gold = (
-                pd.Series(ner_k.label_ner_tokens(toks))
-                .map(_IX)
+                pd.Series(labeler(toks))
+                .map(label_ix)
                 .to_numpy()
                 .astype(np.int32)
             )
-            feats = pack_features(toks)
+            feats = pack_features(toks, features)
             codes, dstarts = _doc_slices(toks["doc_id"].to_numpy())
             # per-line segment starts, made doc-relative fully vectorized:
             # global start rows → owning doc via searchsorted → subtract
@@ -279,14 +345,16 @@ def build_training_set(docs: DataFrame) -> DataFrame:
     return docs.mapInArrow(mapper, schema=TS_DDL)
 
 
-def join_supervision(ts: DataFrame, sup: DataFrame) -> DataFrame:
+def join_supervision(
+    ts: DataFrame, sup: DataFrame, labels: list[str] = NER_LABELS
+) -> DataFrame:
     """Replace the distilled gold arrays with labels from an external
     supervision table (doc_id, seq, tok_idx, label) — e.g. the output of
     `corpus_import.import_ner_supervision`. Tokens absent from the
     supervision keep label 'other'. One doc_id-keyed shuffle each side;
     the rebuilt array is ordered by the token's position in the original
     packed row, so feature/label alignment is exact by construction."""
-    label_arr = "array(" + ",".join(f"'{x}'" for x in NER_LABELS) + ")"
+    label_arr = "array(" + ",".join(f"'{x}'" for x in labels) + ")"
     per_tok = sup.selectExpr(
         "doc_id", "seq", "tok_idx",
         f"cast(array_position({label_arr}, label) - 1 as int) as g",
@@ -298,7 +366,7 @@ def join_supervision(ts: DataFrame, sup: DataFrame) -> DataFrame:
         exploded.join(per_tok, ["doc_id", "seq", "tok_idx"], "left")
         .selectExpr(
             "doc_id", "p",
-            f"cast(coalesce(g, {_IX['other']}) as int) as g",
+            f"cast(coalesce(g, {labels.index('other')}) as int) as g",
         )
         .groupBy("doc_id")
         .agg(
@@ -360,7 +428,7 @@ def shard_pass(
                 for i, r in enumerate(rows)
             ]
         )
-        X = _unpack_u8(f)
+        X = _unpack_u8(f, W.shape[0])
         # (an astype-narrowing of an already-built int64 em was measured
         # and rejected — 6.4s vs 5.2s on the profile shard; _emissions
         # instead lands DIRECTLY in the narrowest provably-safe dtype out
@@ -378,7 +446,8 @@ def shard_pass(
         n_updates += len(bad_docs)
         rows_mask = np.flatnonzero(mism)
         Xm = X[rows_mask]
-        G = np.zeros((len(rows_mask), _L), dtype=np.int64)
+        n_lab = T.shape[0]
+        G = np.zeros((len(rows_mask), n_lab), dtype=np.int64)
         np.add.at(G, (np.arange(len(rows_mask)), g[rows_mask]), step)
         np.add.at(G, (np.arange(len(rows_mask)), pred[rows_mask]), -step)
         W += _matmul_exact(Xm.T, G)
@@ -389,9 +458,13 @@ def shard_pass(
         bigram = in_bad & ~is_start
         p = np.flatnonzero(bigram)
         if len(p):
-            cg = np.bincount(g[p - 1] * _L + g[p], minlength=_L * _L)
-            cp = np.bincount(pred[p - 1] * _L + pred[p], minlength=_L * _L)
-            T += step * (cg - cp).reshape(_L, _L)
+            cg = np.bincount(
+                g[p - 1] * n_lab + g[p], minlength=n_lab * n_lab
+            )
+            cp = np.bincount(
+                pred[p - 1] * n_lab + pred[p], minlength=n_lab * n_lab
+            )
+            T += step * (cg - cp).reshape(n_lab, n_lab)
     return W, T, n_updates, n_tok, n_correct
 
 
@@ -457,6 +530,8 @@ def train(
     epochs: int = 3,
     shards: int = 4,
     batch_docs: int = 32,
+    n_feats: int = _NF,
+    n_labels: int = _L,
 ) -> tuple[np.ndarray, np.ndarray, list[dict]]:
     """Iterative parameter mixing over `shards` shards for `epochs` epochs.
 
@@ -490,8 +565,8 @@ def train(
         sharded.unpersist()
         raise ValueError("empty training set")
     step = p_eff
-    W = np.zeros((_NF, _L), dtype=np.int64)
-    T = np.zeros((_L, _L), dtype=np.int64)
+    W = np.zeros((n_feats, n_labels), dtype=np.int64)
+    T = np.zeros((n_labels, n_labels), dtype=np.int64)
     metrics: list[dict] = []
     import time as _time
 
@@ -500,8 +575,8 @@ def train(
         rows = sharded.mapInPandas(
             _epoch_fn(W, T, step, batch_docs), schema=_EPOCH_DDL
         ).collect()
-        dW = np.zeros(_NF * _L, dtype=np.int64)
-        dT = np.zeros(_L * _L, dtype=np.int64)
+        dW = np.zeros(n_feats * n_labels, dtype=np.int64)
+        dT = np.zeros(n_labels * n_labels, dtype=np.int64)
         n_up = n_tok = n_ok = 0
         for r in rows:
             dW += np.asarray(r["w_delta"], dtype=np.int64)
@@ -511,8 +586,8 @@ def train(
             n_ok += r["n_correct"]
         # every local delta entry is a multiple of step=p_eff → exact
         assert not (dW % p_eff).any() and not (dT % p_eff).any()
-        W += (dW // p_eff).reshape(_NF, _L)
-        T += (dT // p_eff).reshape(_L, _L)
+        W += (dW // p_eff).reshape(n_feats, n_labels)
+        T += (dT // p_eff).reshape(n_labels, n_labels)
         metrics.append(
             {
                 "epoch": epoch,
@@ -531,6 +606,8 @@ def train_local(
     ts_pdf: pd.DataFrame,
     epochs: int = 3,
     batch_docs: int = 32,
+    n_feats: int = _NF,
+    n_labels: int = _L,
 ) -> tuple[np.ndarray, np.ndarray, list[dict]]:
     """Serial twin of `train` over a collected training set WITH its shard
     column: same shard passes, same mixing arithmetic, no Spark. Exists so
@@ -539,12 +616,12 @@ def train_local(
     shards_present = sorted(ts_pdf["shard"].unique())
     p_eff = len(shards_present)
     step = p_eff
-    W = np.zeros((_NF, _L), dtype=np.int64)
-    T = np.zeros((_L, _L), dtype=np.int64)
+    W = np.zeros((n_feats, n_labels), dtype=np.int64)
+    T = np.zeros((n_labels, n_labels), dtype=np.int64)
     metrics: list[dict] = []
     for epoch in range(epochs):
-        dW = np.zeros((_NF, _L), dtype=np.int64)
-        dT = np.zeros((_L, _L), dtype=np.int64)
+        dW = np.zeros((n_feats, n_labels), dtype=np.int64)
+        dT = np.zeros((n_labels, n_labels), dtype=np.int64)
         n_up = n_tok = n_ok = 0
         for s in shards_present:
             part = ts_pdf[ts_pdf["shard"] == s]
@@ -567,14 +644,17 @@ def train_local(
     return W, T, metrics
 
 
-def predict(ts: DataFrame, W: np.ndarray, T: np.ndarray) -> DataFrame:
+def predict(
+    ts: DataFrame, W: np.ndarray, T: np.ndarray,
+    label_names: list[str] = NER_LABELS,
+) -> DataFrame:
     """Decode a training-set table with trained weights → per-token
     (doc_id, seq, tok_idx, gold, pred) label strings — the shape
     `evaluate.token_prf` consumes. Map-only (weights ship in the closure,
     ≈2k ints)."""
     wf = W.copy()
     tf = T.copy()
-    labels = np.array(NER_LABELS, dtype=object)
+    labels = np.array(label_names, dtype=object)
 
     def fn(pdfs):
         _blas_single_thread()
@@ -595,7 +675,7 @@ def predict(ts: DataFrame, W: np.ndarray, T: np.ndarray) -> DataFrame:
             t_hi = int(d_lens.max(initial=0))
             pred = viterbi_segments(
                 _emissions(
-                    _unpack_u8(f), wf,
+                    _unpack_u8(f, wf.shape[0]), wf,
                     int(np.abs(tf).max(initial=0)), t_hi,
                 ),
                 starts, tf,
@@ -640,13 +720,15 @@ _Q_SHARDS = 2
 _Q_BATCH = 4
 
 
-def _fixture_training_set(spark: SparkSession) -> DataFrame:
+def _fixture_training_set(
+    spark: SparkSession, spec: ModelSpec | None = None
+) -> DataFrame:
     from . import datagen
     from .schema import DOCUMENTS_SCHEMA
 
     pdf = datagen.fixture_documents_pdf()
     docs = spark.createDataFrame(pdf, schema=DOCUMENTS_SCHEMA)
-    return build_training_set(docs)
+    return build_training_set(docs, spec=spec)
 
 
 def q_train_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -683,9 +765,33 @@ def q_train_ner_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_prf(predict(ts, W, T)).orderBy("label")
 
 
+def q_train_medic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch metrics of the MEDIC sub-model refit (MedicParser analog)
+    on the fixture corpus — the trainer is generic over ModelSpec, and
+    this query pins a second instantiation (own label space, own bit
+    layout incl. the synthesized 'has_at' email cue; trained-vs-surrogate
+    micro-F1 899 at these settings, persname 938 / rolename 920)."""
+    spec = SPECS["medic"]()
+    ts = _fixture_training_set(spark, spec).cache()
+    try:
+        _, _, metrics = train(
+            ts, epochs=_Q_EPOCHS, shards=_Q_SHARDS, batch_docs=_Q_BATCH,
+            n_feats=spec.n_feats, n_labels=spec.n_labels,
+        )
+    finally:
+        ts.unpersist()
+    rows = [
+        (m["epoch"], m["n_updates"], m["token_acc_milli"]) for m in metrics
+    ]
+    return spark.createDataFrame(
+        rows, schema="epoch int, n_updates bigint, token_acc_milli bigint"
+    ).orderBy("epoch")
+
+
 OPS = {
     "train_ner": q_train_ner,
     "train_ner_eval": q_train_ner_eval,
+    "train_medic": q_train_medic,
 }
 
 # Literal VALUES oracles (fixture-family convention): the expected rows of
@@ -734,7 +840,18 @@ FROM (VALUES
 ORDER BY label
 """
 
+_ORACLE_TRAIN_MEDIC = """
+SELECT * FROM (VALUES
+ (0, CAST(23 AS BIGINT), CAST(442 AS BIGINT)),
+ (1, 24, 589), (2, 24, 679), (3, 24, 645), (4, 23, 648), (5, 23, 689),
+ (6, 23, 684), (7, 19, 814), (8, 19, 762), (9, 18, 831), (10, 20, 672),
+ (11, 22, 721)
+) AS t(epoch, n_updates, token_acc_milli)
+ORDER BY epoch
+"""
+
 ORACLES: dict[str, str] = {
     "train_ner": _ORACLE_TRAIN,
     "train_ner_eval": _ORACLE_TRAIN_EVAL,
+    "train_medic": _ORACLE_TRAIN_MEDIC,
 }

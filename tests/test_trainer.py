@@ -337,3 +337,32 @@ def test_matmul_exact_property():
         np.testing.assert_array_equal(
             trainer._matmul_exact(X, W), X.astype(np.int64) @ W
         )
+
+
+def test_medic_spec_trains_with_own_layout(spark, fixture_docs_pdf):
+    """ModelSpec genericity: the medic sub-model trains through the same
+    kernel with its OWN label space and bit layout (incl. the synthesized
+    has_at cue), distributed bit-equal to the serial twin; layouts are
+    per-spec so the NER masks are untouched by the extra feature."""
+    from grobid_clinical_report_spark.schema import DOCUMENTS_SCHEMA
+
+    spec = trainer.SPECS["medic"]()
+    assert spec.n_feats == _NF + 1 and "has_at" in spec.features
+    assert trainer.SPECS["fr-medical-ner"]().features == trainer.TRAIN_FEATURES
+    docs = spark.createDataFrame(fixture_docs_pdf, schema=DOCUMENTS_SCHEMA)
+    ts = trainer.build_training_set(docs, spec=spec).cache()
+    pdf = trainer.with_shard(ts, 2).toPandas()
+    W_d, T_d, m_d = trainer.train(
+        ts, epochs=2, shards=2, batch_docs=4,
+        n_feats=spec.n_feats, n_labels=spec.n_labels,
+    )
+    W_l, T_l, m_l = trainer.train_local(
+        pdf, epochs=2, batch_docs=4,
+        n_feats=spec.n_feats, n_labels=spec.n_labels,
+    )
+    ts.unpersist()
+    assert W_d.shape == (spec.n_feats, spec.n_labels)
+    np.testing.assert_array_equal(W_d, W_l)
+    np.testing.assert_array_equal(T_d, T_l)
+    strip = [{k: v for k, v in m.items() if k != "wall_sec"} for m in m_d]
+    assert strip == m_l
