@@ -705,6 +705,75 @@ def predict(
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Deploying the refit model: run the TRAINED decoder inside the extraction
+# cascade (the step a refit user actually ships — learned weights replace
+# the hand-built surrogate emissions in inference).
+# ---------------------------------------------------------------------------
+
+
+def run_trained_ner(
+    df: DataFrame, W: np.ndarray, T: np.ndarray,
+    spec: ModelSpec | None = None,
+) -> DataFrame:
+    """documents (doc_id, spans) → extracted entity spans, decoded with
+    TRAINED weights — the same zero-shuffle mapInArrow shape as
+    `pipeline.run_mode("ner")`, with X·W emissions (exactness-tiered BLAS)
+    instead of the hand-weighted surrogate. Weights ship in the closure
+    (≈2k ints). This closes the loop the reference runs operationally:
+    createTraining → train → the trained model serves extraction
+    (`MedicalReportTrainerRunner.java` mode 0 feeding the engine's model
+    directory)."""
+    import pyarrow as pa
+
+    from .kernels.segments import seg_starts
+    from .kernels.subparsers import tokens_to_spans
+    from .pipeline import (
+        EXTRACTED_DDL,
+        _EMPTY_SPANS,
+        _batch_from_flat,
+        _coalesced,
+        _content_tokens,
+        _lines_from_batch,
+        prepare_lines,
+    )
+
+    if spec is None:
+        spec = _ner_spec()
+    wf = W.copy()
+    tf = T.copy()
+    labels = np.array(spec.labels, dtype=object)
+    features = spec.features
+
+    def mapper(batches):
+        _blas_single_thread()
+        for batch in _coalesced(batches):
+            if batch.num_rows == 0:
+                continue
+            doc_ids, raw = _lines_from_batch(batch)
+            lines = prepare_lines(raw, profile="body")
+            if lines.empty:
+                yield _batch_from_flat(doc_ids, _EMPTY_SPANS)
+                continue
+            toks = _content_tokens(lines)
+            if toks.empty:
+                yield _batch_from_flat(doc_ids, _EMPTY_SPANS)
+                continue
+            f = pack_features(toks, features)
+            starts = seg_starts(toks["line_key"].to_numpy())
+            lens = np.diff(np.append(starts, len(f)))
+            em = _emissions(
+                _unpack_u8(f, wf.shape[0]), wf,
+                int(np.abs(tf).max(initial=0)),
+                int(lens.max(initial=0)),
+            )
+            flat = viterbi_segments(em, starts, tf)
+            toks["label"] = pd.Series(labels[flat], index=toks.index)
+            yield _batch_from_flat(doc_ids, tokens_to_spans(toks))
+
+    return df.mapInArrow(mapper, schema=EXTRACTED_DDL)
+
 # ---------------------------------------------------------------------------
 # Registered queries: deterministic fixture-corpus training run. Literal
 # VALUES oracles (fixture-family convention) — the values are pinned by the

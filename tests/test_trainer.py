@@ -366,3 +366,40 @@ def test_medic_spec_trains_with_own_layout(spark, fixture_docs_pdf):
     np.testing.assert_array_equal(T_d, T_l)
     strip = [{k: v for k, v in m.items() if k != "wall_sec"} for m in m_d]
     assert strip == m_l
+
+
+def test_run_trained_ner_deploys_learned_weights(spark, fixture_docs_pdf):
+    """Deploy path: the trained decoder runs inside the cascade's
+    mapInArrow shape and its spans agree with predict()'s token labels —
+    RLE-clustered, 'other' dropped — on the fixture corpus."""
+    from grobid_clinical_report_spark.schema import DOCUMENTS_SCHEMA
+
+    docs = spark.createDataFrame(fixture_docs_pdf, schema=DOCUMENTS_SCHEMA)
+    ts = trainer.build_training_set(docs).cache()
+    W, T, _ = trainer.train(ts, epochs=4, shards=2, batch_docs=4)
+    spans = (
+        trainer.run_trained_ner(docs, W, T)
+        .selectExpr("doc_id", "inline(spans)")
+        .toPandas()
+    )
+    toks = trainer.predict(ts, W, T).toPandas()
+    ts.unpersist()
+    # span kinds per doc == RLE runs of predicted non-'other' labels
+    want = {}
+    for doc_id, g in toks.sort_values(["doc_id", "seq", "tok_idx"]).groupby(
+        "doc_id"
+    ):
+        runs, prev = [], None
+        for _, r in g.iterrows():
+            key = (r["seq"], r["pred"])
+            if r["pred"] != "other" and key != prev:
+                runs.append(r["pred"])
+            prev = key
+        if runs:
+            want[doc_id] = runs
+    got = {}
+    for doc_id, g in spans.groupby("doc_id"):
+        # spans on the same line share an offset; the writer emits them in
+        # positional order, so the tie-break must be a STABLE sort
+        got[doc_id] = list(g.sort_values("offset", kind="stable")["kind"])
+    assert got == want
