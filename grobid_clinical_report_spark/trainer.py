@@ -857,10 +857,46 @@ def q_train_medic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("epoch")
 
 
+def q_train_ner_deploy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEPLOY composition: train on the fixture corpus, then run the
+    TRAINED decoder inside the extraction cascade (`run_trained_ner`) over
+    the same documents — the end of the reference's operational loop
+    (createTraining → mode-0 train → the model directory serves
+    extraction). Pinned as a per-kind aggregate of the 198 extracted
+    spans; span-level agreement with predict() is pinned in
+    tests/test_trainer.py."""
+    from .schema import DOCUMENTS_SCHEMA
+
+    from . import datagen
+
+    docs = spark.createDataFrame(
+        datagen.fixture_documents_pdf(), schema=DOCUMENTS_SCHEMA
+    )
+    ts = build_training_set(docs).cache()
+    W, T, _ = train(
+        ts, epochs=_Q_EPOCHS, shards=_Q_SHARDS, batch_docs=_Q_BATCH
+    )
+    ts.unpersist()
+    return (
+        run_trained_ner(docs, W, T)
+        .selectExpr("doc_id", "inline(spans)")
+        .selectExpr("kind", "doc_id", "length(text) AS lt", "offset")
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("lt").alias("chars"),
+            F.sum("offset").alias("offset_sum"),
+        )
+        .orderBy("kind")
+    )
+
+
 OPS = {
     "train_ner": q_train_ner,
     "train_ner_eval": q_train_ner_eval,
     "train_medic": q_train_medic,
+    "train_ner_deploy": q_train_ner_deploy,
 }
 
 # Literal VALUES oracles (fixture-family convention): the expected rows of
@@ -919,8 +955,33 @@ SELECT * FROM (VALUES
 ORDER BY epoch
 """
 
+# Per-kind aggregate of the 198 spans the trained decoder extracts from
+# the fixture corpus (q_train_ner_deploy). Deterministic because the
+# trained weights are bit-reproducible (same integer-exact argument as
+# above) and the decode is the cascade's own integer-exact Viterbi.
+_ORACLE_TRAIN_DEPLOY = """
+SELECT * FROM (VALUES
+ ('age', CAST(18 AS BIGINT), CAST(8 AS BIGINT), CAST(90 AS BIGINT),
+  CAST(3822 AS BIGINT)),
+ ('date', 24, 15, 236, 1840),
+ ('dose', 5, 4, 11, 983),
+ ('fax', 6, 5, 79, 830),
+ ('location', 21, 14, 139, 4421),
+ ('medicament', 7, 2, 107, 620),
+ ('pathology', 4, 3, 45, 983),
+ ('persname', 76, 23, 1237, 8871),
+ ('perstype', 1, 1, 8, 595),
+ ('phone', 2, 2, 28, 215),
+ ('procedure', 9, 3, 122, 3895),
+ ('rolename', 22, 9, 171, 2566),
+ ('time', 3, 3, 15, 120)
+) AS t(kind, n_spans, n_docs, chars, offset_sum)
+ORDER BY kind
+"""
+
 ORACLES: dict[str, str] = {
     "train_ner": _ORACLE_TRAIN,
     "train_ner_eval": _ORACLE_TRAIN_EVAL,
     "train_medic": _ORACLE_TRAIN_MEDIC,
+    "train_ner_deploy": _ORACLE_TRAIN_DEPLOY,
 }
