@@ -644,6 +644,41 @@ def train_local(
     return W, T, metrics
 
 
+def train_split_eval(
+    ts: DataFrame,
+    split_milli: int = 800,
+    epochs: int = 3,
+    shards: int = 4,
+    batch_docs: int = 32,
+    n_feats: int = _NF,
+    n_labels: int = _L,
+    label_names: list[str] = NER_LABELS,
+) -> tuple[DataFrame, list[dict]]:
+    """Reference trainer mode 2 — "split, train and evaluate"
+    (`MedicalReportTrainerRunner.java:25,141`, the `-s` split ratio fed to
+    the upstream `AbstractTrainer.runSplitTrainingEvaluation`): partition
+    the packed corpus into train/holdout by a deterministic document hash
+    (`pmod(xxhash64(doc_id), 1000) < split_milli` → train), fit on the
+    train fraction, decode the HELD-OUT documents with the trained
+    weights, and return their token-level P/R/F1 — generalization, not
+    memorization (`train_ner_eval` scores on the training docs). The
+    split is a filter on the already-featurized table (no second
+    featurization pass, no shuffle) and is reproducible across cluster
+    sizes — the same property the shard assignment relies on."""
+    from .evaluate import token_prf
+
+    if not 0 < split_milli < 1000:
+        raise ValueError(f"split_milli must be in (0, 1000): {split_milli}")
+    bucket = F.pmod(F.xxhash64("doc_id"), F.lit(1000))
+    train_part = ts.where(bucket < split_milli)
+    holdout = ts.where(bucket >= split_milli)
+    W, T, metrics = train(
+        train_part, epochs=epochs, shards=shards, batch_docs=batch_docs,
+        n_feats=n_feats, n_labels=n_labels,
+    )
+    return token_prf(predict(holdout, W, T, label_names)), metrics
+
+
 def predict(
     ts: DataFrame, W: np.ndarray, T: np.ndarray,
     label_names: list[str] = NER_LABELS,
@@ -892,11 +927,27 @@ def q_train_ner_deploy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_train_split_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference trainer mode 2 on the fixture corpus: an 800-milli
+    document-hash split (24 train / 4 holdout docs), fit on the train
+    fraction, token P/R/F1 on the HELD-OUT docs (micro 750 at these
+    settings — generalization, vs train_ner_eval's 910 on seen docs)."""
+    ts = _fixture_training_set(spark).cache()
+    prf, _ = train_split_eval(
+        ts, split_milli=800,
+        epochs=_Q_EPOCHS, shards=_Q_SHARDS, batch_docs=_Q_BATCH,
+    )
+    # ts stays cached until the returned plan is consumed (predict reads
+    # the holdout filter of it); the fixture set is tiny.
+    return prf.orderBy("label")
+
+
 OPS = {
     "train_ner": q_train_ner,
     "train_ner_eval": q_train_ner_eval,
     "train_medic": q_train_medic,
     "train_ner_deploy": q_train_ner_deploy,
+    "train_split_eval": q_train_split_eval,
 }
 
 # Literal VALUES oracles (fixture-family convention): the expected rows of
@@ -979,9 +1030,34 @@ SELECT * FROM (VALUES
 ORDER BY kind
 """
 
+# Held-out token P/R/F1 of the mode-2 split run (q_train_split_eval):
+# same determinism argument; the 4 holdout docs never touch the weights.
+_ORACLE_TRAIN_SPLIT = """
+SELECT 'token' AS level, label,
+  CAST(n_gold AS BIGINT) AS n_gold, CAST(n_pred AS BIGINT) AS n_pred,
+  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+  CAST(fn AS BIGINT) AS fn,
+  CAST(p AS BIGINT) AS precision_milli, CAST(r AS BIGINT) AS recall_milli,
+  CAST(f AS BIGINT) AS f1_milli
+FROM (VALUES
+ ('__micro__', 65, 47, 42, 5, 23, 893, 646, 750),
+ ('age', 5, 4, 3, 1, 2, 750, 600, 666),
+ ('date', 5, 5, 5, 0, 0, 1000, 1000, 1000),
+ ('fax', 0, 2, 0, 2, 0, 0, 0, 0),
+ ('location', 0, 1, 0, 1, 0, 0, 0, 0),
+ ('other', 34, 52, 34, 18, 0, 653, 1000, 790),
+ ('persname', 48, 30, 30, 0, 18, 1000, 625, 769),
+ ('procedure', 3, 1, 1, 0, 2, 1000, 333, 500),
+ ('rolename', 3, 4, 3, 1, 0, 750, 1000, 857),
+ ('time', 1, 0, 0, 0, 1, 0, 0, 0)
+) AS t(label, n_gold, n_pred, tp, fp, fn, p, r, f)
+ORDER BY label
+"""
+
 ORACLES: dict[str, str] = {
     "train_ner": _ORACLE_TRAIN,
     "train_ner_eval": _ORACLE_TRAIN_EVAL,
     "train_medic": _ORACLE_TRAIN_MEDIC,
     "train_ner_deploy": _ORACLE_TRAIN_DEPLOY,
+    "train_split_eval": _ORACLE_TRAIN_SPLIT,
 }

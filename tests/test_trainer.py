@@ -403,3 +403,44 @@ def test_run_trained_ner_deploys_learned_weights(spark, fixture_docs_pdf):
         # positional order, so the tie-break must be a STABLE sort
         got[doc_id] = list(g.sort_values("offset", kind="stable")["kind"])
     assert got == want
+
+
+def test_train_split_eval_holds_out_disjoint_docs(spark, fixture_docs_pdf):
+    """Mode-2 split: the holdout filter partitions the corpus exactly, the
+    trained weights never see the holdout docs (bit-equal to the serial
+    twin run on the train fraction alone), and the returned P/R/F1 covers
+    only held-out tokens."""
+    from pyspark.sql import functions as F
+
+    from grobid_clinical_report_spark.schema import DOCUMENTS_SCHEMA
+
+    docs = spark.createDataFrame(fixture_docs_pdf, schema=DOCUMENTS_SCHEMA)
+    ts = trainer.build_training_set(docs).cache()
+    bucket = F.pmod(F.xxhash64("doc_id"), F.lit(1000))
+    tr_ids = {r[0] for r in ts.where(bucket < 800).select("doc_id").collect()}
+    ho_ids = {r[0] for r in ts.where(bucket >= 800).select("doc_id").collect()}
+    all_ids = {r[0] for r in ts.select("doc_id").collect()}
+    assert tr_ids | ho_ids == all_ids and not tr_ids & ho_ids
+    assert ho_ids  # the fixture corpus must actually exercise the holdout
+
+    prf, metrics = trainer.train_split_eval(
+        ts, split_milli=800, epochs=4, shards=2, batch_docs=4
+    )
+    got = prf.orderBy("label").toPandas()
+
+    # serial twin on the train fraction only → identical weights
+    from grobid_clinical_report_spark.evaluate import token_prf
+
+    tr_pdf = trainer.with_shard(ts.where(bucket < 800), 2).toPandas()
+    W_l, T_l, m_l = trainer.train_local(tr_pdf, epochs=4, batch_docs=4)
+    want = (
+        token_prf(trainer.predict(ts.where(bucket >= 800), W_l, T_l))
+        .orderBy("label")
+        .toPandas()
+    )
+    ts.unpersist()
+    pd.testing.assert_frame_equal(got, want)
+    strip = [{k: v for k, v in m.items() if k != "wall_sec"} for m in metrics]
+    assert strip == [
+        {k: v for k, v in m.items() if k != "wall_sec"} for m in m_l
+    ]
