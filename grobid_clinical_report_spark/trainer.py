@@ -679,6 +679,51 @@ def train_split_eval(
     return token_prf(predict(holdout, W, T, label_names)), metrics
 
 
+def train_nfold_eval(
+    ts: DataFrame,
+    n_folds: int = 3,
+    epochs: int = 3,
+    shards: int = 4,
+    batch_docs: int = 32,
+    n_feats: int = _NF,
+    n_labels: int = _L,
+    label_names: list[str] = NER_LABELS,
+) -> DataFrame:
+    """Reference trainer mode 3 — n-fold cross-validation
+    (`MedicalReportTrainerRunner.java:25,143`, the `-n` fold count fed to
+    the upstream n-fold evaluation): assign each document to a fold by
+    hash (`pmod(xxhash64(doc_id), n_folds)`), train a model on the other
+    n−1 folds, decode the held-out fold with it, and return one micro
+    P/R/F1 row per fold — every document is evaluated exactly once, by a
+    model that never saw it. (`evaluate.nfold_micro` folds an EXISTING
+    prediction column; this trains per fold, the reference's actual
+    mode-3 loop.)
+
+    The fold loop is driver-side (n_folds is a handful) but each
+    iteration is a fully distributed train + decode; the per-fold eval
+    plans are unioned, so the result stays a DataFrame."""
+    from functools import reduce
+
+    from .evaluate import token_prf
+
+    if n_folds < 2:
+        raise ValueError(f"n_folds must be >= 2: {n_folds}")
+    fold = F.pmod(F.xxhash64("doc_id"), F.lit(n_folds))
+    per_fold = []
+    for k in range(n_folds):
+        W, T, _ = train(
+            ts.where(fold != k), epochs=epochs, shards=shards,
+            batch_docs=batch_docs, n_feats=n_feats, n_labels=n_labels,
+        )
+        per_fold.append(
+            token_prf(predict(ts.where(fold == k), W, T, label_names))
+            .where(F.col("label") == "__micro__")
+            .select(F.lit(k).alias("fold"), "*")
+            .drop("label")
+        )
+    return reduce(DataFrame.unionByName, per_fold)
+
+
 def predict(
     ts: DataFrame, W: np.ndarray, T: np.ndarray,
     label_names: list[str] = NER_LABELS,
@@ -942,12 +987,27 @@ def q_train_split_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prf.orderBy("label")
 
 
+def q_train_nfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference trainer mode 3 on the fixture corpus: 3-fold
+    cross-validation, one model trained per fold on the other two, micro
+    P/R/F1 on each held-out fold (861/792/731 milli at these settings —
+    every document scored exactly once by a model that never saw it)."""
+    ts = _fixture_training_set(spark).cache()
+    # ts stays cached until the returned union plan is consumed (the three
+    # per-fold predicts read it); the fixture set is tiny.
+    return train_nfold_eval(
+        ts, n_folds=3,
+        epochs=_Q_EPOCHS, shards=_Q_SHARDS, batch_docs=_Q_BATCH,
+    ).orderBy("fold")
+
+
 OPS = {
     "train_ner": q_train_ner,
     "train_ner_eval": q_train_ner_eval,
     "train_medic": q_train_medic,
     "train_ner_deploy": q_train_ner_deploy,
     "train_split_eval": q_train_split_eval,
+    "train_nfold": q_train_nfold,
 }
 
 # Literal VALUES oracles (fixture-family convention): the expected rows of
@@ -1060,4 +1120,18 @@ ORACLES: dict[str, str] = {
     "train_medic": _ORACLE_TRAIN_MEDIC,
     "train_ner_deploy": _ORACLE_TRAIN_DEPLOY,
     "train_split_eval": _ORACLE_TRAIN_SPLIT,
+    "train_nfold": """
+SELECT CAST(fold AS INT) AS fold, 'token' AS level,
+  CAST(n_gold AS BIGINT) AS n_gold, CAST(n_pred AS BIGINT) AS n_pred,
+  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+  CAST(fn AS BIGINT) AS fn,
+  CAST(p AS BIGINT) AS precision_milli, CAST(r AS BIGINT) AS recall_milli,
+  CAST(f AS BIGINT) AS f1_milli
+FROM (VALUES
+ (0, 62, 61, 53, 8, 9, 868, 854, 861),
+ (1, 142, 128, 107, 21, 35, 835, 753, 792),
+ (2, 190, 138, 120, 18, 70, 869, 631, 731)
+) AS t(fold, n_gold, n_pred, tp, fp, fn, p, r, f)
+ORDER BY fold
+""",
 }

@@ -444,3 +444,31 @@ def test_train_split_eval_holds_out_disjoint_docs(spark, fixture_docs_pdf):
     assert strip == [
         {k: v for k, v in m.items() if k != "wall_sec"} for m in m_l
     ]
+
+
+def test_train_nfold_eval_partitions_and_balances(spark, fixture_docs_pdf):
+    """Mode-3 invariants: one micro row per fold; across folds every
+    non-'other' gold token is scored exactly once (fold n_gold sums to
+    the corpus total), and each row's counts are internally consistent
+    (tp+fn == n_gold, tp+fp == n_pred). Exact values are pinned by the
+    train_nfold VALUES oracle in the test_entry parity suite."""
+    from grobid_clinical_report_spark.schema import DOCUMENTS_SCHEMA
+
+    docs = spark.createDataFrame(fixture_docs_pdf, schema=DOCUMENTS_SCHEMA)
+    ts = trainer.build_training_set(docs).cache()
+    got = (
+        trainer.train_nfold_eval(ts, n_folds=3, epochs=2, shards=2,
+                                 batch_docs=4)
+        .orderBy("fold")
+        .toPandas()
+    )
+    other = trainer.NER_LABELS.index("other")
+    total = sum(
+        int((np.asarray(r["gold"]) != other).sum())
+        for r in ts.select("gold").collect()
+    )
+    ts.unpersist()
+    assert list(got["fold"]) == [0, 1, 2]
+    assert int(got["n_gold"].sum()) == total
+    assert (got["tp"] + got["fn"]).equals(got["n_gold"])
+    assert (got["tp"] + got["fp"]).equals(got["n_pred"])
