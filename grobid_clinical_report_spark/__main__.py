@@ -13,6 +13,18 @@ Mirrors the reference CLI (`GrobidMedicalReportMain.java:136-218` /
         --buckets 256 --max-spans 50000 [--no-resume] [--generate N]
 
 `--generate N` materializes the seeded synthetic corpus first (local tiers).
+
+`--train {0|1|2|3}` switches to the trainer runner (reference parity:
+`MedicalReportTrainerRunner.java:25,51` — "0 - train", "1 - evaluate",
+"2 - split, train and evaluate", "3 - n-fold evaluation", with `-s` →
+--split-milli and `-n` → --folds):
+
+    ... --train 0 --model fr-medical-ner --input docs --output models/
+    ... --train 2 --split-milli 800 ...          (saves the split-trained model)
+    ... --train 1 --weights models/fr-medical-ner.npz ...
+    ... --train 3 --folds 5 ...
+
+Modes 1-3 write the P/R/F1 table to <output>/eval and print its micro rows.
 """
 
 from __future__ import annotations
@@ -43,6 +55,22 @@ def main(argv: list[str] | None = None) -> int:
              "bucket=quarantine (second-pass long-document path)",
     )
     p.add_argument(
+        "--train", type=int, choices=[0, 1, 2, 3], default=None,
+        help="run the trainer runner instead of extraction "
+             "(0 train, 1 evaluate, 2 split-train-evaluate, 3 n-fold)",
+    )
+    p.add_argument("--model", default="fr-medical-ner",
+                   help="trainable model spec (--train only)")
+    p.add_argument("--weights", default=None,
+                   help="existing model .npz to evaluate (--train 1)")
+    p.add_argument("--split-milli", type=int, default=800,
+                   help="train fraction ·1000 for --train 2")
+    p.add_argument("--folds", type=int, default=3,
+                   help="fold count for --train 3")
+    p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--train-shards", type=int, default=4)
+    p.add_argument("--batch-docs", type=int, default=32)
+    p.add_argument(
         "--stage-buckets", action="store_true",
         help="materialize a bucket-partitioned copy of the input first so "
              "each bucket job scans 1/N via directory pruning (use when the "
@@ -57,8 +85,26 @@ def main(argv: list[str] | None = None) -> int:
             args.input, n_docs=args.generate, shards=max(args.buckets * 4, 16)
         )
 
-    from .runner import process_quarantined, run_extraction_job
     from .session import get_spark
+
+    if args.train is not None:
+        from .trainer import run_training_job
+
+        spark = get_spark(app=f"train-{args.model}", cpus=args.cpus)
+        try:
+            metrics = run_training_job(
+                spark, args.input, args.output,
+                model=args.model, mode=args.train, weights=args.weights,
+                split_milli=args.split_milli, n_folds=args.folds,
+                epochs=args.epochs, shards=args.train_shards,
+                batch_docs=args.batch_docs,
+            )
+        finally:
+            spark.stop()
+        print(json.dumps(metrics))
+        return 0
+
+    from .runner import process_quarantined, run_extraction_job
 
     spark = get_spark(app=f"extract-{args.mode}", cpus=args.cpus)
     from .pipeline import apply_split_hint

@@ -653,7 +653,7 @@ def train_split_eval(
     n_feats: int = _NF,
     n_labels: int = _L,
     label_names: list[str] = NER_LABELS,
-) -> tuple[DataFrame, list[dict]]:
+) -> tuple[DataFrame, list[dict], np.ndarray, np.ndarray]:
     """Reference trainer mode 2 — "split, train and evaluate"
     (`MedicalReportTrainerRunner.java:25,141`, the `-s` split ratio fed to
     the upstream `AbstractTrainer.runSplitTrainingEvaluation`): partition
@@ -676,7 +676,7 @@ def train_split_eval(
         train_part, epochs=epochs, shards=shards, batch_docs=batch_docs,
         n_feats=n_feats, n_labels=n_labels,
     )
-    return token_prf(predict(holdout, W, T, label_names)), metrics
+    return token_prf(predict(holdout, W, T, label_names)), metrics, W, T
 
 
 def train_nfold_eval(
@@ -855,6 +855,127 @@ def run_trained_ner(
     return df.mapInArrow(mapper, schema=EXTRACTED_DDL)
 
 # ---------------------------------------------------------------------------
+# Trainer CLI job (reference runner parity): MedicalReportTrainerRunner
+# takes `{0-train | 1-evaluate | 2-split | 3-n-fold} {model} [-s ratio]
+# [-n folds]` and leaves a trained model file in the model directory
+# (`MedicalReportTrainerRunner.java:25,51,134-143`). run_training_job is
+# that surface over a Spark corpus: weights persist as a .npz next to a
+# metrics JSON (at cluster scale, point --output at shared storage — the
+# model is ~2k integers, the artifact cost is nil).
+# ---------------------------------------------------------------------------
+
+
+def save_model(path: str, W: np.ndarray, T: np.ndarray, spec: ModelSpec):
+    """Persist trained P-scaled weights; decode-equivalent under any
+    positive scale, so the file is exact (int64, no float round-trip)."""
+    np.savez(
+        path, W=W, T=T, spec=np.array(spec.name),
+        labels=np.array(spec.labels, dtype=object),
+        features=np.array(list(spec.features), dtype=object),
+    )
+
+
+def load_model(path: str) -> tuple[np.ndarray, np.ndarray, str]:
+    """Load (W, T, spec_name) saved by save_model, checking the layout
+    contract: a weights file trained under a different feature order or
+    label vocabulary than the running SPECS is refused, not misapplied."""
+    with np.load(path, allow_pickle=True) as z:
+        W, T, name = z["W"], z["T"], str(z["spec"])
+        labels, feats = list(z["labels"]), tuple(z["features"])
+    if name not in SPECS:
+        raise ValueError(f"unknown model spec in {path}: {name}")
+    spec = SPECS[name]()
+    if labels != spec.labels or feats != spec.features:
+        raise ValueError(
+            f"weights in {path} were trained under a different "
+            f"{name} layout (labels/features mismatch) — retrain"
+        )
+    return W, T, name
+
+
+def run_training_job(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    model: str = "fr-medical-ner",
+    mode: int = 0,
+    weights: str | None = None,
+    split_milli: int = 800,
+    n_folds: int = 3,
+    epochs: int = 3,
+    shards: int = 4,
+    batch_docs: int = 32,
+) -> dict:
+    """One reference-runner invocation over a (doc_id, spans) corpus.
+
+    mode 0 — train on the full corpus, save `<output>/<model>.npz`;
+    mode 1 — evaluate EXISTING weights (`weights=` path) on the corpus;
+    mode 2 — hash-split train/evaluate (split_milli ≈ reference -s·1000),
+             save the split-trained weights;
+    mode 3 — n-fold cross-validation (reference -n), eval-only.
+    Modes 1-3 write the per-label / per-fold P/R/F1 table to
+    `<output>/eval` (parquet) and return its micro row in the metrics."""
+    import os
+
+    from .evaluate import token_prf
+    from .io import read_documents
+
+    if model not in SPECS:
+        raise ValueError(f"unknown model {model!r}: {sorted(SPECS)}")
+    spec = SPECS[model]()
+    docs = read_documents(spark, input_path).select("doc_id", "spans")
+    ts = build_training_set(docs, spec=spec).persist()
+    os.makedirs(output_dir, exist_ok=True)
+    out: dict = {"model": model, "train_mode": mode, "n_docs": ts.count()}
+    kw = dict(
+        epochs=epochs, shards=shards, batch_docs=batch_docs,
+        n_feats=spec.n_feats, n_labels=spec.n_labels,
+    )
+    prf = None
+    try:
+        if mode == 0:
+            W, T, metrics = train(ts, **kw)
+            path = os.path.join(output_dir, f"{model}.npz")
+            save_model(path, W, T, spec)
+            out.update(weights=path, epochs=metrics)
+        elif mode == 1:
+            if not weights:
+                raise ValueError("mode 1 (evaluate) needs --weights")
+            W, T, name = load_model(weights)
+            if name != model:
+                raise ValueError(f"--weights is a {name} model, not {model}")
+            prf = token_prf(predict(ts, W, T, spec.labels))
+        elif mode == 2:
+            prf, metrics, W, T = train_split_eval(
+                ts, split_milli=split_milli, label_names=spec.labels, **kw
+            )
+            path = os.path.join(output_dir, f"{model}.npz")
+            save_model(path, W, T, spec)
+            out.update(weights=path, epochs=metrics)
+        elif mode == 3:
+            prf = train_nfold_eval(
+                ts, n_folds=n_folds, label_names=spec.labels, **kw
+            )
+        else:
+            raise ValueError(f"train mode must be 0-3: {mode}")
+        if prf is not None:
+            eval_path = os.path.join(output_dir, "eval")
+            prf.write.mode("overwrite").parquet(eval_path)
+            micro = (
+                spark.read.parquet(eval_path)
+                .where((F.col("label") == "__micro__")
+                       if mode != 3 else F.lit(True))
+                .orderBy("fold" if mode == 3 else "label")
+                .collect()
+            )
+            out["eval"] = [r.asDict() for r in micro]
+            out["eval_path"] = eval_path
+    finally:
+        ts.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Registered queries: deterministic fixture-corpus training run. Literal
 # VALUES oracles (fixture-family convention) — the values are pinned by the
 # serial twin + the naive per-token reference in tests/test_trainer.py.
@@ -978,7 +1099,7 @@ def q_train_split_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction, token P/R/F1 on the HELD-OUT docs (micro 750 at these
     settings — generalization, vs train_ner_eval's 910 on seen docs)."""
     ts = _fixture_training_set(spark).cache()
-    prf, _ = train_split_eval(
+    prf, _, _, _ = train_split_eval(
         ts, split_milli=800,
         epochs=_Q_EPOCHS, shards=_Q_SHARDS, batch_docs=_Q_BATCH,
     )

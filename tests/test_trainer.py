@@ -423,7 +423,7 @@ def test_train_split_eval_holds_out_disjoint_docs(spark, fixture_docs_pdf):
     assert tr_ids | ho_ids == all_ids and not tr_ids & ho_ids
     assert ho_ids  # the fixture corpus must actually exercise the holdout
 
-    prf, metrics = trainer.train_split_eval(
+    prf, metrics, W_d, T_d = trainer.train_split_eval(
         ts, split_milli=800, epochs=4, shards=2, batch_docs=4
     )
     got = prf.orderBy("label").toPandas()
@@ -433,6 +433,8 @@ def test_train_split_eval_holds_out_disjoint_docs(spark, fixture_docs_pdf):
 
     tr_pdf = trainer.with_shard(ts.where(bucket < 800), 2).toPandas()
     W_l, T_l, m_l = trainer.train_local(tr_pdf, epochs=4, batch_docs=4)
+    np.testing.assert_array_equal(W_d, W_l)
+    np.testing.assert_array_equal(T_d, T_l)
     want = (
         token_prf(trainer.predict(ts.where(bucket >= 800), W_l, T_l))
         .orderBy("label")
@@ -472,3 +474,70 @@ def test_train_nfold_eval_partitions_and_balances(spark, fixture_docs_pdf):
     assert int(got["n_gold"].sum()) == total
     assert (got["tp"] + got["fn"]).equals(got["n_gold"])
     assert (got["tp"] + got["fp"]).equals(got["n_pred"])
+
+
+def test_run_training_job_modes_roundtrip(spark, fixture_docs_pdf, tmp_path):
+    """CLI-job surface: mode 0 persists weights load_model round-trips
+    bit-exactly; mode 1 evaluates them (same micro row as predict+token_prf
+    composed by hand); a layout-mismatched file is refused; modes 2/3
+    produce eval parquet with the expected shapes."""
+    from grobid_clinical_report_spark.evaluate import token_prf
+    from grobid_clinical_report_spark.schema import DOCUMENTS_SCHEMA
+
+    docs = spark.createDataFrame(fixture_docs_pdf, schema=DOCUMENTS_SCHEMA)
+    corpus = str(tmp_path / "docs")
+    docs.write.parquet(corpus)
+
+    out0 = trainer.run_training_job(
+        spark, corpus, str(tmp_path / "m0"), mode=0, epochs=2, shards=2,
+        batch_docs=4,
+    )
+    W, T, name = trainer.load_model(out0["weights"])
+    assert name == "fr-medical-ner" and len(out0["epochs"]) == 2
+    ts = trainer.build_training_set(docs).cache()
+    W2, T2, _ = trainer.train(ts, epochs=2, shards=2, batch_docs=4)
+    np.testing.assert_array_equal(W, W2)
+    np.testing.assert_array_equal(T, T2)
+
+    out1 = trainer.run_training_job(
+        spark, corpus, str(tmp_path / "m1"), mode=1,
+        weights=out0["weights"],
+    )
+    want = (
+        token_prf(trainer.predict(ts, W, T))
+        .where("label = '__micro__'")
+        .collect()[0]
+        .asDict()
+    )
+    ts.unpersist()
+    assert out1["eval"] == [want]
+
+    # layout contract: a medic-spec file refuses to load as NER and a
+    # tampered feature list refuses to load at all
+    spec_m = trainer.SPECS["medic"]()
+    pm = str(tmp_path / "medic.npz")
+    trainer.save_model(
+        pm, np.zeros((spec_m.n_feats, spec_m.n_labels), np.int64),
+        np.zeros((spec_m.n_labels, spec_m.n_labels), np.int64), spec_m,
+    )
+    with pytest.raises(ValueError, match="medic model"):
+        trainer.run_training_job(
+            spark, corpus, str(tmp_path / "mx"), mode=1, weights=pm
+        )
+    z = dict(np.load(out0["weights"], allow_pickle=True))
+    z["features"] = np.array(["bogus"] + list(z["features"][1:]), object)
+    tampered = str(tmp_path / "tampered.npz")
+    np.savez(tampered, **z)
+    with pytest.raises(ValueError, match="different"):
+        trainer.load_model(tampered)
+
+    out2 = trainer.run_training_job(
+        spark, corpus, str(tmp_path / "m2"), mode=2, epochs=2, shards=2,
+        batch_docs=4,
+    )
+    assert out2["eval"][0]["label"] == "__micro__" and "weights" in out2
+    out3 = trainer.run_training_job(
+        spark, corpus, str(tmp_path / "m3"), mode=3, n_folds=2, epochs=2,
+        shards=2, batch_docs=4,
+    )
+    assert [r["fold"] for r in out3["eval"]] == [0, 1]
