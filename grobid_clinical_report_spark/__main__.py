@@ -25,6 +25,11 @@ Mirrors the reference CLI (`GrobidMedicalReportMain.java:136-218` /
     ... --train 3 --folds 5 ...
 
 Modes 1-3 write the P/R/F1 table to <output>/eval and print its micro rows.
+
+A trained model then SERVES extraction (the reference's model-directory
+deployment): `--mode ner --weights models/fr-medical-ner.npz` decodes with
+the learned weights instead of the surrogate; the manifest mode records a
+weights fingerprint so resume never mixes outputs across model versions.
 """
 
 from __future__ import annotations
@@ -106,6 +111,25 @@ def main(argv: list[str] | None = None) -> int:
 
     from .runner import process_quarantined, run_extraction_job
 
+    extract_fn = job_tag = None
+    if args.weights:
+        # serve TRAINED weights inside the extraction job (the reference's
+        # model-directory deployment): only the NER decoder has a trained
+        # deploy shape today
+        import hashlib
+
+        from .trainer import load_model, run_trained_ner
+
+        if args.mode != "ner":
+            p.error("--weights (trained serving) requires --mode ner")
+        W, T, name = load_model(args.weights)
+        if name != "fr-medical-ner":
+            p.error(f"--weights holds a {name} model; --mode ner needs "
+                    "fr-medical-ner")
+        with open(args.weights, "rb") as f:
+            job_tag = "w" + hashlib.md5(f.read()).hexdigest()[:12]
+        extract_fn = lambda df: run_trained_ner(df, W, T)  # noqa: E731
+
     spark = get_spark(app=f"extract-{args.mode}", cpus=args.cpus)
     from .pipeline import apply_split_hint
 
@@ -120,6 +144,8 @@ def main(argv: list[str] | None = None) -> int:
             max_spans=args.max_spans,
             resume=not args.no_resume,
             stage_buckets=args.stage_buckets,
+            extract_fn=extract_fn,
+            job_tag=job_tag,
         )
         if args.process_quarantine and metrics["quarantined"]:
             metrics["quarantine_pass"] = process_quarantined(

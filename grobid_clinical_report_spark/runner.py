@@ -178,6 +178,8 @@ def run_extraction_job(
     resume: bool = True,
     max_concurrent: int = 4,
     stage_buckets: bool = False,
+    extract_fn=None,
+    job_tag: str | None = None,
 ) -> dict:
     """End-to-end batch job with per-bucket checkpointing.
 
@@ -218,8 +220,15 @@ def run_extraction_job(
         docs = read_documents(spark, input_path).select("doc_id", "spans")
         docs = with_bucket(docs, n_buckets)
 
+    # `extract_fn` substitutes the per-bucket extraction plan (e.g. a
+    # TRAINED decoder via trainer.run_trained_ner); `job_tag` must then
+    # distinguish it in the manifest mode so resume can't mix outputs
+    # decoded under different weights into one directory.
+    if extract_fn is not None and not job_tag:
+        raise ValueError("extract_fn needs a job_tag for resume safety")
     config = {
-        "mode": mode, "n_buckets": n_buckets, "max_spans": max_spans,
+        "mode": f"{mode}@{job_tag}" if job_tag else mode,
+        "n_buckets": n_buckets, "max_spans": max_spans,
         "input_path": input_path,
     }
     if resume:
@@ -246,7 +255,10 @@ def run_extraction_job(
             ok, bad = split_guardrail(chunk, max_spans)
             ok = salt_partition(ok, tasks)
 
-            extracted = run_mode(ok, mode)
+            extracted = (
+                extract_fn(ok) if extract_fn is not None
+                else run_mode(ok, mode)
+            )
             out_dir = os.path.join(output_path, f"bucket={b}")
             # metrics ride the write itself via observe() — no post-write
             # re-read of the output, no second scan of the input

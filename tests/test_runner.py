@@ -394,3 +394,54 @@ def test_chunked_corpus_writer_matches_single_shot_semantics(spark, tmp_path):
     # whales only once
     heavy = df.selectExpr("size(spans) as n").filter("n >= 20000").count()
     assert heavy == 2
+
+
+def test_trained_weights_serve_extraction(spark, input_path, tmp_path):
+    """Deployment: run_extraction_job with extract_fn (a trained decoder)
+    produces the same rows as run_trained_ner applied directly; resume is
+    idempotent under the same job_tag and REFUSED under a different one
+    (different weights must never mix into one output directory)."""
+    import numpy as np
+
+    from grobid_clinical_report_spark import trainer
+    from grobid_clinical_report_spark.io import read_documents
+
+    docs = read_documents(spark, input_path).select("doc_id", "spans")
+    ts = trainer.build_training_set(docs).cache()
+    W, T, _ = trainer.train(ts, epochs=2, shards=2, batch_docs=8)
+    ts.unpersist()
+
+    out = str(tmp_path / "served")
+    fn = lambda df: trainer.run_trained_ner(df, W, T)  # noqa: E731
+    m1 = runner.run_extraction_job(
+        spark, input_path, out, mode="ner", n_buckets=3, max_spans=500,
+        extract_fn=fn, job_tag="wtest1",
+    )
+    assert m1["buckets_run"] == 3
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["offset"]) for s in r["spans"]]
+        for r in runner.read_extracted(spark, out).collect()
+    }
+    want = {
+        r["doc_id"]: [(s["kind"], s["text"], s["offset"]) for s in r["spans"]]
+        for r in trainer.run_trained_ner(
+            docs.where(F.size("spans") <= 500), W, T
+        ).collect()
+    }
+    assert got == want
+
+    m2 = runner.run_extraction_job(
+        spark, input_path, out, mode="ner", n_buckets=3, max_spans=500,
+        extract_fn=fn, job_tag="wtest1",
+    )
+    assert m2["buckets_run"] == 0
+    with pytest.raises(ValueError, match="incompatible"):
+        runner.run_extraction_job(
+            spark, input_path, out, mode="ner", n_buckets=3, max_spans=500,
+            extract_fn=fn, job_tag="wtest2",
+        )
+    with pytest.raises(ValueError, match="job_tag"):
+        runner.run_extraction_job(
+            spark, input_path, str(tmp_path / "x"), mode="ner",
+            n_buckets=3, extract_fn=fn,
+        )
