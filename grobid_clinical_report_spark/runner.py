@@ -197,6 +197,11 @@ def run_extraction_job(
     use it whenever the source is NOT already bucket-partitioned (an
     Iceberg bucket(doc_id) table needs no staging).
 
+    ``extract_fn`` substitutes the per-bucket extraction plan (e.g. a
+    trained decoder, trainer.run_trained_ner); ``job_tag`` is then
+    required and is folded into the manifest mode (``mode@tag``) so a
+    resume under different weights is refused instead of mixed.
+
     Returns a metrics dict: {buckets_run, docs, spans, quarantined,
     wall_sec, peak_concurrency}.
     """

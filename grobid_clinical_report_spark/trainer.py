@@ -867,11 +867,15 @@ def run_trained_ner(
 
 def save_model(path: str, W: np.ndarray, T: np.ndarray, spec: ModelSpec):
     """Persist trained P-scaled weights; decode-equivalent under any
-    positive scale, so the file is exact (int64, no float round-trip)."""
+    positive scale, so the file is exact (int64, no float round-trip).
+    The layout rides along as JSON strings (plain str arrays — the file
+    loads with allow_pickle=False, so a tampered .npz can't execute)."""
+    import json
+
     np.savez(
         path, W=W, T=T, spec=np.array(spec.name),
-        labels=np.array(spec.labels, dtype=object),
-        features=np.array(list(spec.features), dtype=object),
+        labels=np.array(json.dumps(spec.labels)),
+        features=np.array(json.dumps(list(spec.features))),
     )
 
 
@@ -879,9 +883,12 @@ def load_model(path: str) -> tuple[np.ndarray, np.ndarray, str]:
     """Load (W, T, spec_name) saved by save_model, checking the layout
     contract: a weights file trained under a different feature order or
     label vocabulary than the running SPECS is refused, not misapplied."""
-    with np.load(path, allow_pickle=True) as z:
+    import json
+
+    with np.load(path) as z:
         W, T, name = z["W"], z["T"], str(z["spec"])
-        labels, feats = list(z["labels"]), tuple(z["features"])
+        labels = json.loads(str(z["labels"]))
+        feats = tuple(json.loads(str(z["features"])))
     if name not in SPECS:
         raise ValueError(f"unknown model spec in {path}: {name}")
     spec = SPECS[name]()

@@ -524,8 +524,11 @@ def test_run_training_job_modes_roundtrip(spark, fixture_docs_pdf, tmp_path):
         trainer.run_training_job(
             spark, corpus, str(tmp_path / "mx"), mode=1, weights=pm
         )
-    z = dict(np.load(out0["weights"], allow_pickle=True))
-    z["features"] = np.array(["bogus"] + list(z["features"][1:]), object)
+    import json
+
+    z = dict(np.load(out0["weights"]))
+    feats = json.loads(str(z["features"]))
+    z["features"] = np.array(json.dumps(["bogus"] + feats[1:]))
     tampered = str(tmp_path / "tampered.npz")
     np.savez(tampered, **z)
     with pytest.raises(ValueError, match="different"):
