@@ -916,7 +916,9 @@ def run_training_job(
     """One reference-runner invocation over a (doc_id, spans) corpus.
 
     mode 0 — train on the full corpus, save `<output>/<model>.npz`;
-    mode 1 — evaluate EXISTING weights (`weights=` path) on the corpus;
+    mode 1 — evaluate EXISTING weights (`weights=` path) on the corpus
+             (full report: token AND strict-field levels, the reference's
+             two evaluation criteria);
     mode 2 — hash-split train/evaluate (split_milli ≈ reference -s·1000),
              save the split-trained weights;
     mode 3 — n-fold cross-validation (reference -n), eval-only.
@@ -924,7 +926,7 @@ def run_training_job(
     `<output>/eval` (parquet) and return its micro row in the metrics."""
     import os
 
-    from .evaluate import token_prf
+    from .evaluate import evaluate_labels
     from .io import read_documents
 
     if model not in SPECS:
@@ -951,7 +953,7 @@ def run_training_job(
             W, T, name = load_model(weights)
             if name != model:
                 raise ValueError(f"--weights is a {name} model, not {model}")
-            prf = token_prf(predict(ts, W, T, spec.labels))
+            prf = evaluate_labels(predict(ts, W, T, spec.labels))
         elif mode == 2:
             prf, metrics, W, T = train_split_eval(
                 ts, split_milli=split_milli, label_names=spec.labels, **kw
@@ -972,7 +974,7 @@ def run_training_job(
                 spark.read.parquet(eval_path)
                 .where((F.col("label") == "__micro__")
                        if mode != 3 else F.lit(True))
-                .orderBy("fold" if mode == 3 else "label")
+                .orderBy("fold" if mode == 3 else "level")
                 .collect()
             )
             out["eval"] = [r.asDict() for r in micro]

@@ -481,7 +481,7 @@ def test_run_training_job_modes_roundtrip(spark, fixture_docs_pdf, tmp_path):
     bit-exactly; mode 1 evaluates them (same micro row as predict+token_prf
     composed by hand); a layout-mismatched file is refused; modes 2/3
     produce eval parquet with the expected shapes."""
-    from grobid_clinical_report_spark.evaluate import token_prf
+    from grobid_clinical_report_spark.evaluate import evaluate_labels
     from grobid_clinical_report_spark.schema import DOCUMENTS_SCHEMA
 
     docs = spark.createDataFrame(fixture_docs_pdf, schema=DOCUMENTS_SCHEMA)
@@ -504,13 +504,14 @@ def test_run_training_job_modes_roundtrip(spark, fixture_docs_pdf, tmp_path):
         weights=out0["weights"],
     )
     want = (
-        token_prf(trainer.predict(ts, W, T))
+        evaluate_labels(trainer.predict(ts, W, T))
         .where("label = '__micro__'")
-        .collect()[0]
-        .asDict()
+        .orderBy("level")
+        .collect()
     )
     ts.unpersist()
-    assert out1["eval"] == [want]
+    assert out1["eval"] == [r.asDict() for r in want]
+    assert [r["level"] for r in out1["eval"]] == ["field", "token"]
 
     # layout contract: a medic-spec file refuses to load as NER and a
     # tampered feature list refuses to load at all
