@@ -526,10 +526,13 @@ def train_tier(epochs: int = 3) -> dict:
         "load_gate": gate,
         "epochs": {},
     }
+    W32 = T32 = None
     for shards in (32, 128):
-        _, _, metrics = trainer.train(
+        W, T, metrics = trainer.train(
             ts, epochs=epochs, shards=shards, batch_docs=32
         )
+        if shards == 32:
+            W32, T32 = W, T
         walls = [m["wall_sec"] for m in metrics]
         out["epochs"][str(shards)] = {
             "walls_sec": walls,
@@ -537,6 +540,27 @@ def train_tier(epochs: int = 3) -> dict:
             "acc_milli": [m["token_acc_milli"] for m in metrics],
             "tokens_per_sec": int(n_tok / min(walls[1:] or walls)),
         }
+
+    # serving A/B (round 7): the TRAINED decoder inside the cascade shape
+    # (run_trained_ner — X·W emissions) vs the surrogate NER cascade
+    # (run_mode("ner") — hand-built emissions), same corpus, interleaved
+    # A/B/A/B so box drift cancels; best-of-2 each, like the ladder legs.
+    from grobid_clinical_report_spark.pipeline import apply_split_hint, run_mode
+
+    apply_split_hint(spark, "ner")
+    docs = spark.read.parquet(corpus).select("doc_id", "spans")
+    serve = {"surrogate_sec": [], "trained_sec": []}
+    for _ in range(2):
+        t = time.time()
+        run_mode(docs, "ner").selectExpr("sum(size(spans))").collect()
+        serve["surrogate_sec"].append(round(time.time() - t, 3))
+        t = time.time()
+        trainer.run_trained_ner(docs, W32, T32).selectExpr(
+            "sum(size(spans))"
+        ).collect()
+        serve["trained_sec"].append(round(time.time() - t, 3))
+    out["serving"] = {k: min(v) for k, v in serve.items()}
+    out["serving"]["walls"] = serve
     out["end_load"] = round(os.getloadavg()[0], 2)
     spark.stop()
     return out

@@ -211,6 +211,20 @@ def _col_move(transitions: np.ndarray):
     return move, bool(np.all(move == move[0]))
 
 
+# Row-tile budget for the general O(L²) step's (B, L, L) scores buffer.
+# At serving scale (trained general transition matrices over a corpus) a
+# full-batch buffer runs to hundreds of MB and every step streams it
+# through memory three times (fill, argmax, gather); tiling rows so the
+# buffer sits in cache turned a 32.7s sf0.1 trained-NER decode into the
+# numbers in BENCH/TRAINER.md. Structured matrices never tile — their
+# step materializes no (B, L, L) tensor to begin with.
+_GENERAL_TILE_BYTES = 4 << 20
+
+
+def _general_rows(n_lab: int, itemsize: int) -> int:
+    return max(256, _GENERAL_TILE_BYTES // (n_lab * n_lab * itemsize))
+
+
 def _step_structured(dp, mv, scalar, diag, col, rows, neg):
     """One structured Viterbi step: (best_score, best_prev) before emission
     add / masking. Tie resolution replicates np.argmax's first-index rule.
@@ -259,6 +273,18 @@ def _decode_dense(emis: np.ndarray, transitions: np.ndarray) -> np.ndarray:
     column); column-structured matrices (body model: per-label entry
     costs) take it too, with a vector move."""
     b, max_t, n_lab = emis.shape
+    # general-transition blocks decode in row tiles (rows are independent;
+    # bit-identical to the unsplit decode) so the per-step scores buffer
+    # stays cache-resident — see _GENERAL_TILE_BYTES
+    if _col_move(transitions)[0] is None:
+        tile = _general_rows(n_lab, emis.dtype.itemsize)
+        if b > tile:
+            out = np.empty((b, max_t), dtype=np.int64)
+            for lo in range(0, b, tile):
+                out[lo : lo + tile] = _decode_dense(
+                    emis[lo : lo + tile], transitions
+                )
+            return out
     # Integer emissions: dp may keep the narrow int16 dtype ONLY when a
     # per-block bound proves it cannot wrap — |dp| ≤ max_t · (max|em| +
     # max|trans|), checked against the sentinel headroom (2^14). The dense
@@ -290,15 +316,18 @@ def _decode_dense(emis: np.ndarray, transitions: np.ndarray) -> np.ndarray:
     else:
         # general O(L²) step: preallocated scores buffer + direct fancy
         # gather (np.take_along_axis builds its index tuple in Python per
-        # call — profiled at ~0.8s over a 54k-step cascade decode)
-        trans = transitions[None, :, :]
+        # call — profiled at ~0.8s over a 54k-step cascade decode).
+        # (B, dest, prev) layout: argmax runs over the CONTIGUOUS last
+        # axis — ~25% faster than the strided middle-axis argmax, with an
+        # identical first-predecessor tie-break (randomized-tie pytest)
+        trans_t = np.ascontiguousarray(transitions.T)[None, :, :]
         scores = np.empty((b, n_lab, n_lab), dtype=dp.dtype)
         rows_ix = np.arange(b)[:, None]
         cols_ix = np.arange(n_lab)[None, :]
         for t in range(1, max_t):
-            np.add(dp[:, :, None], trans, out=scores)
-            best_prev = scores.argmax(axis=1)
-            dp = scores[rows_ix, best_prev, cols_ix] + emis[:, t, :]
+            np.add(dp[:, None, :], trans_t, out=scores)
+            best_prev = scores.argmax(axis=2)
+            dp = scores[rows_ix, cols_ix, best_prev] + emis[:, t, :]
             back[:, t, :] = best_prev
 
     labels = np.empty((b, max_t), dtype=np.int64)
@@ -345,6 +374,18 @@ def _dp_padded(
     acc = _acc_dtype(emis.dtype)
     transitions = np.asarray(transitions, dtype=acc)
 
+    # general-transition row tiling, as in _decode_dense (exact: rows are
+    # independent; per-tile min_len only ever masks MORE conservatively)
+    if _col_move(transitions)[0] is None:
+        tile = _general_rows(emis.shape[2], np.dtype(acc).itemsize)
+        if b > tile:
+            out = np.empty((b, max_t), dtype=np.int64)
+            for lo in range(0, b, tile):
+                out[lo : lo + tile] = _dp_padded(
+                    emis[lo : lo + tile], mask[lo : lo + tile], transitions
+                )
+            return out
+
     # forward max-product
     dp = emis[:, 0, :].astype(acc, copy=True)  # (B, L)
     back = np.zeros((b, max_t, n_lab), dtype=np.int32)
@@ -380,15 +421,17 @@ def _dp_padded(
     else:
         # general O(L²) step (segmenter: zone-order constraints make a few
         # columns non-constant): preallocated scores buffer + direct fancy
-        # gather instead of np.take_along_axis's per-call Python indexing
-        trans = transitions[None, :, :]  # (1, L, L) prev → next
+        # gather instead of np.take_along_axis's per-call Python indexing.
+        # (B, dest, prev) layout — contiguous-last-axis argmax, identical
+        # first-predecessor tie-break (see _decode_dense)
+        trans_t = np.ascontiguousarray(transitions.T)[None, :, :]
         scores = np.empty((b, n_lab, n_lab), dtype=dp.dtype)
         rows_ix = np.arange(b)[:, None]
         cols_ix = np.arange(n_lab)[None, :]
         for t in range(1, max_t):
-            np.add(dp[:, :, None], trans, out=scores)
-            best_prev = scores.argmax(axis=1)  # (B, L)
-            ndp = scores[rows_ix, best_prev, cols_ix] + emis[:, t, :]
+            np.add(dp[:, None, :], trans_t, out=scores)
+            best_prev = scores.argmax(axis=2)  # (B, L)
+            ndp = scores[rows_ix, cols_ix, best_prev] + emis[:, t, :]
             if t < min_len:
                 dp = ndp
                 back[:, t, :] = best_prev

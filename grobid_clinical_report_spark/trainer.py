@@ -843,11 +843,21 @@ def run_trained_ner(
             f = pack_features(toks, features)
             starts = seg_starts(toks["line_key"].to_numpy())
             lens = np.diff(np.append(starts, len(f)))
-            em = _emissions(
-                _unpack_u8(f, wf.shape[0]), wf,
-                int(np.abs(tf).max(initial=0)),
-                int(lens.max(initial=0)),
-            )
+            t_abs = int(np.abs(tf).max(initial=0))
+            t_hi = int(lens.max(initial=0))
+            em = _emissions(_unpack_u8(f, wf.shape[0]), wf, t_abs, t_hi)
+            if em.dtype == np.int64 and len(em):
+                # serving-only narrowing: trained weights usually overflow
+                # the sgemm tier (so _emissions lands int64), but the DP
+                # bound over the ACTUAL emission extrema often still fits
+                # int32 — halving the general-transition decode's memory
+                # traffic. (Training measured and rejected this extra
+                # pass: its mini-batch decodes are small enough to sit in
+                # cache either way; the corpus-scale serving decode is
+                # bandwidth-bound.)
+                em_abs = max(int(em.max()), -int(em.min()), 0)
+                if t_hi * (em_abs + t_abs + 1) < (1 << 31):
+                    em = em.astype(np.int32)
             flat = viterbi_segments(em, starts, tf)
             toks["label"] = pd.Series(labels[flat], index=toks.index)
             yield _batch_from_flat(doc_ids, tokens_to_spans(toks))

@@ -461,3 +461,34 @@ def test_coalesced_batches_merge_and_cap():
     single = mk(7, 2, "s")
     out = list(pl._coalesced(iter([mk(0, 0, "e"), single])))
     assert len(out) == 1 and out[0] is single
+
+
+def test_viterbi_general_tiling_exact(monkeypatch):
+    """The general-transition row tiling (serving-scale trained matrices:
+    the (B, L, L) scores buffer is kept cache-resident) must be
+    bit-identical to the unsplit decode — rows are independent — across
+    both the dense and the padded-bucket paths, including argmax
+    tie-breaks (low-entropy integer scores force ties), and int32/int64
+    emissions must agree."""
+    from grobid_clinical_report_spark.kernels import viterbi as V
+
+    rng = np.random.default_rng(23)
+    for trial in range(6):
+        L = int(rng.integers(3, 9))
+        # mixed lengths: ≤64 exercises dense blocks, >64 padded buckets
+        lens = rng.choice([1, 2, 5, 17, 17, 17, 70, 90], size=700)
+        n = int(lens.sum())
+        em64 = rng.integers(-3, 4, size=(n, L)).astype(np.int64)
+        tr = rng.integers(-2, 3, size=(L, L)).astype(np.int64)
+        # make sure the matrix is NOT column-structured (general branch)
+        tr[0, 1] += 5
+        tr[1, 1] -= 5
+        assert V._col_move(tr)[0] is None
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+        whole = V.viterbi_segments(em64, starts, tr)
+        monkeypatch.setattr(V, "_GENERAL_TILE_BYTES", 1)  # tile every row
+        tiled64 = V.viterbi_segments(em64, starts, tr)
+        tiled32 = V.viterbi_segments(em64.astype(np.int32), starts, tr)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(tiled64, whole)
+        np.testing.assert_array_equal(tiled32, whole)
