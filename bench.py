@@ -727,7 +727,7 @@ Measurement notes (honest caveats, profiled in round 1):
   0.88), 0.88-1.23 (round 6 — same artifact: the first ladder's 1-core
   leg ran while co-tenant load was still draining and read 79.5s; warm
   repeats read 0.934 and, after the round's kernel work landed, 0.883
-  with the 1-core wall down 29% to 47.4s); 0.94-0.97 (round 7 — a first
+  with the 1-core wall down 29% to 47.4s); 0.90-1.00 (round 7 — a first
   single-shot ladder read 1-core 63.8s, +35% vs r6 with no kernel change
   on the cascade's float32 path, so the slowdown was adjudicated with an
   interleaved HEAD-vs-r6 A/B, 3 rounds each, same corpus, same box: HEAD
@@ -741,8 +741,12 @@ Measurement notes (honest caveats, profiled in round 1):
   A/B, 63-67s → 47-54s) then re-cut the ladder at eff 0.943 with WALLS
   UP across every leg — the box drifts ±30% over tens of minutes, so
   wall-clock cannot resolve a 20% kernel change here; the CPU-time A/B
-  is the kernel evidence, the ladder the scaling evidence); every run
-  clears the 0.8 target.
+  is the kernel evidence, the ladder the scaling evidence. The FINAL
+  round-7 cut, after the general-transition Viterbi row-tiling landed
+  — it reaches the segmenter inside this cascade, BENCH/TRAINER.md —
+  read eff 0.998 with per-leg walls again inside the drift band of the
+  mid-round cuts: scaling evidence moved, kernel evidence stays with
+  the interleaved A/Bs); every run clears the 0.8 target.
 - spark.task.cpus A/B (re-measured each round, r6: fresh process per leg,
   best-of-2, interleaved order): extraction task_cpus=1 3.83-4.98s vs
   task_cpus=2 5.34s; NER task_cpus=1 7.99s vs task_cpus=2 6.20-6.98s.
