@@ -127,7 +127,29 @@ def _medic_spec() -> ModelSpec:
     )
 
 
-SPECS = {"fr-medical-ner": _ner_spec, "medic": _medic_spec}
+def _patient_spec() -> ModelSpec:
+    """The patient sub-model (PatientParser.java:147-182 analog): shared
+    token basis plus the five word-identity cues its labeler keys on
+    (birth marker + trailing article, 'ans' age idiom, IPP/NIP id
+    keywords, sex keywords — all synthesized at pack time, _SYNTH)."""
+    from .kernels.labels import PATIENT_LABELS
+    from .kernels.subparsers import parse_patient_tokens
+
+    return ModelSpec(
+        "patient", PATIENT_LABELS,
+        TRAIN_FEATURES[:-1] + (
+            "is_born_marker", "is_le_after_born", "is_ans_cue",
+            "is_idno_kw", "is_sex_kw", "bias",
+        ),
+        parse_patient_tokens,
+    )
+
+
+SPECS = {
+    "fr-medical-ner": _ner_spec,
+    "medic": _medic_spec,
+    "patient": _patient_spec,
+}
 
 TS_DDL = (
     "doc_id string, seq array<int>, tok_idx array<int>, "
@@ -135,19 +157,50 @@ TS_DDL = (
 )
 
 
+def _synth_le_after_born(t: pd.DataFrame) -> np.ndarray:
+    # 'née le 02/02/1962': the article rides the birth marker — same
+    # frame-wide roll the patient labeler applies (subparsers.py:380-382)
+    born = t["low"].isin({"née", "né", "nee", "ne"}).to_numpy()
+    prev_born = np.roll(born, 1)
+    if len(born):
+        prev_born[0] = False
+    return t["low"].eq("le").to_numpy() & prev_born
+
+
+# Synthesized feature bits: per-spec cues the shared token_features frame
+# does not carry as columns. Each mirrors the corresponding surrogate
+# labeler EXACTLY (the distillation gold must be representable in the
+# feature basis, or the refit can never close the gap).
+_SYNTH = {
+    # medic labeler's email cue (subparsers.py parse_medic_tokens)
+    "has_at": lambda t: t["tok"].str.contains("@", na=False).to_numpy(),
+    # patient labeler cues (subparsers.py parse_patient_tokens)
+    "is_born_marker": lambda t: t["low"]
+    .isin({"née", "né", "nee", "ne"})
+    .to_numpy(),
+    "is_le_after_born": _synth_le_after_born,
+    "is_ans_cue": lambda t: (
+        t["low"].eq("ans") | (t["is_num"] & t["low"].shift(-1).eq("ans"))
+    ).to_numpy(),
+    "is_idno_kw": lambda t: t["low"].isin({"ipp", "nip"}).to_numpy(),
+    "is_sex_kw": lambda t: t["low"]
+    .isin({"sexe", "féminin", "feminin", "masculin"})
+    .to_numpy(),
+}
+
+
 def pack_features(
     toks: pd.DataFrame, features: tuple[str, ...] = TRAIN_FEATURES
 ) -> np.ndarray:
     """Token feature frame → one int64 bitmask per token (bit i ⇔
-    features[i]). 'bias' (always-on) and 'has_at' (the medic labeler's
-    email cue) are synthesized; everything else reads a boolean
-    token_features column."""
+    features[i]). 'bias' (always-on) and the _SYNTH cues are synthesized;
+    everything else reads a boolean token_features column."""
     bits = np.zeros(len(toks), dtype=np.int64)
     for i, name in enumerate(features):
         if name == "bias":
             col = None
-        elif name == "has_at":
-            col = toks["tok"].str.contains("@", na=False).to_numpy()
+        elif name in _SYNTH:
+            col = _SYNTH[name](toks)
         else:
             col = toks[name].to_numpy()
         if col is None:
@@ -1077,6 +1130,29 @@ def q_train_medic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("epoch")
 
 
+def q_train_patient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch metrics of the PATIENT sub-model refit (PatientParser
+    analog) on the fixture corpus — third ModelSpec instantiation (own
+    14-label space, 48-bit layout with five synthesized word-identity
+    cues); trained-vs-surrogate micro-F1 898 at these settings (persname
+    939, address 920)."""
+    spec = SPECS["patient"]()
+    ts = _fixture_training_set(spark, spec).cache()
+    try:
+        _, _, metrics = train(
+            ts, epochs=_Q_EPOCHS, shards=_Q_SHARDS, batch_docs=_Q_BATCH,
+            n_feats=spec.n_feats, n_labels=spec.n_labels,
+        )
+    finally:
+        ts.unpersist()
+    rows = [
+        (m["epoch"], m["n_updates"], m["token_acc_milli"]) for m in metrics
+    ]
+    return spark.createDataFrame(
+        rows, schema="epoch int, n_updates bigint, token_acc_milli bigint"
+    ).orderBy("epoch")
+
+
 def q_train_ner_deploy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEPLOY composition: train on the fixture corpus, then run the
     TRAINED decoder inside the extraction cascade (`run_trained_ner`) over
@@ -1145,6 +1221,7 @@ OPS = {
     "train_ner": q_train_ner,
     "train_ner_eval": q_train_ner_eval,
     "train_medic": q_train_medic,
+    "train_patient": q_train_patient,
     "train_ner_deploy": q_train_ner_deploy,
     "train_split_eval": q_train_split_eval,
     "train_nfold": q_train_nfold,
@@ -1258,6 +1335,15 @@ ORACLES: dict[str, str] = {
     "train_ner": _ORACLE_TRAIN,
     "train_ner_eval": _ORACLE_TRAIN_EVAL,
     "train_medic": _ORACLE_TRAIN_MEDIC,
+    "train_patient": """
+SELECT * FROM (VALUES
+ (0, CAST(25 AS BIGINT), CAST(299 AS BIGINT)),
+ (1, 27, 547), (2, 25, 670), (3, 26, 667), (4, 23, 706), (5, 24, 648),
+ (6, 25, 670), (7, 25, 700), (8, 23, 749), (9, 23, 772), (10, 21, 804),
+ (11, 21, 849)
+) AS t(epoch, n_updates, token_acc_milli)
+ORDER BY epoch
+""",
     "train_ner_deploy": _ORACLE_TRAIN_DEPLOY,
     "train_split_eval": _ORACLE_TRAIN_SPLIT,
     "train_nfold": """

@@ -339,15 +339,22 @@ def test_matmul_exact_property():
         )
 
 
-def test_medic_spec_trains_with_own_layout(spark, fixture_docs_pdf):
-    """ModelSpec genericity: the medic sub-model trains through the same
-    kernel with its OWN label space and bit layout (incl. the synthesized
-    has_at cue), distributed bit-equal to the serial twin; layouts are
-    per-spec so the NER masks are untouched by the extra feature."""
+@pytest.mark.parametrize("name,extra", [
+    ("medic", ("has_at",)),
+    ("patient", ("is_born_marker", "is_le_after_born", "is_ans_cue",
+                 "is_idno_kw", "is_sex_kw")),
+])
+def test_sub_specs_train_with_own_layout(spark, fixture_docs_pdf, name,
+                                         extra):
+    """ModelSpec genericity: each sub-model trains through the same
+    kernel with its OWN label space and bit layout (incl. its synthesized
+    cues), distributed bit-equal to the serial twin; layouts are per-spec
+    so the NER masks are untouched by the extra features."""
     from grobid_clinical_report_spark.schema import DOCUMENTS_SCHEMA
 
-    spec = trainer.SPECS["medic"]()
-    assert spec.n_feats == _NF + 1 and "has_at" in spec.features
+    spec = trainer.SPECS[name]()
+    assert spec.n_feats == _NF + len(extra)
+    assert all(e in spec.features and e in trainer._SYNTH for e in extra)
     assert trainer.SPECS["fr-medical-ner"]().features == trainer.TRAIN_FEATURES
     docs = spark.createDataFrame(fixture_docs_pdf, schema=DOCUMENTS_SCHEMA)
     ts = trainer.build_training_set(docs, spec=spec).cache()
