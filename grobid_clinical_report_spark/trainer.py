@@ -284,6 +284,24 @@ def _emissions(
     return _matmul_exact(X8, W)
 
 
+def _serving_emissions(
+    X8: np.ndarray, W: np.ndarray, t_abs: int, t_max: int
+) -> np.ndarray:
+    """_emissions + a corpus-decode int32 narrowing pass. Trained weights
+    usually overflow the sgemm tier (so _emissions lands int64), but the
+    DP bound over the ACTUAL emission extrema often still fits int32 —
+    halving the general-transition decode's memory traffic. Training's
+    mini-batch decodes measured and rejected the extra pass (their
+    buffers sit in cache either way); the corpus-scale serve/eval decode
+    is bandwidth-bound, where it pays (BENCH/TRAINER.md)."""
+    em = _emissions(X8, W, t_abs, t_max)
+    if em.dtype == np.int64 and len(em):
+        em_abs = max(int(em.max()), -int(em.min()), 0)
+        if t_max * (em_abs + t_abs + 1) < (1 << 31):
+            em = em.astype(np.int32)
+    return em
+
+
 _BLAS_PINNED = False
 
 
@@ -807,7 +825,7 @@ def predict(
             d_lens = np.diff(np.append(starts, len(f)))
             t_hi = int(d_lens.max(initial=0))
             pred = viterbi_segments(
-                _emissions(
+                _serving_emissions(
                     _unpack_u8(f, wf.shape[0]), wf,
                     int(np.abs(tf).max(initial=0)), t_hi,
                 ),
@@ -896,21 +914,11 @@ def run_trained_ner(
             f = pack_features(toks, features)
             starts = seg_starts(toks["line_key"].to_numpy())
             lens = np.diff(np.append(starts, len(f)))
-            t_abs = int(np.abs(tf).max(initial=0))
-            t_hi = int(lens.max(initial=0))
-            em = _emissions(_unpack_u8(f, wf.shape[0]), wf, t_abs, t_hi)
-            if em.dtype == np.int64 and len(em):
-                # serving-only narrowing: trained weights usually overflow
-                # the sgemm tier (so _emissions lands int64), but the DP
-                # bound over the ACTUAL emission extrema often still fits
-                # int32 — halving the general-transition decode's memory
-                # traffic. (Training measured and rejected this extra
-                # pass: its mini-batch decodes are small enough to sit in
-                # cache either way; the corpus-scale serving decode is
-                # bandwidth-bound.)
-                em_abs = max(int(em.max()), -int(em.min()), 0)
-                if t_hi * (em_abs + t_abs + 1) < (1 << 31):
-                    em = em.astype(np.int32)
+            em = _serving_emissions(
+                _unpack_u8(f, wf.shape[0]), wf,
+                int(np.abs(tf).max(initial=0)),
+                int(lens.max(initial=0)),
+            )
             flat = viterbi_segments(em, starts, tf)
             toks["label"] = pd.Series(labels[flat], index=toks.index)
             yield _batch_from_flat(doc_ids, tokens_to_spans(toks))
