@@ -210,7 +210,14 @@ def body_spans(df: pd.DataFrame) -> pd.DataFrame:
     flow).  Media lines contribute their `media_ref`; caption lines
     contribute text; both fuse into one `figure` span when adjacent (C3).
     """
-    d = df[~(df["is_blank"] | df["is_page_break"])].copy()
+    # prune to the 8 consumed columns BEFORE the row filter + copy: the
+    # input is the ~40-column featurized frame and the mask-take over all
+    # of it was pure allocation waste
+    d = df.loc[
+        ~(df["is_blank"] | df["is_page_break"]),
+        ["doc_id", "seq", "text", "media_ref", "offset", "label",
+         "block_id", "is_media"],
+    ].copy()
     if d.empty:
         return pd.DataFrame(
             columns=["doc_id", "kind", "text", "media_ref", "offset"]

@@ -136,7 +136,10 @@ def broadcast_line_labels_to_tokens(
     )
 
 
-def repeated_pattern_flags(lines: pd.DataFrame) -> pd.Series:
+def repeated_pattern_flags(
+    lines: pd.DataFrame,
+    text_enc: tuple[np.ndarray, "object"] | None = None,
+) -> pd.Series:
     """F1: boilerplate detector. A line's normalized pattern that occurs on
     ≥2 distinct pages of the same document, positioned in the first-2 or
     last-2 content lines of its page, is flagged as repetitive (running
@@ -145,19 +148,28 @@ def repeated_pattern_flags(lines: pd.DataFrame) -> pd.Series:
     Vectorized: normalize → groupby(doc, pattern).nunique(page) → flag.
     (Reference hashes the pattern via FeatureFactory.getPattern and counts
     doc-wide repeats; same semantics.)
+
+    ``text_enc``: optional (codes, unique_strings) dictionary-encoding of
+    the text column (featurize_lines computes one for its own feature
+    passes); the 3-pass normalization then runs over the unique strings
+    only and the pattern codes compose through the gather.
     """
     from . import arrowtext as at
 
-    norm_arr = at.strip(
+    if text_enc is None:
+        enc = at.arr_of(lines["text"]).dictionary_encode()
+        t_codes, t_uniq = np.asarray(enc.indices), enc.dictionary
+    else:
+        t_codes, t_uniq = text_enc
+    norm_u = at.strip(
         at.replace(
-            at.replace(at.lower(at.arr_of(lines["text"])), r"\d+", "#"),
+            at.replace(at.lower(t_uniq), r"\d+", "#"),
             r"\s+",
             " ",
         )
     )
     from .segments import seg_cumsum, seg_sizes, seg_starts, seg_sum_transform
 
-    norm = norm_arr.to_numpy(zero_copy_only=False)
     content = (~(lines["is_blank"] | lines["is_page_break"])).to_numpy()
     n = len(lines)
 
@@ -175,8 +187,17 @@ def repeated_pattern_flags(lines: pd.DataFrame) -> pd.Series:
     edge = (pos_in_page <= 2) | (pos_in_page >= page_len - 1)
 
     # pages_seen per (doc, pattern): unique (doc,pat,page) triples, counted
-    # per (doc,pat) — all in sorted-integer space, no hash groupby
-    pat_codes = pd.factorize(norm)[0].astype(np.int64)
+    # per (doc,pat) — all in sorted-integer space, no hash groupby.
+    # Distinct texts can normalize to the SAME pattern, so the unique-text
+    # norms are re-coded (Arrow dictionary_encode) and composed through
+    # the text gather: pat_codes[i] = norm_code_of_unique[t_codes[i]]
+    import pyarrow.compute as pc
+
+    norm_enc = norm_u.dictionary_encode()
+    u_pat = np.asarray(norm_enc.indices, dtype=np.int64)
+    pat_codes = u_pat[t_codes]
+    u_empty = pc.equal(norm_u, "").to_numpy(zero_copy_only=False)
+    norm_nonempty = ~u_empty[t_codes]
     comp = doc_codes * (1 << 42) + pat_codes * (1 << 20) + page
     uniq = np.unique(comp)
     dp_of_uniq = uniq >> 20
@@ -186,7 +207,7 @@ def repeated_pattern_flags(lines: pd.DataFrame) -> pd.Series:
     idx = np.searchsorted(dp_sorted_keys, comp >> 20)
     pages_seen = counts[idx]
 
-    flag = (pages_seen >= 2) & edge & content & (norm != "")
+    flag = (pages_seen >= 2) & edge & content & norm_nonempty
     return pd.Series(flag, index=lines.index)
 
 

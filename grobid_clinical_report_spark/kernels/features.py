@@ -48,7 +48,14 @@ def featurize_lines(
     (tokenize.assign_blocks_pages).
 
     String features run on Arrow compute kernels (kernels/arrowtext.py) —
-    one RE2 pass per feature over the whole column, no per-row Python.
+    one RE2 pass per feature, no per-row Python — over the batch's
+    DICTIONARY of unique line strings, expanded back by one int gather per
+    feature (guide §4.2 per-task work): corpus lines are repetitive
+    (~55-60% unique on the bench corpora — headers, footers, short
+    boilerplate), and every feature below except the positional ones is a
+    pure function of the line text, so each RE2 pass shrinks by the
+    duplication factor at the cost of a cheap fancy-index.
+
     Features are accumulated in a dict and attached with ONE from-dict
     copy=False construction: ~35 individual column inserts would
     re-consolidate the pandas block manager each time (measured ~10%% of
@@ -56,10 +63,15 @@ def featurize_lines(
     vstack + consolidation pass the from-dict build avoids.
 
     ``profile``: 'body' skips the header/left-note-only lexicon passes
-    (time/email/web/city/month/year/dose + the ratio profiles — full-column
-    RE2 scans unused by the segmenter/body models); 'all' computes everything.
+    (time/email/web/city + the shape classes — full-column RE2 scans unused
+    by the segmenter/body models); 'all' computes everything.
     """
-    txt = at.arr_of(lines["text"])
+    import pyarrow.compute as pc
+
+    txt_full = at.arr_of(lines["text"])
+    enc = txt_full.dictionary_encode()
+    codes = np.asarray(enc.indices)
+    txt = enc.dictionary  # unique line strings
     low = at.lower(txt)
     stripped = at.strip(txt)
     f: dict[str, np.ndarray] = {}
@@ -72,9 +84,6 @@ def featurize_lines(
     f["rel_pos"] = seg_position(dstarts, n) / np.maximum(
         seg_size_transform(dstarts, n), 1
     )
-    f["pos_bin"] = np.minimum(
-        (f["rel_pos"] * NBBINS_POSITION).astype(np.int64), NBBINS_POSITION - 1
-    )
 
     page_key = doc * (1 << 20) + lines["page_id"].to_numpy()
     pstarts = seg_starts(page_key)
@@ -82,25 +91,29 @@ def featurize_lines(
         seg_size_transform(pstarts, n), 1
     )
 
-    raw_len = at.length(txt)
-    f["line_len"] = raw_len
+    # unique-level (u_*) features, expanded via [codes] below
+    u_raw_len = at.length(txt)
+    f["line_len"] = u_raw_len[codes]
     # all-caps: uppercase-stable text with ≥3 letters. upper()+equality is
     # ~4× cheaper than the two count_substring_regex scans it replaces
     # (count dominates the featurizer profile; contains/equality do not)
-    import pyarrow.compute as pc
-
-    f["all_caps"] = at.contains(
+    u_all_caps = at.contains(
         txt, r"(?:[A-Za-zÀ-ÖØ-öø-ÿ].*){3}"
     ) & pc.equal(pc.utf8_upper(txt), txt).to_numpy(zero_copy_only=False)
-    f["starts_upper"] = at.match(txt, r"[A-ZÀ-ÖØ]")
-    f["ends_colon"] = at.contains(stripped, r":$")
-    f["ends_period"] = at.contains(stripped, r"\.$")
-    f["is_bullet"] = at.match(txt, _BULLET_RE)
+    f["all_caps"] = u_all_caps[codes]
+    u_starts_upper = at.match(txt, r"[A-ZÀ-ÖØ]")
+    f["starts_upper"] = u_starts_upper[codes]
+    u_ends_colon = at.contains(stripped, r":$")
+    f["ends_colon"] = u_ends_colon[codes]
+    u_ends_period = at.contains(stripped, r"\.$")
+    f["ends_period"] = u_ends_period[codes]
+    u_is_bullet = at.match(txt, _BULLET_RE)
+    f["is_bullet"] = u_is_bullet[codes]
     # token count via separator-RUN count: a run of internal spaces/tabs is
     # one separator (plain count_substring(' ') inflated column-aligned
     # table lines, shifting heading_shaped / doctype cues — ADVICE r2)
     stripped_len = at.length(stripped)
-    f["n_tokens"] = np.where(
+    u_n_tokens = np.where(
         stripped_len == 0,
         0,
         pc.count_substring_regex(stripped, "[ \t]+").to_numpy(
@@ -108,34 +121,43 @@ def featurize_lines(
         )
         + 1,
     )
-    f["single_token"] = f["n_tokens"] == 1
-    f["starts_lower"] = at.match(txt, r"[a-zà-öø-ÿ]")
+    f["n_tokens"] = u_n_tokens[codes]
+    f["starts_lower"] = at.match(txt, r"[a-zà-öø-ÿ]")[codes]
 
     # regex/dictionary flags (F8 lexicon; FeatureFactory email/http/month/year)
-    f["has_date"] = at.contains(txt, lx.RE_DATE.pattern)
-    f["has_phone"] = at.contains(txt, lx.RE_PHONE.pattern)
-    f["has_postcode"] = at.contains(txt, lx.RE_POSTCODE.pattern)
-    f["has_ipp"] = at.contains(txt, at.word_bounded(r"IPP|NIP|N°\s*dossier"))
+    f["has_date"] = at.contains(txt, lx.RE_DATE.pattern)[codes]
+    f["has_phone"] = at.contains(txt, lx.RE_PHONE.pattern)[codes]
+    f["has_postcode"] = at.contains(txt, lx.RE_POSTCODE.pattern)[codes]
+    f["has_ipp"] = at.contains(
+        txt, at.word_bounded(r"IPP|NIP|N°\s*dossier")
+    )[codes]
     if profile == "all":
-        f.update(_extra_features(txt, low, raw_len))
-    f["has_medic_title"] = at.contains(
+        f.update(
+            {
+                k: v[codes]
+                for k, v in _extra_features(txt, low, u_raw_len).items()
+            }
+        )
+    u_medic_title = at.contains(
         low, at.word_bounded(r"dr|pr|docteur|professeur")
     )
-    f["has_patient_title"] = at.contains(
+    f["has_medic_title"] = u_medic_title[codes]
+    u_patient_title = at.contains(
         low,
         at.word_bounded(r"madame|monsieur|mme|mlle|mademoiselle|patiente?"),
     )
-    f["has_person_title"] = f["has_medic_title"] | f["has_patient_title"]
-    f["has_fax_word"] = at.contains(low, at.word_bounded("fax"))
-    f["has_docnum"] = at.match(txt, r"\s*N°\s*[\d-]+\s*$")
-    f["has_birth"] = at.contains(low, at.word_bounded(r"née?\s+le"))
-    f["has_role_word"] = at.contains(low, _any_re(lx.ROLE_WORDS))
-    f["has_org_word"] = at.contains(low, _any_re(lx.ORG_WORDS))
-    f["has_doctype_word"] = at.contains(low, _any_re(lx.DOCTYPE_WORDS))
-    f["has_street_word"] = at.contains(low, _any_re(lx.STREET_WORDS))
+    f["has_patient_title"] = u_patient_title[codes]
+    f["has_person_title"] = (u_medic_title | u_patient_title)[codes]
+    f["has_fax_word"] = at.contains(low, at.word_bounded("fax"))[codes]
+    f["has_docnum"] = at.match(txt, r"\s*N°\s*[\d-]+\s*$")[codes]
+    f["has_birth"] = at.contains(low, at.word_bounded(r"née?\s+le"))[codes]
+    f["has_role_word"] = at.contains(low, _any_re(lx.ROLE_WORDS))[codes]
+    f["has_org_word"] = at.contains(low, _any_re(lx.ORG_WORDS))[codes]
+    f["has_doctype_word"] = at.contains(low, _any_re(lx.DOCTYPE_WORDS))[codes]
+    f["has_street_word"] = at.contains(low, _any_re(lx.STREET_WORDS))[codes]
     f["is_page_number"] = at.match(
         low, r"\s*(?:page\s+)?\d+\s*(?:/\s*\d+)?\s*$"
-    )
+    )[codes]
 
     # token-shape classes (F3/F4 depth: HeaderMedicalParser.java:410-813
     # per-token 1-4-char prefix/suffix + case-shape features, rebuilt as
@@ -145,14 +167,14 @@ def featurize_lines(
     # Capitalized-forename shape marks bare person names without titles
     f["has_specialty_word"] = at.contains(
         low, r"[a-zà-öø-ÿ]{3,}(?:logie|iatrie|urgie|érapie|erapie)\b"
-    )
+    )[codes]
     _name_tok = r"[A-ZÀ-ÖØ][A-Za-zÀ-ÖØ-öø-ÿ'’.-]*"
     f["name_shaped"] = (
         at.match(txt, rf"\s*{_name_tok}(?: +{_name_tok}){{1,3}}\s*$")
         & at.contains(txt, r"[A-ZÀ-ÖØ]{3,}")   # an ALLCAPS surname token
         & at.contains(txt, r"[A-ZÀ-ÖØ][a-zà-öø-ÿ]")  # a Mixed-Cap token
         & ~at.contains(txt, r"\d")
-    )
+    )[codes]
 
     # zone-cue vocabularies for the geometry-free rightnote/marginnote
     # surrogates (the reference separates these zones by x-coordinates,
@@ -160,90 +182,59 @@ def featurize_lines(
     # recipient blocks and NB-style annotations stand in)
     f["has_recipient_word"] = at.contains(
         low, r"\b(?:destinataire|à l'attention|a l'attention|copie à|copie a)"
-    )
-    f["is_margin_note"] = at.match(low, r"\s*(?:nb\s*[:.]|\*\s)")
+    )[codes]
+    f["is_margin_note"] = at.match(low, r"\s*(?:nb\s*[:.]|\*\s)")[codes]
 
-    # block-edge status (FeaturesVectorMedical block status features)
-    lib = lines["line_in_block"].to_numpy()
-    f["block_first"] = lib == 0
-    f["block_last"] = lib == lines["block_len"].to_numpy() - 1
     f["first_page"] = lines["page_id"].to_numpy() == 0
-
-    # indentation / alignment surrogates (FullMedicalTextParser.java:319-723
-    # alignmentStatus; HeaderMedicalParser.java:547-563 font/indent deltas —
-    # no layout geometry in the span model, leading whitespace stands in)
-    f["indent"] = raw_len - at.length(at.lstrip(txt))
-    prev_indent = np.roll(f["indent"], 1)
-    same_doc = np.roll(lines["doc_id"].to_numpy(), 1) == lines[
-        "doc_id"
-    ].to_numpy()
-    f["indent_changed"] = (f["indent"] != prev_indent) & same_doc
-    if n:
-        f["indent_changed"][0] = False
 
     # heading-shaped: a block-opening capitalized short line with no
     # terminal punctuation and no digits — the structural (keyword-free)
     # signature of a section head in reports that use neither ALL-CAPS nor
     # colon conventions (standalone heading, or heading atop its paragraph)
-    f["heading_shaped"] = (
-        f["block_first"]
-        & f["starts_upper"]
-        & ~f["ends_period"]
-        & ~f["ends_colon"]
-        & ~f["all_caps"]
-        & ~f["is_bullet"]
-        & (f["n_tokens"] >= 1)
-        & (f["n_tokens"] <= 5)
-        & (raw_len <= 40)
+    lib = lines["line_in_block"].to_numpy()
+    u_heading = (
+        u_starts_upper
+        & ~u_ends_period
+        & ~u_ends_colon
+        & ~u_all_caps
+        & ~u_is_bullet
+        & (u_n_tokens >= 1)
+        & (u_n_tokens <= 5)
+        & (u_raw_len <= 40)
         & ~at.contains(txt, r"\d")  # contains is ~12× cheaper than count
     )
-
-    # media adjacency (bitmapAround/vectorAround surrogate,
-    # MedicalReportSegmenterParser.java:342-351)
-    med = lines["is_media"].to_numpy()
-    docn = lines["doc_id"].to_numpy()
-    prev_media = np.roll(med, 1) & (np.roll(docn, 1) == docn)
-    next_media = np.roll(med, -1) & (np.roll(docn, -1) == docn)
-    if n:
-        prev_media[0] = False
-        next_media[-1] = False
-    f["media_before"] = prev_media
-    f["media_after"] = next_media
+    f["heading_shaped"] = (lib == 0) & u_heading[codes]
 
     # ONE from-dict copy=False construction (same fix as subparsers.
     # token_features): DataFrame(f)+axis-1 concat vstacked the bool
     # features and re-consolidated the block manager; from-dict keeps
-    # each column its own block and downstream access is per-column
+    # each column its own block and downstream access is per-column.
+    # Input columns pass through as their original Series (Arrow-backed
+    # text stays Arrow-backed — downstream at.arr_of calls stay zero-copy)
     out = pd.DataFrame(
-        {**{c: lines[c].to_numpy() for c in lines.columns}, **f},
+        {**{c: lines[c] for c in lines.columns}, **f},
         index=lines.index,
         copy=False,
     )
-    # F1 boilerplate (needs page structure already attached)
-    out["repeated_pattern"] = repeated_pattern_flags(out).to_numpy()
+    # F1 boilerplate (needs page structure already attached); reuses this
+    # pass's text dictionary-encoding instead of re-encoding
+    out["repeated_pattern"] = repeated_pattern_flags(
+        out, text_enc=(codes, txt)
+    ).to_numpy()
     return out
 
 
 def _extra_features(txt, low, raw_len) -> dict[str, np.ndarray]:
     """The header/left-note-only feature block ('all' minus 'body'): the
-    expensive full-column RE2 passes (the CITIES_FR / month alternations,
-    time/email/web/dose) plus the ratio profiles. Never consumed by the
-    segmenter or body models."""
-    length = np.maximum(raw_len, 1)
+    expensive full-column RE2 passes (the CITIES_FR alternation,
+    time/email/web) plus the shape classes. Never consumed by the
+    segmenter or body models. All pure functions of the line text —
+    callers pass the batch's unique-string dictionary and expand."""
+    _ = raw_len  # kept in the signature for callers that precompute it
     f: dict[str, np.ndarray] = {}
-    f["len_bin"] = np.minimum(
-        (raw_len / 80.0 * LINESCALE).astype(np.int64), LINESCALE
-    )
-    f["digit_ratio"] = at.count(txt, r"\d") / length
-    f["punct_ratio"] = at.count(txt, r"[^\w\s]") / length
     f["has_time"] = at.contains(txt, lx.RE_TIME.pattern)
     f["has_email"] = at.contains(txt, lx.RE_EMAIL.pattern)
     f["has_web"] = at.contains(txt, lx.RE_WEB.pattern)
-    f["has_year"] = at.contains(txt, lx.RE_YEAR.pattern)
-    f["has_dose"] = at.contains(
-        low, at.word_bounded(r"\d+(?:[.,]\d+)?\s*(?:mg|g|ml|ui|µg|mcg)")
-    )
-    f["has_month_word"] = at.contains(low, _any_re(set(lx.MONTHS_FR)))
     # textual French date ('le 3 mars 2021', '1er avril 98') — RE_DATE only
     # covers numeric forms; headers date datelines both ways
     months_alt = "|".join(sorted(lx.MONTHS_FR, key=len, reverse=True))
@@ -275,10 +266,15 @@ def featurize_extras(lines: pd.DataFrame) -> pd.DataFrame:
     computes the 'all'-only extras on a SUBSET frame — the ~10 header/
     left-note-zone lines per ~150-line document — instead of burning the big
     gazetteer scans on the whole corpus. Same columns as profile='all'."""
-    txt = at.arr_of(lines["text"])
-    f = _extra_features(txt, at.lower(txt), at.length(txt))
+    enc = at.arr_of(lines["text"]).dictionary_encode()
+    codes = np.asarray(enc.indices)
+    txt = enc.dictionary
+    f = _extra_features(txt, at.lower(txt), None)
     return pd.DataFrame(
-        {**{c: lines[c].to_numpy() for c in lines.columns}, **f},
+        {
+            **{c: lines[c] for c in lines.columns},
+            **{k: v[codes] for k, v in f.items()},
+        },
         index=lines.index,
         copy=False,
     )

@@ -150,12 +150,24 @@ def merge_header_fields(df: pd.DataFrame) -> pd.DataFrame:
     first_of_field = ~d.duplicated(subset=["doc_id", "label"], keep="first")
     d = d[~keep_one | first_of_field]
 
+    # ' ; ' concatenation via Arrow group_join over contiguous
+    # (doc, label) groups (the former .agg(" ; ".join) was a per-group
+    # Python call — the header merge's profiled hotspot). Each group's
+    # first row after the (doc, label, offset) sort carries min(offset),
+    # and the final offset sort below restores the emission order (field
+    # first-offsets are distinct lines, so the order is total).
+    from .cluster import group_join
+
+    d = d.sort_values(["doc_id", "label", "offset"], kind="stable")
+    first = (~d.duplicated(subset=["doc_id", "label"])).to_numpy()
+    grp = np.cumsum(first) - 1
     agg = (
-        d.sort_values(["doc_id", "offset"], kind="stable")
-        .groupby(["doc_id", "label"], sort=False)
-        .agg(text=("text_n", " ; ".join), offset=("offset", "min"))
-        .reset_index()
+        d.loc[first, ["doc_id", "label", "offset"]]
         .rename(columns={"label": "kind"})
+        .reset_index(drop=True)
+    )
+    agg["text"] = group_join(
+        d["text_n"].to_numpy(), grp, sep=" ; "
     )
     # ISO-normalize the merged date (C2 enrichment)
     is_date = agg["kind"].eq("date")

@@ -79,18 +79,16 @@ def ner_emissions(t: pd.DataFrame) -> np.ndarray:
     em[:, _IX["location"]] += w(4.0) * (t["is_city"] | t["suf_city"]).to_numpy()
     # person-TYPE mentions ('la patiente', 'le médecin') — standalone
     # descriptors, NOT titles attached to a following name (<persType>)
-    perstype_word = t["low"].isin(
-        ["patient", "patiente", "patients", "patientes", "médecin",
-         "medecin", "médecins", "infirmier", "infirmière"]
-    ).to_numpy()
+    # (is_perstype_word/is_ans/next_is_ans are unique-form features from
+    # token_features — the former .isin/.eq here hashed the full object
+    # 'low' column per call)
     em[:, _IX["perstype"]] += w(6.0) * (
-        perstype_word & ~t["next_is_cap"].to_numpy()
+        t["is_perstype_word"].to_numpy() & ~t["next_is_cap"].to_numpy()
     )
 
     # age: '50 ans'
-    same_line = t["line_key"].eq(t["line_key"].shift(-1))
-    age_num = t["is_num"] & t["low"].shift(-1).eq("ans") & same_line
-    em[:, _IX["age"]] += w(6.0) * (t["low"].eq("ans") | age_num).to_numpy()
+    age_num = (t["is_num"] & t["next_is_ans"]).to_numpy()
+    em[:, _IX["age"]] += w(6.0) * (t["is_ans"].to_numpy() | age_num)
 
     # dose attachment: numbers/units right after a drug extend the medicament
     dose_tok = (t["is_num"] | t["is_unit"]).to_numpy()

@@ -50,12 +50,15 @@ def token_features(toks: pd.DataFrame) -> pd.DataFrame:
     from . import arrowtext as at
 
     n = len(toks)
-    codes, uniq = pd.factorize(toks["tok"], sort=False)
 
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    tok_u = pa.array(uniq, type=pa.string())
+    # Arrow dictionary encode (zero-copy when tok is already Arrow-backed,
+    # as explode_tokens now ships it): codes + the unique-form dictionary
+    enc = at.arr_of(toks["tok"]).dictionary_encode()
+    codes = np.asarray(enc.indices)
+    tok_u = enc.dictionary
     low_u = pc.utf8_lower(tok_u)
     low_u_np = low_u.to_numpy(zero_copy_only=False)
     f: dict[str, np.ndarray] = {"low": low_u_np[codes]}
@@ -72,7 +75,9 @@ def token_features(toks: pd.DataFrame) -> pd.DataFrame:
     f["is_time"] = M(r"\d{1,2}[hH:]\d{2}")
     f["is_num"] = M(r"\d+(?:[.,]\d+)?")
     f["is_punct"] = M(r"[^\wÀ-ÖØ-öø-ÿ]")
-    f["is_period"] = (uniq == ".")[codes]
+    f["is_period"] = pc.equal(tok_u, ".").to_numpy(zero_copy_only=False)[
+        codes
+    ]
     f["is_cap"] = at.match(tok_u, r"[A-ZÀ-ÖØ][a-zà-öø-ÿ]")[codes]
     f["is_allcaps"] = M(r"[A-ZÀ-ÖØ]{2,}")
     f["is_stop"] = ISIN(lx.STOPWORDS_FR)
@@ -125,6 +130,17 @@ def token_features(toks: pd.DataFrame) -> pd.DataFrame:
     # sentence-final period: a hard cluster boundary (vs. 'Pr.' abbreviation
     # periods which continue the name)
     f["is_sent_period"] = f["is_period"] & ~f["prev_abbrev"]
+    # person-TYPE words + the age cue, computed here on the unique-form
+    # dictionary (ner_emissions previously ran .isin/.eq over the full
+    # object 'low' column — per-row Python string hashing/compares on the
+    # corpus hot path)
+    f["is_perstype_word"] = ISIN(
+        {"patient", "patiente", "patients", "patientes", "médecin",
+         "medecin", "médecins", "infirmier", "infirmière"}
+    )
+    is_ans = pc.equal(low_u, "ans").to_numpy(zero_copy_only=False)[codes]
+    f["is_ans"] = is_ans
+    f["next_is_ans"] = np.roll(is_ans, -1) & next_same
     for lex_name, lex_set in lx.MEDICAL_SETS.items():
         f[f"lex_{lex_name}"] = ISIN(lex_set)
     # suffix-class features (FeaturesVectorMedicalNER's 1-4 char prefix/
@@ -167,8 +183,11 @@ def token_features(toks: pd.DataFrame) -> pd.DataFrame:
     # pandas block management; from-dict is near-free and downstream
     # per-column .to_numpy() access is unchanged — consumers never take
     # row slices wide enough for lazy consolidation to bite back)
+    # input columns pass through as their original Series — Arrow-backed
+    # tok/gap stay Arrow-backed (no object materialization; the span
+    # reconstruction's arr_of calls stay zero-copy)
     return pd.DataFrame(
-        {**{c: toks[c].to_numpy() for c in toks.columns}, **f},
+        {**{c: toks[c] for c in toks.columns}, **f},
         index=toks.index,
         copy=False,
     )

@@ -39,7 +39,9 @@ def tokenize_column(text: pd.Series) -> pd.Series:
     return text.fillna("").str.findall(TOKEN_RE)
 
 
-def explode_tokens(lines: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+def explode_tokens(
+    lines: pd.DataFrame, text_col: str = "text", drop_text: bool = False
+) -> pd.DataFrame:
     """Flat lines DataFrame → flat tokens DataFrame.
 
     Input columns: at least [doc_id, seq, text]; output adds:
@@ -54,8 +56,16 @@ def explode_tokens(lines: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     alternating [gap, tok, gap, tok, …, gap] list, and list_flatten /
     list_parent_indices explode it in C++ — position parity separates
     tokens from gaps (pandas str.findall was a per-row Python re loop, the
-    former tokenizer hotspot).
+    former tokenizer hotspot). tok/gap come back ARROW-BACKED (no object
+    materialization; downstream arr_of calls are zero-copy).
+
+    ``drop_text``: skip replicating the line-text column onto every token
+    row — the extraction token models never read it (pipeline's
+    _content_tokens audit), and carrying it through the per-token take +
+    later frame rebuilds was pure waste. Default False: corpus_import and
+    the tests rely on the pass-through.
     """
+    import pyarrow as pa
     import pyarrow.compute as pc
 
     from . import arrowtext as at
@@ -80,21 +90,26 @@ def explode_tokens(lines: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     is_tok = (pos % 2) == 1  # odd positions are the bracketed matches
 
     tok_idx_flat = np.flatnonzero(is_tok)
-    flat_np = flat.to_numpy(zero_copy_only=False)
     # codepoint lengths in Arrow (pandas .str.len over object arrays is a
     # per-row Python map — profiled at ~1/3 of this kernel)
     flat_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
-    toks = flat_np[tok_idx_flat]
-    gaps = flat_np[tok_idx_flat - 1]  # element before = preceding gap
-    parents = parent[tok_idx_flat]
-
-    keep = ~np.isin(toks, list(JUNK_TOKENS))
-    toks, gaps, parents = toks[keep], gaps[keep], parents[keep]
+    toks_arr = flat.take(pa.array(tok_idx_flat))
+    keep_a = pc.invert(
+        pc.is_in(
+            toks_arr,
+            value_set=pa.array(sorted(JUNK_TOKENS), type=pa.string()),
+        )
+    )
+    keep = keep_a.to_numpy(zero_copy_only=False)
     kept_idx = tok_idx_flat[keep]
+    toks_arr = toks_arr.filter(keep_a)
+    gaps_arr = flat.take(pa.array(kept_idx - 1))  # element before = gap
+    parents = parent[kept_idx]
 
-    out = lines.reset_index(drop=True).take(parents).reset_index(drop=True)
-    out["tok"] = toks
-    out["gap"] = gaps
+    src = lines.drop(columns=[text_col]) if drop_text else lines
+    out = src.reset_index(drop=True).take(parents).reset_index(drop=True)
+    out["tok"] = at.series_of(toks_arr, index=out.index)
+    out["gap"] = at.series_of(gaps_arr, index=out.index)
     doc = out["doc_id"].to_numpy()
     if not np.issubdtype(doc.dtype, np.integer):
         doc = pd.factorize(doc)[0]

@@ -154,9 +154,13 @@ def flat_extract_full(lines: pd.DataFrame) -> pd.DataFrame:
 
     # trailing zones: consecutive same-zone lines merge into one span per
     # block (reference: back-matter <div type=annex|acknowledgement>)
-    tail = lines[
+    # (both tail subsets pruned to consumed columns — the full featurized
+    # frame is ~40 columns wide)
+    tail = lines.loc[
         lines["zone"].isin(["annex", "acknowledgement"])
-        & ~(lines["is_blank"] | lines["is_page_break"])
+        & ~(lines["is_blank"] | lines["is_page_break"]),
+        ["doc_id", "seq", "text", "media_ref", "offset", "zone",
+         "block_id", "is_media", "is_blank", "is_page_break"],
     ].copy()
     if not tail.empty:
         tail["label"] = tail["zone"]
@@ -164,9 +168,10 @@ def flat_extract_full(lines: pd.DataFrame) -> pd.DataFrame:
     else:
         spans_tail = _EMPTY_SPANS
 
-    notes = lines[
+    notes = lines.loc[
         lines["zone"].isin(["footnote", "headnote"])
-        & ~(lines["is_blank"] | lines["is_page_break"])
+        & ~(lines["is_blank"] | lines["is_page_break"]),
+        ["doc_id", "zone", "text", "offset"],
     ].copy()
     if not notes.empty:
         spans_notes = pd.DataFrame(
@@ -229,7 +234,10 @@ def _content_tokens(lines: pd.DataFrame) -> pd.DataFrame:
     # 7.0s → 2.4s for the explode; the token models use only token-level
     # features, never line features — verified by column-usage audit)
     content = content[["doc_id", "seq", "text", "offset"]]
-    toks = explode_tokens(content)
+    # drop_text: the token models never read the line text again — without
+    # it the per-token replication take and every later frame rebuild are
+    # 3 int columns + the Arrow tok/gap arrays, no string column
+    toks = explode_tokens(content, drop_text=True)
     if toks.empty:
         return toks
     return sub_k.token_features(toks)
@@ -480,6 +488,13 @@ def _batch_from_flat(doc_ids: pa.Array, flat: pd.DataFrame) -> pa.RecordBatch:
     return pa.RecordBatch.from_arrays([doc_ids, spans], names=["doc_id", "spans"])
 
 
+def _arr_str(s: pd.Series) -> pa.Array:
+    """Series → Arrow string array, zero-copy for Arrow-backed columns."""
+    from .kernels.arrowtext import arr_of
+
+    return arr_of(s)
+
+
 TRAINING_DDL = "doc_id string, seq int, text string, label string"
 TRAINING_NER_DDL = (
     "doc_id string, seq int, tok_idx int, text string, label string"
@@ -517,8 +532,8 @@ def run_training_ner(df):
                         toks["tok_idx"].to_numpy().astype(np.int32),
                         type=pa.int32(),
                     ),
-                    pa.array(toks["tok"].astype(str), type=pa.string()),
-                    pa.array(toks["label"].astype(str), type=pa.string()),
+                    _arr_str(toks["tok"]),
+                    _arr_str(toks["label"]),
                 ],
                 names=["doc_id", "seq", "tok_idx", "text", "label"],
             )
