@@ -148,9 +148,13 @@ def main(argv: list[str] | None = None) -> int:
             job_tag=job_tag,
         )
         if args.process_quarantine and metrics["quarantined"]:
+            # the whale pass uses the SAME decoder as the main pass — with
+            # --weights the trained decoder, never the surrogate cascade
+            # (one output directory must hold one decoder's spans)
             metrics["quarantine_pass"] = process_quarantined(
                 spark, args.input, args.output,
                 mode=args.mode, max_spans=args.max_spans,
+                extract_fn=extract_fn,
             )
     finally:
         spark.stop()

@@ -73,16 +73,23 @@ def explode_tokens(
 
     arr = at.arr_of(lines[text_col])
     arr = pc.coalesce(arr, "")
+    # dictionary-encode first: the TOKEN_RE bracketing pass (the big RE2
+    # alternation, this kernel's dominant cost) runs over the ~60%-unique
+    # line dictionary; the per-row token lists are then replicated by one
+    # C++ list take in codes order — identical output rows
+    enc = arr.dictionary_encode()
+    codes = enc.indices
+    uniq = enc.dictionary
     # \x00 is the bracketing sentinel below, but NULs are also legal input
     # (dirty PDF text — JUNK_TOKENS lists '\x00'). Map them to U+FFFD first:
     # '�' matches TOKEN_RE's punctuation alternative and is junk-filtered,
     # which is exactly what the old findall path did with the NUL token —
     # adjacent tokens stay separate and the sentinel is guaranteed absent.
-    arr = pc.replace_substring(arr, pattern="\x00", replacement="�")
+    uniq = pc.replace_substring(uniq, pattern="\x00", replacement="�")
     marked = pc.replace_substring_regex(
-        arr, f"({TOKEN_RE})", "\x00\\1\x00"
+        uniq, f"({TOKEN_RE})", "\x00\\1\x00"
     )
-    parts = pc.split_pattern(marked, "\x00")
+    parts = pc.split_pattern(marked, "\x00").take(codes)
     flat = pc.list_flatten(parts)
     parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
     n_flat = len(flat)

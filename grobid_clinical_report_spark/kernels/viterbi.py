@@ -301,7 +301,13 @@ def _decode_dense(emis: np.ndarray, transitions: np.ndarray) -> np.ndarray:
         safe16 = emis.dtype == np.int16 and max_t * step < (1 << 14) - 64
         acc = emis.dtype if safe16 else _acc_dtype(emis.dtype)
     dp = emis[:, 0, :].astype(acc, copy=True)
-    back = np.empty((b, max_t, n_lab), dtype=np.int32)
+    # int8 backpointers when labels fit (all current models: L ≤ 27):
+    # back is the largest tensor the DP touches ((B, T, L), written every
+    # step, read back once) — quartering its bytes matters on a
+    # bandwidth-bound box. Values are label indices < 128; identical.
+    back = np.empty(
+        (b, max_t, n_lab), dtype=np.int8 if n_lab <= 127 else np.int32
+    )
     neg = _neg_sentinel(dp.dtype)
 
     mv, scalar = _col_move(transitions)
@@ -388,7 +394,10 @@ def _dp_padded(
 
     # forward max-product
     dp = emis[:, 0, :].astype(acc, copy=True)  # (B, L)
-    back = np.zeros((b, max_t, n_lab), dtype=np.int32)
+    # int8 backpointers when labels fit — see _decode_dense
+    back = np.zeros(
+        (b, max_t, n_lab), dtype=np.int8 if n_lab <= 127 else np.int32
+    )
 
     # structured fast path (_step_structured): constant-move (sticky) and
     # column-structured (body model) matrices decompose the prev→next max

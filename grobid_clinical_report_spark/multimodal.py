@@ -520,6 +520,17 @@ def sample_frames(media: DataFrame) -> DataFrame:
             return probe_y4m(raw).duration_ms
         return probe_wav(raw).duration_ms
 
+    # pre-filter in the JVM: image rows yield no frames, yet their payloads
+    # were being CONSTRUCTED (the md5-repeat pixel SQL) and shipped through
+    # Arrow to Python just to be dropped by the mapper's own filter. The
+    # filter on media_type collapses into the projection, so the payload
+    # expression is never evaluated for non-time media; the select prunes
+    # the width/height columns the probe never reads (guide §4.1: pass
+    # only the columns the function needs).
+    media = media.where(
+        "media_type LIKE 'video/%' OR media_type LIKE 'audio/%'"
+    ).select("doc_id", "media_ref", "payload", "media_type")
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             vid = pdf[

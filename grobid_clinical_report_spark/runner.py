@@ -322,6 +322,7 @@ def process_quarantined(
     mode: str = "extract_full",
     max_spans: int = DEFAULT_MAX_SPANS,
     continuity_cap: int | None = None,
+    extract_fn=None,
 ) -> dict:
     """Second-pass whale processing: quarantine must not blackhole data.
 
@@ -357,9 +358,16 @@ def process_quarantined(
     whole = heavy.filter(F.size("spans") <= continuity_cap)
     big = heavy.filter(F.size("spans") > continuity_cap)
 
-    # un-windowed path: one task per whale, exact zone continuity
+    # un-windowed path: one task per whale, exact zone continuity.
+    # ``extract_fn`` (e.g. a trained-weight decoder from __main__
+    # --weights) decodes the whale pass too — otherwise surrogate-decoded
+    # quarantine spans would land next to trained-weight buckets in one
+    # output directory (two decoders' outputs silently mixed)
+    fn = extract_fn if extract_fn is not None else (
+        lambda df: run_mode(df, mode)
+    )
     tasks = spark.sparkContext.defaultParallelism
-    out_whole = run_mode(salt_partition(whole, tasks), mode)
+    out_whole = fn(salt_partition(whole, tasks))
 
     chunked = big.selectExpr(
         "doc_id",
@@ -376,7 +384,7 @@ def process_quarantined(
         F.concat_ws("\x1f", "doc_id", F.col("chunk_id").cast("string")),
     ).drop("chunk_id")
 
-    extracted = run_mode(chunked, mode)
+    extracted = fn(chunked)
     merged = (
         extracted.withColumn(
             "doc_id", F.substring_index(F.col("doc_id"), "\x1f", 1)

@@ -363,7 +363,9 @@ def build_training_set(docs: DataFrame, spec: ModelSpec | None = None) -> DataFr
             if batch.num_rows == 0:
                 continue
             doc_ids, raw = _lines_from_batch(batch)
-            lines = prepare_lines(raw, profile="body")
+            # 'minimal': featurization is token-level only (same audit as
+            # run_trained_ner — line features are never read here)
+            lines = prepare_lines(raw, profile="minimal")
             if lines.empty:
                 continue
             toks = _content_tokens(lines)
@@ -903,7 +905,11 @@ def run_trained_ner(
             if batch.num_rows == 0:
                 continue
             doc_ids, raw = _lines_from_batch(batch)
-            lines = prepare_lines(raw, profile="body")
+            # 'minimal': the token path consumes only token-level features
+            # (run_mode("ner") uses the same profile) — the line
+            # featurization was wasted work in the serving hot path
+            # (ADVICE r7)
+            lines = prepare_lines(raw, profile="minimal")
             if lines.empty:
                 yield _batch_from_flat(doc_ids, _EMPTY_SPANS)
                 continue
@@ -1202,13 +1208,18 @@ def q_train_split_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction, token P/R/F1 on the HELD-OUT docs (micro 750 at these
     settings — generalization, vs train_ner_eval's 910 on seen docs)."""
     ts = _fixture_training_set(spark).cache()
-    prf, _, _, _ = train_split_eval(
-        ts, split_milli=800,
-        epochs=_Q_EPOCHS, shards=_Q_SHARDS, batch_docs=_Q_BATCH,
-    )
-    # ts stays cached until the returned plan is consumed (predict reads
-    # the holdout filter of it); the fixture set is tiny.
-    return prf.orderBy("label")
+    try:
+        prf, _, _, _ = train_split_eval(
+            ts, split_milli=800,
+            epochs=_Q_EPOCHS, shards=_Q_SHARDS, batch_docs=_Q_BATCH,
+        )
+        # localCheckpoint materializes the eval result (eager) so the
+        # cached fixture set can be released before returning — the former
+        # lazy return leaked the cached blocks for the session lifetime
+        # (ADVICE r7)
+        return prf.orderBy("label").localCheckpoint()
+    finally:
+        ts.unpersist()
 
 
 def q_train_nfold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1217,12 +1228,15 @@ def q_train_nfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     P/R/F1 on each held-out fold (861/792/731 milli at these settings —
     every document scored exactly once by a model that never saw it)."""
     ts = _fixture_training_set(spark).cache()
-    # ts stays cached until the returned union plan is consumed (the three
-    # per-fold predicts read it); the fixture set is tiny.
-    return train_nfold_eval(
-        ts, n_folds=3,
-        epochs=_Q_EPOCHS, shards=_Q_SHARDS, batch_docs=_Q_BATCH,
-    ).orderBy("fold")
+    try:
+        # localCheckpoint materializes the per-fold union (eager) so the
+        # cached fixture set can be released before returning (ADVICE r7)
+        return train_nfold_eval(
+            ts, n_folds=3,
+            epochs=_Q_EPOCHS, shards=_Q_SHARDS, batch_docs=_Q_BATCH,
+        ).orderBy("fold").localCheckpoint()
+    finally:
+        ts.unpersist()
 
 
 OPS = {
