@@ -124,35 +124,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 _DRIVER_CAP = 50
 
-# Code that changed this round (round 7): the Viterbi decoder's integer-
-# accumulation fix (→ every fixture-parity extraction/parse/training
-# query), the star-components fixpoint check + the verified-pair-table
-# materialization refactor (→ dedup_neardup_pairs, dedup_components and
-# their composition curate_corpus), and the two NEW operator families
-# (label evaluation, external-corpus import — first driver verification).
-# Untouched this round: the other textops, similarity, relational,
-# multimodal, anonymize, mixing, derive_spans.
+# Code that changed this round (round 8, the optimization round): the
+# extraction kernel optimizations — dictionary-encoded line/token
+# featurization, Arrow-native token path, int8 Viterbi backpointers —
+# touch every fixture-parity extraction/parse/training query; the trainer
+# serving/packing featurization profile + the split-eval/n-fold
+# unpersist fix touch every train_* query; sample_frames gained the JVM
+# time-media pre-filter (media_frame_sample). All output-identical
+# (snapshot-pinned), but churned code is never what rotates out.
 _CHURNED_THIS_ROUND = frozenset(
     list(fixture_oracle.OPS)
-    + ["dedup_neardup_pairs", "dedup_components", "curate_corpus"]
-    + list(evaluate.OPS)
-    + list(corpus_import.OPS)
-    # round 7 late addition: the mode-0 trainer (first driver verification)
     + list(trainer.OPS)
+    + ["media_frame_sample"]
 )
 
 # Rotation contract (VERDICT r6 next #5): whatever sat outside LAST round's
 # window is pinned inside this round's, so no query misses two consecutive
 # driver verifications. Updated each round alongside _CHURNED_THIS_ROUND
-# from the previous round's rotated_out() record in COVERAGE.md.
+# from the previous round's rotated_out() record in COVERAGE.md (the r7
+# list at COVERAGE.md:248-258).
 _ROTATED_OUT_LAST_ROUND = frozenset(
     {
-        "derive_spans",
-        "rel_corpus_stats",
-        "rel_length_quantiles",
-        "rel_event_windows",
-        "rel_asof_join",
-        "rel_range_join",
+        "media_metadata",
+        "media_decode_features",
+        "media_frame_sample",
+        "anonymize_text",
+        "sample_mix",
+        "pack_sequences",
+        "rawtext",
+        "corpus_filter",
+        "guardrail_filter",
+        "dedup_exact",
+        "langid",
+        "quality_score",
+        "lm_quality",
+        "gopher_repetition",
+        "decontaminate",
+        "kmv_distinct",
+        "token_count",
+        "fingerprint",
     }
 )
 
