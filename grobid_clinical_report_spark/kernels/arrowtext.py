@@ -59,6 +59,47 @@ def match(arr: pa.Array, pattern: str) -> np.ndarray:
     return contains(arr, p)
 
 
+def count_sep_runs(arr: pa.Array) -> np.ndarray:
+    """Maximal [ \\t]+ runs per string — numpy over the raw UTF-8 buffer.
+
+    Byte-exact equivalent of ``count(arr, "[ \\t]+")`` (pinned by a
+    randomized parity test): space/tab are single-byte UTF-8 and
+    continuation bytes are ≥ 0x80, so the byte-level mask can't split or
+    invent runs inside multibyte codepoints. The RE2 count was the single
+    most expensive featurizer scan (~6× any boolean contains — it must
+    walk every match, not stop at the first); three vectorized passes over
+    the byte buffer + a sparse bincount replace it. Falls back to the RE2
+    kernel for null-bearing or non-string inputs."""
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    if arr.null_count or not pa.types.is_string(arr.type):
+        return (
+            pc.fill_null(pc.count_substring_regex(arr, "[ \t]+"), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    databuf = arr.buffers()[2]
+    if databuf is None or offs[-1] == offs[0]:
+        return np.zeros(n, dtype=np.int64)
+    data = np.frombuffer(databuf, dtype=np.uint8)[offs[0] : offs[-1]]
+    offs = offs - offs[0]
+    sep = (data == 0x20) | (data == 0x09)
+    run_start = sep.copy()
+    run_start[1:] &= ~sep[:-1]
+    # string boundaries: a sep at a string's first byte opens a run even
+    # when the previous string's last byte was a sep
+    starts = offs[:-1]
+    vs = starts[starts < offs[1:]]  # non-empty strings only
+    run_start[vs] = sep[vs]
+    pos = np.flatnonzero(run_start)
+    idx = np.searchsorted(offs, pos, side="right") - 1
+    return np.bincount(idx, minlength=n).astype(np.int64)
+
+
 def count(arr: pa.Array, pattern: str) -> np.ndarray:
     return (
         pc.count_substring_regex(arr, pattern)

@@ -103,23 +103,26 @@ def featurize_lines(
     f["all_caps"] = u_all_caps[codes]
     u_starts_upper = at.match(txt, r"[A-ZÀ-ÖØ]")
     f["starts_upper"] = u_starts_upper[codes]
-    u_ends_colon = at.contains(stripped, r":$")
+    # literal suffix probes: pc.ends_with is ~4× cheaper than the RE2
+    # anchors and exactly equivalent (RE2's default $ is end-of-text)
+    u_ends_colon = pc.ends_with(stripped, pattern=":").to_numpy(
+        zero_copy_only=False
+    )
     f["ends_colon"] = u_ends_colon[codes]
-    u_ends_period = at.contains(stripped, r"\.$")
+    u_ends_period = pc.ends_with(stripped, pattern=".").to_numpy(
+        zero_copy_only=False
+    )
     f["ends_period"] = u_ends_period[codes]
     u_is_bullet = at.match(txt, _BULLET_RE)
     f["is_bullet"] = u_is_bullet[codes]
     # token count via separator-RUN count: a run of internal spaces/tabs is
     # one separator (plain count_substring(' ') inflated column-aligned
-    # table lines, shifting heading_shaped / doctype cues — ADVICE r2)
+    # table lines, shifting heading_shaped / doctype cues — ADVICE r2).
+    # The run count itself is the numpy byte-buffer kernel — the RE2 count
+    # was the featurizer's single most expensive scan (parity-pinned)
     stripped_len = at.length(stripped)
     u_n_tokens = np.where(
-        stripped_len == 0,
-        0,
-        pc.count_substring_regex(stripped, "[ \t]+").to_numpy(
-            zero_copy_only=False
-        )
-        + 1,
+        stripped_len == 0, 0, at.count_sep_runs(stripped) + 1
     )
     f["n_tokens"] = u_n_tokens[codes]
     f["starts_lower"] = at.match(txt, r"[a-zà-öø-ÿ]")[codes]
@@ -169,11 +172,12 @@ def featurize_lines(
         low, r"[a-zà-öø-ÿ]{3,}(?:logie|iatrie|urgie|érapie|erapie)\b"
     )[codes]
     _name_tok = r"[A-ZÀ-ÖØ][A-Za-zÀ-ÖØ-öø-ÿ'’.-]*"
+    u_has_digit = at.contains(txt, r"\d")  # shared with heading_shaped
     f["name_shaped"] = (
         at.match(txt, rf"\s*{_name_tok}(?: +{_name_tok}){{1,3}}\s*$")
         & at.contains(txt, r"[A-ZÀ-ÖØ]{3,}")   # an ALLCAPS surname token
         & at.contains(txt, r"[A-ZÀ-ÖØ][a-zà-öø-ÿ]")  # a Mixed-Cap token
-        & ~at.contains(txt, r"\d")
+        & ~u_has_digit
     )[codes]
 
     # zone-cue vocabularies for the geometry-free rightnote/marginnote
@@ -201,7 +205,7 @@ def featurize_lines(
         & (u_n_tokens >= 1)
         & (u_n_tokens <= 5)
         & (u_raw_len <= 40)
-        & ~at.contains(txt, r"\d")  # contains is ~12× cheaper than count
+        & ~u_has_digit  # one \d scan shared with name_shaped
     )
     f["heading_shaped"] = (lib == 0) & u_heading[codes]
 

@@ -217,10 +217,19 @@ def tokens_to_spans(
     contract of the reference NER output
     (FrenchMedicalNERParser.java:560-797)."""
     d = t.copy(deep=False)
-    d["_cl"] = rle_cluster_ids(d["line_key"], d["label"])
+    cl = rle_cluster_ids(d["line_key"], d["label"])
+    d["_cl"] = cl
 
-    first_of_cl = ~d.duplicated("_cl")
-    last_of_cl = ~d.duplicated("_cl", keep="last")
+    # cluster ids are nondecreasing (rle_cluster_ids is a cumsum), so the
+    # first/last-member masks are one diff each — pd.duplicated hashed the
+    # corpus-sized int column twice
+    first_of_cl = np.empty(len(d), dtype=bool)
+    last_of_cl = np.empty(len(d), dtype=bool)
+    if len(d):
+        first_of_cl[0] = True
+        first_of_cl[1:] = cl[1:] != cl[:-1]
+        last_of_cl[-1] = True
+        last_of_cl[:-1] = cl[1:] != cl[:-1]
     # span text = first token verbatim + Σ(gap+tok): built entirely in
     # Arrow (binary_join over a ListArray sliced at cluster starts) — the
     # former np.where object-concat + reduceat join was per-row Python
@@ -234,7 +243,7 @@ def tokens_to_spans(
     gap_arr = pc.coalesce(at.arr_of(d["gap"]), "")
     withgap = pc.binary_join_element_wise(gap_arr, tok_arr, "")
     piece = pc.if_else(
-        pa.array(first_of_cl.to_numpy()), tok_arr, withgap
+        pa.array(first_of_cl), tok_arr, withgap
     )
     starts = seg_starts(d["_cl"].to_numpy())
     offsets = pa.array(

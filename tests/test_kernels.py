@@ -283,6 +283,43 @@ def test_n_tokens_counts_separator_runs():
     assert out["n_tokens"].tolist() == [2, 3, 2]
 
 
+def test_count_sep_runs_matches_regex_count():
+    """The numpy byte-buffer run counter is byte-exact vs the RE2
+    `[ \\t]+` count it replaced (r8 optimization), including multibyte
+    UTF-8, NULs, slices, and null-bearing fallback inputs."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from grobid_clinical_report_spark.kernels import arrowtext as at
+
+    cases = [
+        "", " ", "  ", "\t", " \t ", "a", "a b", "a  b", "a\tb",
+        "a \t b", "  a", "a  ", "é è ü", "mot\tmot mot", "\n \n",
+        " a b ", "αβ γ\tδ", "🎉 🎊", "a\x00b c", "x" * 300 + " y",
+    ]
+    rng = random.Random(7)
+    alphabet = " \ta béà \n🎉:.-0123456789"
+    cases += [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        for _ in range(500)
+    ]
+    arr = pa.array(cases, type=pa.string())
+    want = pc.count_substring_regex(arr, "[ \t]+").to_numpy(
+        zero_copy_only=False
+    )
+    assert (at.count_sep_runs(arr) == want).all()
+    sl = arr.slice(3, 200)  # non-zero offset view
+    want_sl = pc.count_substring_regex(sl, "[ \t]+").to_numpy(
+        zero_copy_only=False
+    )
+    assert (at.count_sep_runs(sl) == want_sl).all()
+    withnull = pa.array(["a b", None, " \t"], type=pa.string())
+    assert at.count_sep_runs(withnull).tolist() == [1, 0, 1]
+    assert at.count_sep_runs(pa.array([], type=pa.string())).tolist() == []
+
+
 def test_contiguous_pieces():
     off = np.array([0, 5, 11, 40, 46])
     assert contiguous_pieces(off, max_gap=10).tolist() == [0, 0, 0, 1, 1]
