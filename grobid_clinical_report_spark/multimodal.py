@@ -154,7 +154,19 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     'ingest' side a real pipeline would read from object storage."""
     is_vid = "doc_id % 4 = 3"
     is_aud = "doc_id % 4 = 2"
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+    # spread BEFORE the payload synthesis (same gated pattern as
+    # textops._load_wide): the test tiers ship documents.parquet as one
+    # row group, so every parquet split but one is empty and the payload
+    # CASE — which explodes ~1 KB of text into up to ~90 KB of container
+    # bytes per row — serialized on a single core (measured 5.35 s for the
+    # sf1 frame-sample leg with 5 of 6 tasks idle). The repartition
+    # shuffles only the pre-synthesis text columns; at production scale
+    # the scan has many files and the shuffle is skipped entirely.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < n:
+        docs = docs.repartition(n)
+    return docs.selectExpr(
         "cast(doc_id as string) as doc_id",
         f"concat('img/', doc_id, case when {is_vid} then '/0.y4m'"
         f" when {is_aud} then '/0.wav'"
