@@ -39,10 +39,32 @@ _DOT = (
 _NORM2 = "aggregate(transform({v}, x -> x * x), cast(0 as bigint), (acc, v) -> acc + v)"
 
 
+def _emb(spark: SparkSession, sf_dir: str, wide: bool = False) -> DataFrame:
+    """Quantized embeddings scan (vec_id, qv).
+
+    ``wide``: parallelism-gated spread (same pattern as
+    textops._load_wide) — the test tiers ship embeddings.parquet as ONE
+    row group, so every parquet split but one is empty and any heavy
+    stage directly above the scan serializes on a single core. Applied
+    ONLY where that stage is genuinely heavy per row and non-iterative
+    (brute-force rescore, IVF cell assignment: measured 2.21->1.05 s and
+    1.68->1.21 s at the sf1 tier); the clusters/prune/dedup family and
+    the LSH signature path measured FLAT-to-slower with the spread (the
+    added exchange outweighs the scan skew on their iterative or
+    already-shuffled plans), so they keep the plain scan. The
+    repartition moves only the ~N x DIM vectors and is skipped entirely
+    when the scan already has enough splits (production tables have many
+    files); quantization runs post-spread, in parallel."""
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if wide:
+        n = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < n:
+            df = df.repartition(n)
+    return df.selectExpr("vec_id", f"{_QVEC} as qv")
+
+
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
-        "vec_id", f"{_QVEC} as qv"
-    )
+    emb = _emb(spark, sf_dir, wide=True)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).selectExpr(
         "vec_id as q_id", "qv as qa"
     )
@@ -173,9 +195,7 @@ def _sigs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).sum(axis=2).astype(np.int32)
         return pd.Series(list(packed))
 
-    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
-        "vec_id", f"{_QVEC} as qv"
-    )
+    base = _emb(spark, sf_dir)
     sig_cols = [f"sigs[{j}] as s{j}" for j in range(LSH_TABLES)]
     return base.withColumn("sigs", sigs_udf("qv")).selectExpr(
         "vec_id", "qv", *sig_cols
@@ -501,9 +521,7 @@ def _ivf_train(spark: SparkSession, sf_dir: str) -> "np.ndarray":
     cached = _IVF_CENT_CACHE.get(key)
     if cached is not None:
         return cached
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
-        "vec_id", f"{_QVEC} as qv"
-    )
+    emb = _emb(spark, sf_dir)
     seed_rows = (
         emb.filter(
             (F.col("vec_id") >= N_QUERIES)
@@ -569,9 +587,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     cent = _ivf_train(spark, sf_dir)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
-        "vec_id", f"{_QVEC} as qv"
-    )
+    emb = _emb(spark, sf_dir, wide=True)
     lists = emb.withColumn("cell", _ivf_cell_udf(cent)("qv"))
     # probe rows carry qa along the broadcast, so rescore needs no 2nd join
     probes = (
@@ -609,9 +625,7 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle re-derives the trained index in SQL, so assignment is verified
     end-to-end. Map-only at any scale: centroids are broadcast state."""
     cent = _ivf_train(spark, sf_dir)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
-        "vec_id", f"{_QVEC} as qv"
-    )
+    emb = _emb(spark, sf_dir)
     H = cent
 
     @F.pandas_udf("struct<cluster:int, cos_milli:bigint>")
@@ -740,9 +754,7 @@ def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     base = q_embedding_clusters(spark, sf_dir)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
-        "vec_id", f"{_QVEC} as qv"
-    )
+    emb = _emb(spark, sf_dir)
     m = base.join(emb, "vec_id")
     sized = m.withColumn(
         "_csz", F.count("*").over(Window.partitionBy("cluster"))
