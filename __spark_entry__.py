@@ -126,16 +126,21 @@ _DRIVER_CAP = 50
 
 # Code that changed this round (round 8, the optimization round): the
 # extraction kernel optimizations — dictionary-encoded line/token
-# featurization, Arrow-native token path, int8 Viterbi backpointers —
-# touch every fixture-parity extraction/parse/training query; the trainer
-# serving/packing featurization profile + the split-eval/n-fold
-# unpersist fix touch every train_* query; sample_frames gained the JVM
-# time-media pre-filter (media_frame_sample). All output-identical
-# (snapshot-pinned), but churned code is never what rotates out.
+# featurization, Arrow-native token path, int8 Viterbi backpointers, the
+# numpy separator-run counter — touch every fixture-parity extraction/
+# parse/training query; the trainer serving/packing featurization profile
+# + the split-eval/n-fold unpersist fix touch every train_* query;
+# sample_frames gained the JVM time-media pre-filter and media_table the
+# parallelism-gated spread (all three media_* queries); similarity's
+# _emb scan helper (gated spread for the brute-force/IVF rescore paths)
+# touches all six embedding queries. All output-identical
+# (snapshot-pinned + oracle parity), but churned code is never what
+# rotates out.
 _CHURNED_THIS_ROUND = frozenset(
     list(fixture_oracle.OPS)
     + list(trainer.OPS)
-    + ["media_frame_sample"]
+    + list(multimodal.OPS)
+    + list(similarity.OPS)
 )
 
 # Rotation contract (VERDICT r6 next #5): whatever sat outside LAST round's
