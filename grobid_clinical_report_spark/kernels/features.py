@@ -94,14 +94,14 @@ def featurize_lines(
     # unique-level (u_*) features, expanded via [codes] below
     u_raw_len = at.length(txt)
     f["line_len"] = u_raw_len[codes]
-    # all-caps: uppercase-stable text with ≥3 letters. upper()+equality is
-    # ~4× cheaper than the two count_substring_regex scans it replaces
-    # (count dominates the featurizer profile; contains/equality do not)
+    # all-caps: uppercase-stable text with ≥3 letters. The ≥3-letters RE2
+    # contains is cheap (early-exit); the upper()+equality half is the r8
+    # numpy no_lowercase byte kernel (parity-pinned)
     u_all_caps = at.contains(
         txt, r"(?:[A-Za-zÀ-ÖØ-öø-ÿ].*){3}"
-    ) & pc.equal(pc.utf8_upper(txt), txt).to_numpy(zero_copy_only=False)
+    ) & at.no_lowercase(txt)
     f["all_caps"] = u_all_caps[codes]
-    u_starts_upper = at.match(txt, r"[A-ZÀ-ÖØ]")
+    u_starts_upper = at.starts_upper_letter(txt)
     f["starts_upper"] = u_starts_upper[codes]
     # literal suffix probes: pc.ends_with is ~4× cheaper than the RE2
     # anchors and exactly equivalent (RE2's default $ is end-of-text)
@@ -125,7 +125,7 @@ def featurize_lines(
         stripped_len == 0, 0, at.count_sep_runs(stripped) + 1
     )
     f["n_tokens"] = u_n_tokens[codes]
-    f["starts_lower"] = at.match(txt, r"[a-zà-öø-ÿ]")[codes]
+    f["starts_lower"] = at.starts_lower_letter(txt)[codes]
 
     # regex/dictionary flags (F8 lexicon; FeatureFactory email/http/month/year)
     f["has_date"] = at.contains(txt, lx.RE_DATE.pattern)[codes]
@@ -172,7 +172,7 @@ def featurize_lines(
         low, r"[a-zà-öø-ÿ]{3,}(?:logie|iatrie|urgie|érapie|erapie)\b"
     )[codes]
     _name_tok = r"[A-ZÀ-ÖØ][A-Za-zÀ-ÖØ-öø-ÿ'’.-]*"
-    u_has_digit = at.contains(txt, r"\d")  # shared with heading_shaped
+    u_has_digit = at.any_digit(txt)  # shared with heading_shaped
     f["name_shaped"] = (
         at.match(txt, rf"\s*{_name_tok}(?: +{_name_tok}){{1,3}}\s*$")
         & at.contains(txt, r"[A-ZÀ-ÖØ]{3,}")   # an ALLCAPS surname token

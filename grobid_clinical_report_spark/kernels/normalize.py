@@ -35,8 +35,12 @@ def normalize_text(s: pd.Series) -> pd.Series:
     from . import arrowtext as at
 
     arr = at.arr_of(s)
-    arr = at.replace(arr, r"(\w)-\s*\n\s*(\w)", r"\1\2")
-    arr = at.strip(at.replace(arr, _WS, " "))
+    # dehyphenize needs a literal '\n' in the match — when no string in
+    # the batch has one (single-line span texts, the common case), the
+    # RE2 group replace is skipped outright
+    if at.contains_byte(arr, 0x0A).any():
+        arr = at.replace(arr, r"(\w)-\s*\n\s*(\w)", r"\1\2")
+    arr = at.strip(at.collapse_ws_runs(arr))
     return pd.Series(
         arr.to_numpy(zero_copy_only=False), index=s.index, name=s.name
     )

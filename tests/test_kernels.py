@@ -529,3 +529,62 @@ def test_viterbi_general_tiling_exact(monkeypatch):
         monkeypatch.undo()
         np.testing.assert_array_equal(tiled64, whole)
         np.testing.assert_array_equal(tiled32, whole)
+
+
+def test_byte_kernels_match_re2():
+    """The r8 numpy byte-buffer kernels are byte-exact vs the pc/RE2
+    kernels they replace, over randomized inputs covering multibyte UTF-8
+    (Latin-1 C3 pairs, Œ/œ at lead 0xC5, µ at 0xC2, ’ at 0xE2, emoji),
+    NULs, empties, whitespace variants (incl. \\v, which RE2's \\s does
+    NOT match), slices, and null-bearing fallback inputs."""
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from grobid_clinical_report_spark.kernels import arrowtext as at
+
+    cases = [
+        "", " ", "  \t\n x ", "\v", "a\vb", "A B", "àÉç", "Œuf", "cœur",
+        "HÉMATO", "ß", "µmol", "N° 12-34", "a'b'c'd", "l’hôpital",
+        "x" * 300, "1.2.34", "  multi   runs\t\t\nhere ", "\x00nul",
+        "à ö ÷ ×", "ÿStart", "øk", "…", "№", "ＡＢ", "Ñoño",
+    ]
+    rng = random.Random(13)
+    alphabet = " \t\n\v\f\rabzAZÉé'’àöø ÿŒœßµ0159#.:-\x00…x"
+    cases += [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        for _ in range(800)
+    ]
+    arr = pa.array(cases, type=pa.string())
+    variants = [arr, arr.slice(5, 700)]
+    for a in variants:
+        assert pc.replace_substring_regex(a, r"[\s ]+", " ").equals(
+            at.collapse_ws_runs(a)
+        )
+        assert pc.replace_substring_regex(a, r"\d+", "#").equals(
+            at.mask_digit_runs(a)
+        )
+        np.testing.assert_array_equal(
+            at.any_digit(a), at.contains(a, r"\d")
+        )
+        nl_want = pc.match_substring(a, "\n").to_numpy(zero_copy_only=False)
+        np.testing.assert_array_equal(at.contains_byte(a, 0x0A), nl_want)
+        np.testing.assert_array_equal(
+            at.starts_upper_letter(a), at.match(a, r"[A-ZÀ-ÖØ]")
+        )
+        np.testing.assert_array_equal(
+            at.starts_lower_letter(a), at.match(a, r"[a-zà-öø-ÿ]")
+        )
+        np.testing.assert_array_equal(
+            at.no_lowercase(a),
+            pc.equal(pc.utf8_upper(a), a).to_numpy(zero_copy_only=False),
+        )
+    # null-bearing inputs take the pc fallback and stay equivalent
+    wn = pa.array(["A b", None, "12", "ŒUF"], type=pa.string())
+    assert at.mask_digit_runs(wn).to_pylist() == ["A b", None, "#", "ŒUF"]
+    assert at.collapse_ws_runs(wn).to_pylist() == ["A b", None, "12", "ŒUF"]
+    empty = pa.array([], type=pa.string())
+    assert at.collapse_ws_runs(empty).to_pylist() == []
+    assert at.any_digit(empty).tolist() == []
