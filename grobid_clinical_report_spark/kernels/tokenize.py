@@ -34,6 +34,171 @@ TOKEN_RE = (
 JUNK_TOKENS = {"@PAGE", "@IMAGE", "\x00", "�"}
 
 
+def _np_parts(uniq):
+    """TOKEN_RE tokenization as a parts ListArray — the numpy fast path for
+    strings WITHOUT ASCII digits (the date/clock/number alternatives all
+    require \\d, so a digit-free string can only match the word or
+    single-punct alternatives). Produces, per string, the alternating
+    [gap, tok, gap, …, gap] element list that
+    split_pattern(re2-bracketed, "\\x00") yields — byte-exact on that
+    domain (randomized parity test in tests/test_kernels.py) — but
+    assembled from token-boundary offset arithmetic over the raw buffer,
+    zero-copy, with no sentinel insertion and no split:
+
+      word  = L+(['’]L+)?  with L = [A-Za-zÀ-ÖØ-öø-ÿ] (ASCII + lead-0xC3
+              Latin-1 pairs; Œ/œ at lead 0xC5 are NOT letters to this
+              regex and fall through to the punct alternative)
+      punct = any other single non-\\s codepoint (incl. \\v, NBSP, emoji)
+
+    Apostrophe joining follows RE2's leftmost-first semantics: within a
+    chain of letter runs linked by letter-adjacent apostrophes
+    (a'b'c'd…), the 1st, 3rd, … apostrophe joins its two runs (the
+    optional group fires once per word match), the ones between stay
+    single punct tokens. Whitespace ([\\t\\n\\f\\r ]) separates matches and
+    is never bracketed.
+
+    Input must be a null-free pa.string() with NO \\x00 bytes (the caller
+    maps NULs to U+FFFD first) and NO ASCII digits.
+    """
+    import pyarrow as pa
+
+    from . import arrowtext as at
+
+    offs, data = at._np_view(uniq)
+    n = len(offs) - 1
+    if len(data) == 0:
+        # every string is empty → one empty gap element each
+        values = pa.array([""] * n, type=pa.string())
+        return pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32)), values
+        )
+    nd = len(data)
+    starts = offs[:-1]
+    vs = starts[starts < offs[1:]]  # first byte of each non-empty string
+    last = offs[1:][starts < offs[1:]] - 1  # last byte of each
+
+    # --- letter bytes (lead AND continuation of C3 pairs count) ---------
+    fold = data | np.uint8(0x20)
+    ascii_alpha = (fold >= 0x61) & (fold <= 0x7A) & (data < 0x80)
+    c3 = data == 0xC3
+    letter = ascii_alpha
+    if c3.any():
+        nxt = np.empty_like(data)
+        nxt[:-1] = data[1:]
+        nxt[-1] = 0
+        inclass = (
+            (nxt >= 0x80) & (nxt <= 0xBF) & (nxt != 0x97) & (nxt != 0xB7)
+        )
+        pair_lead = c3 & inclass
+        pair_cont = np.zeros_like(pair_lead)
+        pair_cont[1:] = pair_lead[:-1]
+        letter = letter | pair_lead | pair_cont
+    ws = (data == 0x20) | ((data >= 0x09) & (data <= 0x0D) & (data != 0x0B))
+
+    # --- apostrophe join candidates (sparse) -----------------------------
+    member = letter.copy()
+    a1 = data == 0x27
+    a3 = np.zeros_like(a1)
+    if (data == 0xE2).any():
+        a3[: nd - 2] = (
+            (data[: nd - 2] == 0xE2)
+            & (data[1 : nd - 1] == 0x80)
+            & (data[2:] == 0x99)
+        )
+    apos = np.flatnonzero(a1 | a3)
+    if len(apos):
+        alen = np.where(a1[apos], 1, 3)
+        aend = apos + alen  # first byte after the apostrophe
+        sid = np.searchsorted(offs, apos, side="right") - 1
+        before_ok = (apos > offs[sid]) & letter[np.maximum(apos - 1, 0)]
+        after_ok = (aend < offs[sid + 1]) & letter[
+            np.minimum(aend, nd - 1)
+        ]
+        cand = np.flatnonzero(before_ok & after_ok)
+        if len(cand):
+            # letter-run ids at the (sparse) candidate positions only:
+            # run id = #run-starts ≤ pos, via searchsorted over the run
+            # start positions (a full-buffer cumsum was ~30 ms/batch)
+            run_open = letter.copy()
+            run_open[1:] &= ~letter[:-1]
+            run_starts_pos = np.flatnonzero(run_open)
+            c_pos, c_end = apos[cand], aend[cand]
+            prev_run = np.searchsorted(run_starts_pos, c_pos - 1, "right")
+            next_run = np.searchsorted(
+                run_starts_pos, np.minimum(c_end, nd - 1), "right"
+            )
+            brk = np.ones(len(cand), dtype=bool)
+            # a new chain when the linking run differs OR the candidates
+            # sit in different strings (a byte-level letter run can span
+            # two adjacent strings; matches never do)
+            sid_c = sid[cand]
+            brk[1:] = (prev_run[1:] != next_run[:-1]) | (
+                sid_c[1:] != sid_c[:-1]
+            )
+            grp = np.cumsum(brk) - 1
+            first_of_grp = np.flatnonzero(brk)  # one entry per chain
+            joined = ((np.arange(len(cand)) - first_of_grp[grp]) % 2) == 0
+            jpos = c_pos[joined]
+            jlen = np.where(a1[jpos], 1, 3)
+            member[jpos] = True
+            m3 = jpos[jlen == 3]
+            if len(m3):
+                member[m3 + 1] = True
+                member[m3 + 2] = True
+
+    # --- token starts/ends ------------------------------------------------
+    mem_start = member.copy()
+    mem_start[1:] &= ~member[:-1]
+    mem_start[vs] = member[vs]
+    mem_end = member.copy()
+    mem_end[:-1] &= ~member[1:]
+    mem_end[last] = member[last]
+
+    other = ~member & ~ws
+    olead = other & ((data < 0x80) | (data >= 0xC0))
+    start_mask = mem_start | olead
+    end_mask = mem_end
+    opos = np.flatnonzero(olead)
+    if len(opos):
+        b = data[opos]
+        olen = np.where(
+            b < 0x80, 1, np.where(b < 0xE0, 2, np.where(b < 0xF0, 3, 4))
+        )
+        end_mask = end_mask.copy()
+        end_mask[opos + olen - 1] = True
+    tok_starts = np.flatnonzero(start_mask)
+    tok_ends = np.flatnonzero(end_mask)
+    k = len(tok_starts)
+
+    # --- build the parts list DIRECTLY (no sentinels, no split) ----------
+    # split_pattern(marked, "\x00") would yield, per string, the
+    # alternating [gap, tok, gap, …, gap] elements whose boundaries in the
+    # ORIGINAL buffer are exactly: string start, then (tok_start,
+    # tok_end+1) per token, then string end. So the parts ListArray is
+    # assembled from offset arithmetic alone — the values StringArray
+    # shares the input byte buffer zero-copy, and the RE2
+    # replace+split round-trip disappears entirely for this subset.
+    # Tokens are disjoint and ordered, so the i-th token has exactly i
+    # tokens before it: element-offset positions need no searchsorted
+    # except for the per-string token counts.
+    st_en = np.empty(2 * k, dtype=np.int64)
+    st_en[0::2] = tok_starts
+    st_en[1::2] = tok_ends + 1
+    # tokens never straddle strings → tokens-before-string-j via one
+    # sparse searchsorted
+    tau = np.searchsorted(tok_ends, offs[:-1], side="left")
+    val_offs = np.insert(st_en, 2 * tau, offs[:-1])
+    val_offs = np.append(val_offs, offs[-1]).astype(np.int32)
+    n_vals = len(val_offs) - 1
+    values = pa.Array.from_buffers(
+        pa.utf8(), n_vals, [None, pa.py_buffer(val_offs), pa.py_buffer(data)]
+    )
+    list_offs = np.empty(n + 1, dtype=np.int32)
+    list_offs[:-1] = np.arange(n) + 2 * tau
+    list_offs[-1] = n_vals
+    return pa.ListArray.from_arrays(pa.array(list_offs, type=pa.int32()), values)
+
+
 def tokenize_column(text: pd.Series) -> pd.Series:
     """Each element → list[str] of tokens (vectorized str.findall)."""
     return text.fillna("").str.findall(TOKEN_RE)
@@ -86,10 +251,36 @@ def explode_tokens(
     # which is exactly what the old findall path did with the NUL token —
     # adjacent tokens stay separate and the sentinel is guaranteed absent.
     uniq = pc.replace_substring(uniq, pattern="\x00", replacement="�")
-    marked = pc.replace_substring_regex(
-        uniq, f"({TOKEN_RE})", "\x00\\1\x00"
-    )
-    parts = pc.split_pattern(marked, "\x00").take(codes)
+    # hybrid tokenization: the date/clock/number alternatives of TOKEN_RE
+    # all require an ASCII digit, so digit-free lines (~95+% of the unique
+    # dictionary on the bench corpora) take the numpy token-boundary
+    # kernel (_np_parts — byte-exact vs bracket+split, parity-fuzzed,
+    # zero-copy over the line bytes) and only the digit-bearing rest pays
+    # the big RE2 alternation + split
+    dig = at.any_digit(uniq)
+    idx = np.flatnonzero(dig)
+    if at._np_view(uniq) is None or len(idx) == len(uniq):
+        marked = pc.replace_substring_regex(
+            uniq, f"({TOKEN_RE})", "\x00\\1\x00"
+        )
+        parts_u = pc.split_pattern(marked, "\x00")
+    elif len(idx) == 0:
+        parts_u = _np_parts(uniq)
+    else:
+        rest = np.flatnonzero(~dig)
+        m_re2 = pc.replace_substring_regex(
+            uniq.take(pa.array(idx)), f"({TOKEN_RE})", "\x00\\1\x00"
+        )
+        p_re2 = pc.split_pattern(m_re2, "\x00")
+        p_np = _np_parts(uniq.take(pa.array(rest)))
+        inv = np.empty(len(uniq), dtype=np.int64)
+        inv[rest] = np.arange(len(rest))
+        inv[idx] = len(rest) + np.arange(len(idx))
+        parts_u = pa.concat_arrays(
+            [p_np, p_re2.combine_chunks()
+             if isinstance(p_re2, pa.ChunkedArray) else p_re2]
+        ).take(pa.array(inv))
+    parts = parts_u.take(codes)
     flat = pc.list_flatten(parts)
     parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
     n_flat = len(flat)

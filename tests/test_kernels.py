@@ -588,3 +588,66 @@ def test_byte_kernels_match_re2():
     empty = pa.array([], type=pa.string())
     assert at.collapse_ws_runs(empty).to_pylist() == []
     assert at.any_digit(empty).tolist() == []
+
+
+def test_np_parts_matches_re2():
+    """The numpy TOKEN_RE tokenization kernel (digit-free fast path of
+    explode_tokens) produces part lists identical to RE2
+    bracket-then-split, over apostrophe-chain torture cases, multibyte
+    codepoints (Latin-1, Œ/œ, NBSP, emoji), \\v (a token — RE2 \\s does
+    not match it), and sliced arrays."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from grobid_clinical_report_spark.kernels import tokenize as tk
+
+    def re2_mark(a):
+        return pc.replace_substring_regex(
+            a, f"({tk.TOKEN_RE})", "\x00\\1\x00"
+        )
+
+    cases = [
+        "", " ", "mot mot", "l'hôpital", "l’hôpital", "a'b'c'd", "'a'b",
+        "fin'", "’seul", "cœur", "Œuf", "…", "a\vb", "mot-clé",
+        "M. DUPONT", "eà'é’o", "'''", "’’’", "a'’b", "a’'b", "x" * 300,
+        " •🎉 ", "d’emblée l’état",
+    ]
+    rng = random.Random(41)
+    for alphabet in ("a'’b", " a'’ é🎉•øß… b", "ab AZé'’.:-()« "):
+        cases += [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 80)))
+            for _ in range(1200)
+        ]
+    arr = pa.array(cases, type=pa.string())
+
+    def re2_parts(a):
+        return pc.split_pattern(re2_mark(a), "\x00")
+
+    assert re2_parts(arr).equals(tk._np_parts(arr))
+    sl = arr.slice(7, 2000)
+    assert re2_parts(sl).equals(tk._np_parts(sl))
+    allempty = pa.array(["", "", ""], type=pa.string())
+    assert re2_parts(allempty).equals(tk._np_parts(allempty))
+    # the hybrid split inside explode_tokens: mixed digit / digit-free
+    # lines produce identical token frames vs the pure-RE2 bracketing
+    import pandas as pd
+
+    mixed = pd.DataFrame(
+        {
+            "doc_id": [0] * 6,
+            "seq": range(6),
+            "text": [
+                "le 29.04.2000 à 10h30", "l'état stable", "",
+                "dose 2,5 mg/j", "d’emblée…", "12/05/99 13:00",
+            ],
+        }
+    )
+    got = tk.explode_tokens(mixed)
+    want_toks = [
+        "le", "29.04.2000", "à", "10h30", "l'état", "stable",
+        "dose", "2,5", "mg", "/", "j", "d’emblée", "…",
+        "12/05/99", "13:00",
+    ]
+    assert got["tok"].tolist() == want_toks
