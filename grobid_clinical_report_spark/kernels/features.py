@@ -36,8 +36,48 @@ import re as _re
 from . import arrowtext as at
 
 
+def _any_core(vocab: set[str]) -> str:
+    return "|".join(_re.escape(w) for w in sorted(vocab))
+
+
 def _any_re(vocab: set[str]) -> str:
-    return at.word_bounded("|".join(_re.escape(w) for w in sorted(vocab)))
+    return at.word_bounded(_any_core(vocab))
+
+
+# the lowercase-text vocabulary features: (name, core) pairs scanned as
+# word_bounded(core). Their UNION (one RE2 scan, linear regardless of
+# alternation size) gates the per-feature scans: only the ~40% of unique
+# lines with at least one bounded vocab hit pay the 9 individual scans.
+# word_bounded(c1|…|ck) matches iff some word_bounded(ci) does, so the
+# gate is exact.
+_VOCAB_LOW = [
+    ("has_medic_title", r"dr|pr|docteur|professeur"),
+    (
+        "has_patient_title",
+        r"madame|monsieur|mme|mlle|mademoiselle|patiente?",
+    ),
+    ("has_fax_word", "fax"),
+    ("has_birth", r"née?\s+le"),
+    ("has_role_word", None),  # lx.ROLE_WORDS, filled below
+    ("has_org_word", None),
+    ("has_doctype_word", None),
+    ("has_street_word", None),
+]
+# free-form lowercase patterns that join the union as raw alternatives
+_RECIPIENT_RE = (
+    r"\b(?:destinataire|à l'attention|a l'attention|copie à|copie a)"
+)
+_SPECIALTY_RE = r"[a-zà-öø-ÿ]{3,}(?:logie|iatrie|urgie|érapie|erapie)\b"
+
+
+def _vocab_low_cores() -> list[tuple[str, str]]:
+    fills = {
+        "has_role_word": _any_core(lx.ROLE_WORDS),
+        "has_org_word": _any_core(lx.ORG_WORDS),
+        "has_doctype_word": _any_core(lx.DOCTYPE_WORDS),
+        "has_street_word": _any_core(lx.STREET_WORDS),
+    }
+    return [(n, c if c is not None else fills[n]) for n, c in _VOCAB_LOW]
 
 
 def featurize_lines(
@@ -127,13 +167,58 @@ def featurize_lines(
     f["n_tokens"] = u_n_tokens[codes]
     f["starts_lower"] = at.starts_lower_letter(txt)[codes]
 
+    # --- gated scan machinery (r8): two cheap necessary-condition masks
+    # shrink the expensive unanchored RE2 scans to the lines that could
+    # possibly match. (1) digit gate: RE_DATE/PHONE/POSTCODE and the
+    # page-number shape all require an ASCII digit — any_digit is a sparse
+    # byte scan and only ~3% of unique lines qualify. (2) vocab-union
+    # gate: one scan with the union of all lowercase vocab alternatives
+    # (exact: word_bounded(c1|…|ck) ⇔ ∃i word_bounded(ci)) flags the ~40%
+    # of lines with any vocab hit; the 10 per-feature scans then run on
+    # that subset only. Scatter-back is a zero-init + sparse assign.
+    import pyarrow as pa
+
+    n_u = len(txt)
+    u_has_digit = at.any_digit(txt)  # also shared with name/heading_shaped
+    dig_idx = np.flatnonzero(u_has_digit)
+    txt_dig = txt.take(pa.array(dig_idx)) if len(dig_idx) else None
+    low_dig = low.take(pa.array(dig_idx)) if len(dig_idx) else None
+
+    def DSUB(arr_dig, pattern: str, anchored: bool = False) -> np.ndarray:
+        out = np.zeros(n_u, dtype=bool)
+        if arr_dig is not None:
+            out[dig_idx] = (at.match if anchored else at.contains)(
+                arr_dig, pattern
+            )
+        return out
+
+    vc = dict(_vocab_low_cores())
+    union = at.word_bounded("|".join(f"(?:{c})" for c in vc.values()))
+    union = f"(?:{union})|(?:{_RECIPIENT_RE})|(?:{_SPECIALTY_RE})"
+    vidx = np.flatnonzero(at.contains(low, union))
+    low_hit = low.take(pa.array(vidx)) if len(vidx) else None
+
+    def VSUB(pattern: str) -> np.ndarray:
+        out = np.zeros(n_u, dtype=bool)
+        if low_hit is not None:
+            out[vidx] = at.contains(low_hit, pattern)
+        return out
+
     # regex/dictionary flags (F8 lexicon; FeatureFactory email/http/month/year)
-    f["has_date"] = at.contains(txt, lx.RE_DATE.pattern)[codes]
-    f["has_phone"] = at.contains(txt, lx.RE_PHONE.pattern)[codes]
-    f["has_postcode"] = at.contains(txt, lx.RE_POSTCODE.pattern)[codes]
-    f["has_ipp"] = at.contains(
-        txt, at.word_bounded(r"IPP|NIP|N°\s*dossier")
-    )[codes]
+    f["has_date"] = DSUB(txt_dig, lx.RE_DATE.pattern)[codes]
+    f["has_phone"] = DSUB(txt_dig, lx.RE_PHONE.pattern)[codes]
+    f["has_postcode"] = DSUB(txt_dig, lx.RE_POSTCODE.pattern)[codes]
+    # IPP/NIP/N° dossier: every alternative contains a literal 'I' or 'N',
+    # so two sparse byte scans gate the case-sensitive scan
+    ipp_gate = at.contains_byte(txt, 0x49) | at.contains_byte(txt, 0x4E)
+    ipp_idx = np.flatnonzero(ipp_gate)
+    u_ipp = np.zeros(n_u, dtype=bool)
+    if len(ipp_idx):
+        u_ipp[ipp_idx] = at.contains(
+            txt.take(pa.array(ipp_idx)),
+            at.word_bounded(r"IPP|NIP|N°\s*dossier"),
+        )
+    f["has_ipp"] = u_ipp[codes]
     if profile == "all":
         f.update(
             {
@@ -141,25 +226,24 @@ def featurize_lines(
                 for k, v in _extra_features(txt, low, u_raw_len).items()
             }
         )
-    u_medic_title = at.contains(
-        low, at.word_bounded(r"dr|pr|docteur|professeur")
-    )
+    u_medic_title = VSUB(at.word_bounded(vc["has_medic_title"]))
     f["has_medic_title"] = u_medic_title[codes]
-    u_patient_title = at.contains(
-        low,
-        at.word_bounded(r"madame|monsieur|mme|mlle|mademoiselle|patiente?"),
-    )
+    u_patient_title = VSUB(at.word_bounded(vc["has_patient_title"]))
     f["has_patient_title"] = u_patient_title[codes]
     f["has_person_title"] = (u_medic_title | u_patient_title)[codes]
-    f["has_fax_word"] = at.contains(low, at.word_bounded("fax"))[codes]
+    f["has_fax_word"] = VSUB(at.word_bounded(vc["has_fax_word"]))[codes]
     f["has_docnum"] = at.match(txt, r"\s*N°\s*[\d-]+\s*$")[codes]
-    f["has_birth"] = at.contains(low, at.word_bounded(r"née?\s+le"))[codes]
-    f["has_role_word"] = at.contains(low, _any_re(lx.ROLE_WORDS))[codes]
-    f["has_org_word"] = at.contains(low, _any_re(lx.ORG_WORDS))[codes]
-    f["has_doctype_word"] = at.contains(low, _any_re(lx.DOCTYPE_WORDS))[codes]
-    f["has_street_word"] = at.contains(low, _any_re(lx.STREET_WORDS))[codes]
-    f["is_page_number"] = at.match(
-        low, r"\s*(?:page\s+)?\d+\s*(?:/\s*\d+)?\s*$"
+    f["has_birth"] = VSUB(at.word_bounded(vc["has_birth"]))[codes]
+    f["has_role_word"] = VSUB(at.word_bounded(vc["has_role_word"]))[codes]
+    f["has_org_word"] = VSUB(at.word_bounded(vc["has_org_word"]))[codes]
+    f["has_doctype_word"] = VSUB(
+        at.word_bounded(vc["has_doctype_word"])
+    )[codes]
+    f["has_street_word"] = VSUB(
+        at.word_bounded(vc["has_street_word"])
+    )[codes]
+    f["is_page_number"] = DSUB(
+        low_dig, r"\s*(?:page\s+)?\d+\s*(?:/\s*\d+)?\s*$", anchored=True
     )[codes]
 
     # token-shape classes (F3/F4 depth: HeaderMedicalParser.java:410-813
@@ -168,25 +252,28 @@ def featurize_lines(
     # a medical-specialty suffix marks out-of-gazetteer service names
     # ('Hématologie Adulte' has no ORG_WORDS hit), and the ALLCAPS-surname +
     # Capitalized-forename shape marks bare person names without titles
-    f["has_specialty_word"] = at.contains(
-        low, r"[a-zà-öø-ÿ]{3,}(?:logie|iatrie|urgie|érapie|erapie)\b"
-    )[codes]
+    f["has_specialty_word"] = VSUB(_SPECIALTY_RE)[codes]
     _name_tok = r"[A-ZÀ-ÖØ][A-Za-zÀ-ÖØ-öø-ÿ'’.-]*"
-    u_has_digit = at.any_digit(txt)  # shared with heading_shaped
-    f["name_shaped"] = (
+    # evaluation order: the anchored name-shape match is cheap and rare
+    # (~2-5% of lines), so the two ALLCAPS/Mixed-Cap confirm scans run on
+    # its survivors only
+    u_name = (
         at.match(txt, rf"\s*{_name_tok}(?: +{_name_tok}){{1,3}}\s*$")
-        & at.contains(txt, r"[A-ZÀ-ÖØ]{3,}")   # an ALLCAPS surname token
-        & at.contains(txt, r"[A-ZÀ-ÖØ][a-zà-öø-ÿ]")  # a Mixed-Cap token
         & ~u_has_digit
-    )[codes]
+    )
+    nidx = np.flatnonzero(u_name)
+    if len(nidx):
+        sub = txt.take(pa.array(nidx))
+        u_name[nidx] = at.contains(
+            sub, r"[A-ZÀ-ÖØ]{3,}"            # an ALLCAPS surname token
+        ) & at.contains(sub, r"[A-ZÀ-ÖØ][a-zà-öø-ÿ]")  # a Mixed-Cap token
+    f["name_shaped"] = u_name[codes]
 
     # zone-cue vocabularies for the geometry-free rightnote/marginnote
     # surrogates (the reference separates these zones by x-coordinates,
     # MedicalReportSegmenterParser.java; the span model has none, so
     # recipient blocks and NB-style annotations stand in)
-    f["has_recipient_word"] = at.contains(
-        low, r"\b(?:destinataire|à l'attention|a l'attention|copie à|copie a)"
-    )[codes]
+    f["has_recipient_word"] = VSUB(_RECIPIENT_RE)[codes]
     f["is_margin_note"] = at.match(low, r"\s*(?:nb\s*[:.]|\*\s)")[codes]
 
     f["first_page"] = lines["page_id"].to_numpy() == 0

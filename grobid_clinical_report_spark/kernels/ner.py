@@ -51,50 +51,53 @@ def ner_emissions(t: pd.DataFrame) -> np.ndarray:
     def w(x: float) -> np.int16:
         return np.int16(int(2 * x))
 
+    # per-column term lists, accumulated in CONTIGUOUS 1-D int16 buffers
+    # and stored with ONE strided write per label column — `em[:, ix] +=`
+    # is a strided read-modify-write touching a cache line per element,
+    # and ~30 of them dominated this kernel's profile. Same int16
+    # arithmetic, same term order per column → identical values.
+    terms: dict[str, list[np.ndarray]] = {}
+
+    def add(lab: str, weight: float, arr: np.ndarray) -> None:
+        terms.setdefault(lab, []).append(w(weight) * arr)
+
     for lex, lab in _LEX_TO_LABEL.items():
-        em[:, _IX[lab]] += w(4.0) * t[f"lex_{lex}"].to_numpy()
+        add(lab, 4.0, t[f"lex_{lex}"].to_numpy())
 
     # suffix-morphology evidence for out-of-gazetteer entities (the
     # reference's prefix/suffix CRF features): weaker than a gazetteer hit,
     # stronger than the plain-word 'other' default
-    em[:, _IX["medicament"]] += w(3.5) * t["suf_drug"].to_numpy()
-    em[:, _IX["pathology"]] += w(3.0) * t["suf_patho"].to_numpy()
+    add("medicament", 3.5, t["suf_drug"].to_numpy())
+    add("pathology", 3.0, t["suf_patho"].to_numpy())
 
-    em[:, _IX["date"]] += w(6.0) * t["is_date"].to_numpy()
-    em[:, _IX["time"]] += w(6.0) * t["is_time"].to_numpy()
-    em[:, _IX["persname"]] += w(5.0) * (
-        t["is_medic_title"] | t["is_patient_title"]
-    ).to_numpy()
-    em[:, _IX["persname"]] += w(2.0) * (t["is_cap"] | t["is_allcaps"]).to_numpy()
-    em[:, _IX["persname"]] += w(4.0) * (t["is_period"] & t["prev_abbrev"]).to_numpy()
-    em[:, _IX["rolename"]] += w(3.0) * t["is_role"].to_numpy()
+    add("date", 6.0, t["is_date"].to_numpy())
+    add("time", 6.0, t["is_time"].to_numpy())
+    add("persname", 5.0, (t["is_medic_title"] | t["is_patient_title"]).to_numpy())
+    add("persname", 2.0, (t["is_cap"] | t["is_allcaps"]).to_numpy())
+    add("persname", 4.0, (t["is_period"] & t["prev_abbrev"]).to_numpy())
+    add("rolename", 3.0, t["is_role"].to_numpy())
     # fax/phone numbers: digit tokens inside the Fax/Tél keyword window
     # (FrenchMedicalNERParser <fax>/<phone>; the keyword itself stays other)
     num = t["is_num"].to_numpy()
-    em[:, _IX["fax"]] += w(6.0) * (num & t["near_fax_kw"].to_numpy())
-    em[:, _IX["phone"]] += w(6.0) * (
-        num & t["near_tel_kw"].to_numpy() & ~t["near_fax_kw"].to_numpy()
-    )
+    add("fax", 6.0, num & t["near_fax_kw"].to_numpy())
+    add("phone", 6.0, num & t["near_tel_kw"].to_numpy() & ~t["near_fax_kw"].to_numpy())
     # location: gazetteer city or toponym-suffix morphology (<location>)
-    em[:, _IX["location"]] += w(4.0) * (t["is_city"] | t["suf_city"]).to_numpy()
+    add("location", 4.0, (t["is_city"] | t["suf_city"]).to_numpy())
     # person-TYPE mentions ('la patiente', 'le médecin') — standalone
     # descriptors, NOT titles attached to a following name (<persType>)
     # (is_perstype_word/is_ans/next_is_ans are unique-form features from
     # token_features — the former .isin/.eq here hashed the full object
     # 'low' column per call)
-    em[:, _IX["perstype"]] += w(6.0) * (
-        t["is_perstype_word"].to_numpy() & ~t["next_is_cap"].to_numpy()
-    )
+    add("perstype", 6.0, t["is_perstype_word"].to_numpy() & ~t["next_is_cap"].to_numpy())
 
     # age: '50 ans'
     age_num = (t["is_num"] & t["next_is_ans"]).to_numpy()
-    em[:, _IX["age"]] += w(6.0) * (t["is_ans"].to_numpy() | age_num)
+    add("age", 6.0, t["is_ans"].to_numpy() | age_num)
 
     # dose attachment: numbers/units right after a drug extend the medicament
     dose_tok = (t["is_num"] | t["is_unit"]).to_numpy()
-    em[:, _IX["medicament"]] += w(3.0) * (dose_tok & t["near_medicament"].to_numpy())
-    em[:, _IX["dose"]] += w(2.0) * (dose_tok & ~t["near_medicament"].to_numpy()
-                                    & t["is_unit"].to_numpy())
+    add("medicament", 3.0, dose_tok & t["near_medicament"].to_numpy())
+    add("dose", 2.0, dose_tok & ~t["near_medicament"].to_numpy() & t["is_unit"].to_numpy())
 
     # side adjectives continue the open entity: neutral emission (sticky
     # transition wins) — explicitly zero other-score for them
@@ -102,14 +105,18 @@ def ner_emissions(t: pd.DataFrame) -> np.ndarray:
     not_abbrev_period = ~(t["is_period"] & t["prev_abbrev"]).to_numpy()
     # stopwords break entity runs hard (4.5 > 2× entity stickiness): 'et'
     # between two procedures must not fuse them
-    em[:, _IX["other"]] += w(4.5) * (t["is_stop"].to_numpy() & ~side)
-    em[:, _IX["other"]] += w(3.0) * (
-        t["is_punct"].to_numpy() & ~side & not_abbrev_period
-    )
-    em[:, _IX["other"]] += w(6.0) * t["is_sent_period"].to_numpy()
+    add("other", 4.5, t["is_stop"].to_numpy() & ~side)
+    add("other", 3.0, t["is_punct"].to_numpy() & ~side & not_abbrev_period)
+    add("other", 6.0, t["is_sent_period"].to_numpy())
     # plain words default to other (beats bare stickiness, loses to any
     # lexicon/pattern evidence)
-    em[:, _IX["other"]] += w(2.5) * ~(side | dose_tok)
+    add("other", 2.5, ~(side | dose_tok))
+
+    for lab, parts in terms.items():
+        acc = parts[0]
+        for p in parts[1:]:
+            acc += p
+        em[:, _IX[lab]] = acc
     return em
 
 
