@@ -28,6 +28,16 @@ def arr_of(s: pd.Series) -> pa.Array:
         if arr.null_count:
             arr = pc.fill_null(arr, "")
         return arr
+    if isinstance(s.dtype, pd.CategoricalDtype):
+        # codes + tiny dictionary → string array via one C++ take (the
+        # r8 token-mode labelers ship Categorical labels; .astype(str)
+        # here would materialize the corpus-sized object column)
+        codes = s.cat.codes.to_numpy()
+        cats = pa.array(s.cat.categories.astype(str), type=pa.string())
+        d = pa.DictionaryArray.from_arrays(
+            pa.array(codes, mask=codes < 0), cats
+        )
+        return pc.fill_null(d.dictionary_decode(), "")
     return pa.array(s.fillna("").astype(str), type=pa.string())
 
 

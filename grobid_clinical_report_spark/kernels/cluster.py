@@ -69,6 +69,28 @@ def rle_cluster_ids(
     Equivalent to TaggingTokenClusteror's consecutive-same-label grouping
     (an explicit `I-` prefix in a label value also opens a new cluster, as in
     GROBID's IOB scheme)."""
+    # categorical labels (the token-mode labelers ship Categorical since
+    # r8) carry their codes + tiny dictionary already — skip the
+    # corpus-sized factorize/hash entirely
+    if isinstance(labels, pd.Series) and isinstance(
+        labels.dtype, pd.CategoricalDtype
+    ):
+        codes = labels.cat.codes.to_numpy()
+        assert (codes >= 0).all(), "rle_cluster_ids: NaN labels unsupported"
+        uniq = np.asarray(labels.cat.categories)
+        opens = np.char.startswith(uniq.astype(str), "I-")[codes]
+        lab = codes
+        doc = np.asarray(doc_ids)
+        if doc.dtype.kind not in "iu":
+            doc = pd.factorize(doc)[0]
+        change = (lab != np.roll(lab, 1)) | (doc != np.roll(doc, 1)) | opens
+        if aux is not None:
+            change |= np.asarray(aux) != np.roll(np.asarray(aux), 1)
+        if break_before is not None:
+            change |= np.asarray(break_before)
+        if len(change):
+            change[0] = True
+        return np.cumsum(change) - 1
     lab = np.asarray(labels)
     doc = np.asarray(doc_ids)
     # label/doc columns are massively repetitive: factorize to int codes so

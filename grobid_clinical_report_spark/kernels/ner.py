@@ -127,7 +127,11 @@ def label_ner_tokens(t: pd.DataFrame) -> pd.Series:
     trans = sticky_transitions(NER_LABELS, stay=4.0)
     _, starts = _doc_slices(t["line_key"].to_numpy())
     flat = viterbi_segments(em, starts[:-1], trans)
-    return pd.Series(np.array(NER_LABELS, dtype=object)[flat], index=t.index)
+    # Categorical: the decoded CODES flow straight through (rle_cluster_ids
+    # has a codes fast path); strings materialize only at the span level
+    return pd.Series(
+        pd.Categorical.from_codes(flat, NER_LABELS), index=t.index
+    )
 
 
 def ner_spans(t: pd.DataFrame) -> pd.DataFrame:
@@ -156,7 +160,7 @@ def ner_entities(t: pd.DataFrame) -> pd.DataFrame:
     _, starts = _doc_slices(t["line_key"].to_numpy())
     flat_lab = viterbi_segments(em, starts[:-1], trans)
     t["label"] = pd.Series(
-        np.array(NER_LABELS, dtype=object)[flat_lab], index=t.index
+        pd.Categorical.from_codes(flat_lab, NER_LABELS), index=t.index
     )
     # per-token margin: emission of the decoded label minus the best OTHER
     # emission (negative when the transition prior carried the token).

@@ -201,7 +201,9 @@ def _decode(
     trans = sticky_transitions(labels, stay=stay)
     _, starts = _doc_slices(t["line_key"].to_numpy())
     flat = viterbi_segments(em, starts[:-1], trans)
-    return pd.Series(np.array(labels, dtype=object)[flat], index=t.index)
+    # Categorical: codes flow through rle_cluster_ids' fast path; strings
+    # materialize only at the span level (tokens_to_spans)
+    return pd.Series(pd.Categorical.from_codes(flat, labels), index=t.index)
 
 
 def tokens_to_spans(
@@ -264,6 +266,10 @@ def tokens_to_spans(
             + d.loc[last_of_cl, "tok_end"].to_numpy()
         )
     agg = agg[~agg["kind"].isin(drop)]
+    # kind back to plain strings at SPAN granularity (categorical labels
+    # from the r8 decoders must not leak into downstream contracts; spans
+    # are ~100× fewer than tokens, so this conversion is negligible)
+    agg["kind"] = agg["kind"].astype(str)
     agg["media_ref"] = None
     cols = ["doc_id", "kind", "text", "media_ref", "offset"]
     if with_char_offsets:
