@@ -133,14 +133,17 @@ _DRIVER_CAP = 50
 # sample_frames gained the JVM time-media pre-filter and media_table the
 # parallelism-gated spread (all three media_* queries); similarity's
 # _emb scan helper (gated spread for the brute-force/IVF rescore paths)
-# touches all six embedding queries. All output-identical
-# (snapshot-pinned + oracle parity), but churned code is never what
-# rotates out.
+# touches all six embedding queries; the third-session numpy byte
+# kernels (subset replaces, the token-boundary tokenizer, Categorical
+# label flow) also reach corpus_import through explode_tokens. All
+# output-identical (snapshot-pinned + oracle parity), but churned code
+# is never what rotates out.
 _CHURNED_THIS_ROUND = frozenset(
     list(fixture_oracle.OPS)
     + list(trainer.OPS)
     + list(multimodal.OPS)
     + list(similarity.OPS)
+    + list(corpus_import.OPS)
 )
 
 # Rotation contract (VERDICT r6 next #5): whatever sat outside LAST round's
