@@ -896,7 +896,6 @@ def run_trained_ner(
         spec = _ner_spec()
     wf = W.copy()
     tf = T.copy()
-    labels = np.array(spec.labels, dtype=object)
     features = spec.features
 
     def mapper(batches):
@@ -926,7 +925,13 @@ def run_trained_ner(
                 int(lens.max(initial=0)),
             )
             flat = viterbi_segments(em, starts, tf)
-            toks["label"] = pd.Series(labels[flat], index=toks.index)
+            # Categorical, as in the surrogate decoders (r8): codes flow
+            # through rle_cluster_ids' fast path, strings materialize at
+            # span granularity inside tokens_to_spans
+            toks["label"] = pd.Series(
+                pd.Categorical.from_codes(flat, spec.labels),
+                index=toks.index,
+            )
             yield _batch_from_flat(doc_ids, tokens_to_spans(toks))
 
     return df.mapInArrow(mapper, schema=EXTRACTED_DDL)
