@@ -66,6 +66,10 @@ def to_iso_date(s: pd.Series) -> pd.Series:
     textual forms (29 avril 2000). Returns '' where no date found. Vectorized:
     two `str.extract` passes, no per-row parsing.
     """
+    if isinstance(s.dtype, pd.ArrowDtype):
+        # .str.extract/callable-replace below need the object engine
+        # (Arrow's extract_regex wants named groups); date spans are few
+        s = s.astype(object)
     s = s.fillna("")
     num = s.str.extract(_NUM_DATE, expand=True)
     txt = s.str.lower().str.extract(_TEXT_DATE, expand=True)

@@ -63,46 +63,99 @@ def token_features(toks: pd.DataFrame) -> pd.DataFrame:
     low_u_np = low_u.to_numpy(zero_copy_only=False)
     f: dict[str, np.ndarray] = {"low": low_u_np[codes]}
 
+    # unique-FORM features accumulate at dictionary level in `u` and
+    # expand with ONE (U, F) row gather below — ~24 separate per-feature
+    # `[codes]` gathers over the corpus-sized token column cost more than
+    # every is_in/regex on the tiny dictionary combined (r8)
+    u: dict[str, np.ndarray] = {}
+
     def M(pattern: str) -> np.ndarray:
-        return at.match(tok_u, pattern + "$")[codes]
+        return at.match(tok_u, pattern + "$")
 
     def ISIN(vocab) -> np.ndarray:
         return pc.is_in(
             low_u, value_set=pa.array(sorted(vocab), type=pa.string())
-        ).to_numpy(zero_copy_only=False)[codes]
+        ).to_numpy(zero_copy_only=False)
 
-    f["is_date"] = M(r"\d{1,2}[./-]\d{1,2}[./-]\d{2,4}")
-    f["is_time"] = M(r"\d{1,2}[hH:]\d{2}")
-    f["is_num"] = M(r"\d+(?:[.,]\d+)?")
-    f["is_punct"] = M(r"[^\wÀ-ÖØ-öø-ÿ]")
-    f["is_period"] = pc.equal(tok_u, ".").to_numpy(zero_copy_only=False)[
-        codes
-    ]
-    f["is_cap"] = at.match(tok_u, r"[A-ZÀ-ÖØ][a-zà-öø-ÿ]")[codes]
-    f["is_allcaps"] = M(r"[A-ZÀ-ÖØ]{2,}")
-    f["is_stop"] = ISIN(lx.STOPWORDS_FR)
-    f["is_medic_title"] = ISIN(_MEDIC_TITLES)
-    f["is_patient_title"] = ISIN(_PATIENT_TITLES)
-    f["is_role"] = ISIN(lx.ROLE_WORDS)
-    f["is_org"] = ISIN(lx.ORG_WORDS)
-    f["is_city"] = ISIN(lx.CITIES_FR)
-    f["is_street"] = ISIN(lx.STREET_WORDS)
-    f["is_postcode"] = M(r"\d{5}")
-    f["is_unit"] = ISIN(lx.DOSE_UNITS)
-    f["is_side"] = ISIN(lx.SIDE_WORDS)
-    f["is_month"] = ISIN(lx.MONTHS_FR)
+    u["is_date"] = M(r"\d{1,2}[./-]\d{1,2}[./-]\d{2,4}")
+    u["is_time"] = M(r"\d{1,2}[hH:]\d{2}")
+    u["is_num"] = M(r"\d+(?:[.,]\d+)?")
+    u["is_punct"] = M(r"[^\wÀ-ÖØ-öø-ÿ]")
+    u["is_period"] = pc.equal(tok_u, ".").to_numpy(zero_copy_only=False)
+    u["is_cap"] = at.match(tok_u, r"[A-ZÀ-ÖØ][a-zà-öø-ÿ]")
+    u["is_allcaps"] = M(r"[A-ZÀ-ÖØ]{2,}")
+    u["is_stop"] = ISIN(lx.STOPWORDS_FR)
+    u["is_medic_title"] = ISIN(_MEDIC_TITLES)
+    u["is_patient_title"] = ISIN(_PATIENT_TITLES)
+    u["is_role"] = ISIN(lx.ROLE_WORDS)
+    u["is_org"] = ISIN(lx.ORG_WORDS)
+    u["is_city"] = ISIN(lx.CITIES_FR)
+    u["is_street"] = ISIN(lx.STREET_WORDS)
+    u["is_postcode"] = M(r"\d{5}")
+    u["is_unit"] = ISIN(lx.DOSE_UNITS)
+    u["is_side"] = ISIN(lx.SIDE_WORDS)
+    u["is_month"] = ISIN(lx.MONTHS_FR)
     # a single uppercase letter — a name initial ('C. LEROY'); the 1-char
     # prefix feature class of the reference's CRF inventory
-    f["is_initial"] = M(r"[A-ZÀ-ÖØ]")
+    u["is_initial"] = M(r"[A-ZÀ-ÖØ]")
+    # name initials abbreviate exactly like title abbreviations: the period
+    # after 'C' in 'C. LEROY' continues the name, it does not end a sentence
+    u["abbrev"] = ISIN(_ABBREVS) | u["is_initial"]
+    u["kw_fax"] = ISIN({"fax"})
+    u["kw_tel"] = ISIN({"tél", "tel", "téléphone", "telephone"})
+    # person-TYPE words + the age cue, computed on the unique-form
+    # dictionary (ner_emissions previously ran .isin/.eq over the full
+    # object 'low' column — per-row Python string hashing/compares)
+    u["is_perstype_word"] = ISIN(
+        {"patient", "patiente", "patients", "patientes", "médecin",
+         "medecin", "médecins", "infirmier", "infirmière"}
+    )
+    u["is_ans"] = pc.equal(low_u, "ans").to_numpy(zero_copy_only=False)
+    for lex_name, lex_set in lx.MEDICAL_SETS.items():
+        u[f"lex_{lex_name}"] = ISIN(lex_set)
+    # suffix-class features (FeaturesVectorMedicalNER's 1-4 char prefix/
+    # suffix features, rebuilt as morphology classes): French drug and
+    # pathology suffixes catch out-of-gazetteer entities
+    u["suf_drug"] = at.match(
+        low_u,
+        r".{3,}(?:cilline|mycine|micine|cycline|oxacine|prazole|azole"
+        r"|pril|sartan|statine|azépam|azepam|tidine|caïne|caine)$",
+    )
+    u["suf_patho"] = (
+        at.match(low_u, r".{4,}(?:ite|émie|algie|pathie)s?$")
+        & ~ISIN(lx.SUF_PATHO_EXCLUDE)
+        & ~u["is_stop"]
+    )
+    # toponym/profession suffix classes (F3/F5 depth — the header/left-note
+    # models' per-token 1-4-char prefix/suffix CRF features,
+    # FeaturesVectorHeaderMedical.java:63-73 / FeaturesVectorLeftNote
+    # Medical.java:61-71, rebuilt as the informative equivalence classes of
+    # those strings): French toponym suffixes catch out-of-gazetteer place
+    # names ('Boisville'), profession suffixes catch physician descriptors
+    # carrying no Dr/Pr title ('Cardiologue', 'Chirurgienne')
+    u["suf_city"] = at.match(low_u, r".{2,}(?:ville|bourg|court)$")
+    u["suf_profession"] = at.match(
+        low_u, r".{2,}(?:logue|iatre|icien|irurgien)(?:ne)?s?$"
+    )
+
+    # ONE row gather: (U, F) C-order matrix → (N, F); each expanded
+    # feature is a column view (rows are F≈37 adjacent bytes, so the
+    # strided consumers stay cache-line-local)
+    u_names = list(u)
+    mat = np.empty((len(tok_u), len(u_names)), dtype=bool)
+    for j, nm in enumerate(u_names):
+        mat[:, j] = u[nm]
+    exp = mat[codes]
+    E = {nm: exp[:, j] for j, nm in enumerate(u_names)}
+    internal = {"abbrev", "kw_fax", "kw_tel"}
+    f.update({nm: E[nm] for nm in u_names if nm not in internal})
 
     # previous-token context (within the same line), vectorized via roll
     lk = toks["line_key"].to_numpy()
     same_line = np.zeros(n, dtype=bool)
     if n > 1:
         same_line[1:] = lk[1:] == lk[:-1]
-    # name initials abbreviate exactly like title abbreviations: the period
-    # after 'C' in 'C. LEROY' continues the name, it does not end a sentence
-    abbrev = ISIN(_ABBREVS) | f["is_initial"]
+    abbrev = E["abbrev"]
     f["prev_abbrev"] = np.roll(abbrev, 1) & same_line
     f["prev_is_num"] = np.roll(f["is_num"], 1) & same_line
     f["prev_is_org"] = np.roll(f["is_org"], 1) & same_line
@@ -123,50 +176,12 @@ def token_features(toks: pd.DataFrame) -> pd.DataFrame:
         last = np.maximum.accumulate(np.where(kw, idx, -1))
         return (last >= line_open) & (idx - last <= width) & (idx > last)
 
-    f["near_fax_kw"] = _kw_window(ISIN({"fax"}))
-    f["near_tel_kw"] = _kw_window(
-        ISIN({"tél", "tel", "téléphone", "telephone"})
-    )
+    f["near_fax_kw"] = _kw_window(E["kw_fax"])
+    f["near_tel_kw"] = _kw_window(E["kw_tel"])
     # sentence-final period: a hard cluster boundary (vs. 'Pr.' abbreviation
     # periods which continue the name)
     f["is_sent_period"] = f["is_period"] & ~f["prev_abbrev"]
-    # person-TYPE words + the age cue, computed here on the unique-form
-    # dictionary (ner_emissions previously ran .isin/.eq over the full
-    # object 'low' column — per-row Python string hashing/compares on the
-    # corpus hot path)
-    f["is_perstype_word"] = ISIN(
-        {"patient", "patiente", "patients", "patientes", "médecin",
-         "medecin", "médecins", "infirmier", "infirmière"}
-    )
-    is_ans = pc.equal(low_u, "ans").to_numpy(zero_copy_only=False)[codes]
-    f["is_ans"] = is_ans
-    f["next_is_ans"] = np.roll(is_ans, -1) & next_same
-    for lex_name, lex_set in lx.MEDICAL_SETS.items():
-        f[f"lex_{lex_name}"] = ISIN(lex_set)
-    # suffix-class features (FeaturesVectorMedicalNER's 1-4 char prefix/
-    # suffix features, rebuilt as morphology classes): French drug and
-    # pathology suffixes catch out-of-gazetteer entities
-    f["suf_drug"] = at.match(
-        low_u,
-        r".{3,}(?:cilline|mycine|micine|cycline|oxacine|prazole|azole"
-        r"|pril|sartan|statine|azépam|azepam|tidine|caïne|caine)$",
-    )[codes]
-    f["suf_patho"] = (
-        at.match(low_u, r".{4,}(?:ite|émie|algie|pathie)s?$")[codes]
-        & ~ISIN(lx.SUF_PATHO_EXCLUDE)
-        & ~f["is_stop"]
-    )
-    # toponym/profession suffix classes (F3/F5 depth — the header/left-note
-    # models' per-token 1-4-char prefix/suffix CRF features,
-    # FeaturesVectorHeaderMedical.java:63-73 / FeaturesVectorLeftNote
-    # Medical.java:61-71, rebuilt as the informative equivalence classes of
-    # those strings): French toponym suffixes catch out-of-gazetteer place
-    # names ('Boisville'), profession suffixes catch physician descriptors
-    # carrying no Dr/Pr title ('Cardiologue', 'Chirurgienne')
-    f["suf_city"] = at.match(low_u, r".{2,}(?:ville|bourg|court)$")[codes]
-    f["suf_profession"] = at.match(
-        low_u, r".{2,}(?:logue|iatre|icien|irurgien)(?:ne)?s?$"
-    )[codes]
+    f["next_is_ans"] = np.roll(E["is_ans"], -1) & next_same
     # drug hit within the previous 2 tokens (dose attachment window) —
     # suffix-detected drugs attach doses exactly like gazetteer ones
     med = f["lex_medicament"] | f["suf_drug"]
@@ -257,7 +272,10 @@ def tokens_to_spans(
     agg = d.loc[first_of_cl, ["_cl", "doc_id", "label", "offset"]].rename(
         columns={"label": "kind"}
     )
-    agg["text"] = texts.to_numpy(zero_copy_only=False)
+    # Arrow-backed: the span texts stay an Arrow array end-to-end —
+    # _batch_from_flat re-exports them zero-copy instead of a
+    # per-row object materialization + re-encode
+    agg["text"] = at.series_of(texts, index=agg.index)
     if with_char_offsets:
         base = d.loc[first_of_cl, "offset"].to_numpy()
         agg["start"] = base + d.loc[first_of_cl, "tok_start"].to_numpy()

@@ -466,17 +466,27 @@ def _batch_from_flat(doc_ids: pa.Array, flat: pd.DataFrame) -> pa.RecordBatch:
         flat = flat.iloc[order]
         codes = codes[order]
         counts = np.bincount(codes, minlength=n_docs)
+
+        def _str_col(s: pd.Series) -> pa.Array:
+            # Arrow-backed columns (token-mode span text since r8) export
+            # without the object round-trip; never-null by construction
+            if isinstance(s.dtype, pd.ArrowDtype):
+                return _arr_str(s)
+            return pa.array(s.astype(str), type=pa.string())
+
+        mref = flat["media_ref"]
+        if mref.isna().all():
+            mref_arr = pa.nulls(len(flat), pa.string())
+        else:
+            mref_arr = pa.array(
+                mref.astype(object).where(mref.notna(), None).to_numpy(),
+                type=pa.string(),
+            )
         struct = pa.StructArray.from_arrays(
             [
-                pa.array(flat["kind"].astype(str), type=pa.string()),
-                pa.array(flat["text"].astype(str), type=pa.string()),
-                pa.array(
-                    flat["media_ref"]
-                    .astype(object)
-                    .where(flat["media_ref"].notna(), None)
-                    .to_numpy(),
-                    type=pa.string(),
-                ),
+                _str_col(flat["kind"]),
+                _str_col(flat["text"]),
+                mref_arr,
                 pa.array(
                     flat["offset"].to_numpy().astype(np.int32), type=pa.int32()
                 ),
